@@ -1,0 +1,360 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup (hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+All hash functions are md5-derived so every operator has an exact DuckDB
+oracle (Spark's murmur `hash()` is not portable). Each Spark builder has a
+`duckdb_*` codegen twin generated from the SAME parameters — the two sides
+cannot drift.
+
+Scale notes (100 TB posture):
+- exact dedup: one shuffle on the fingerprint — optimal.
+- n-gram Jaccard: the pairwise verify joins on shingle; frequency-capped
+  shingles (drop shingles appearing in > max_df docs) bound the quadratic
+  blowup, the standard trick at corpus scale.
+- MinHash/LSH: signature is a groupBy-min (map-side combinable); candidate
+  generation joins on (band, band_signature) buckets — linear in corpus size,
+  never all-pairs. This is the scale path; Jaccard verify runs only on
+  candidates.
+- SimHash: two hash-aggregations, linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rounding import duck_fround, fround
+from .text_metrics import duck_tokens, tokens
+
+# ---------------------------------------------------------------------------
+# shared md5-based hashing (portable Spark <-> DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def md5_long(c: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative 60-bit long."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def duck_md5_long(sql: str) -> str:
+    return f"(('0x' || substr(md5({sql}), 1, 15))::BIGINT)"
+
+
+def md5_int32(c: Column) -> Column:
+    """First 8 hex digits of md5 as a long in [0, 2^32) — small enough that
+    floor(h / 2^b) stays exact in double arithmetic on any engine."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def duck_md5_int32(sql: str) -> str:
+    return f"(('0x' || substr(md5({sql}), 1, 8))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text with the
+    kept (minimum) id and the duplicate count. Single shuffle on fp."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def duckdb_exact_dedup(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+        SELECT md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS fp,
+               min({id_col}) AS keep_id, count(*) AS n_copies
+        FROM {table} GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (docs with < n tokens drop
+    out, matching the SQL oracle)."""
+    t = tokens(F.col(text_col))
+    df = df.select(F.col(id_col).alias("id"), t.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.array_join(F.slice("toks", i, n), " "),
+    )
+    return df.select("id", F.explode(sh).alias("shingle")).distinct()
+
+
+def duck_shingles(table: str, n: int, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = duck_tokens(text_col)
+    return f"""
+        SELECT DISTINCT {id_col} AS id, shingle
+        FROM (
+            SELECT {id_col},
+                   unnest(list_transform(range(1, len(toks) - {n - 2}),
+                          i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS shingle
+            FROM (SELECT {id_col}, {toks} AS toks FROM {table})
+            WHERE len(toks) >= {n}
+        )
+    """
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold (id_a < id_b).
+
+    Join-on-shingle → count intersections → Jaccard from per-doc set sizes.
+    ``max_df`` drops ubiquitous shingles before pairing (document-frequency
+    cap) — essential at corpus scale, off by default for oracle parity.
+    """
+    sh = shingles(df, n, id_col, text_col)
+    if max_df is not None:
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            fround(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duckdb_ngram_jaccard(
+    table: str, n: int = 3, threshold: float = 0.4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    return f"""
+        WITH sh AS ({duck_shingles(table, n, id_col, text_col)}),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               {duck_fround('inter / (sa.sz + sb.sz - inter)', 4)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE {duck_fround('inter / (sa.sz + sb.sz - inter)', 4)} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    md5_long(i || ':' || shingle). A groupBy-min → map-side combinable."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select("id", "shingle", seeds).select(
+        "id",
+        "seed",
+        md5_long(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (band = seed div rows_per_band), bucket-join on
+    (band, banded signature string): linear candidate generation."""
+    banded = sig.groupBy(
+        "id", (F.col("seed") / rows_per_band).cast("int").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+            "_",
+        ).alias("bsig")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bsig")
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
+    candidates → exact-Jaccard verify on candidates only."""
+    sh = shingles(df, n, id_col, text_col)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), rows_per_band)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(cands, ["id_a", "id_b"])  # verify only LSH candidates
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            fround(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duckdb_minhash_lsh(
+    table: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    h = duck_md5_long("seed::VARCHAR || ':' || shingle")
+    return f"""
+        WITH sh AS ({duck_shingles(table, n, id_col, text_col)}),
+        sig AS (
+            SELECT id, seed, min({h}) AS mh
+            FROM sh, range(0, {num_hashes}) t(seed)
+            GROUP BY id, seed
+        ),
+        banded AS (
+            SELECT id, CAST(seed // {rows_per_band} AS INT) AS band,
+                   string_agg(mh::VARCHAR, '_' ORDER BY seed) AS bsig
+            FROM sig GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               {duck_fround('i.inter / (sa.sz + sb.sz - i.inter)', 4)} AS jaccard
+        FROM inter i
+        JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE {duck_fround('i.inter / (sa.sz + sb.sz - i.inter)', 4)} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct whitespace tokens.
+
+    bit b of token-hash h (32-bit md5 prefix) is floor(h / 2^b) % 2 — exact in
+    double arithmetic since h < 2^32 < 2^53, hence portable. Bit b of the
+    simhash is set iff sum over tokens of (+1 if bit set else -1) > 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).distinct()
+    hashed = toks.select("id", md5_int32(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    contrib = bits.select(
+        "id",
+        "b",
+        F.when(
+            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("c"),
+    )
+    per_bit = contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
+                0
+            )
+        ).alias("simhash")
+    )
+
+
+def duckdb_simhash32(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = duck_tokens(text_col)
+    h = duck_md5_int32("tok")
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+        ),
+        bits AS (
+            SELECT id, b,
+                   sum(CASE WHEN CAST(floor({h} / power(2, b)) AS BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM toks, range(0, 32) t(b)
+            GROUP BY id, b
+        )
+        SELECT id, sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+        FROM bits GROUP BY id
+    """

@@ -1,0 +1,72 @@
+"""Total-order sort / global ranking — TotalOrderPartitioner family.
+
+Re-expresses the reference's global-sort surface (SURVEY §2.4/§2.7):
+- TotalOrderPartitioner + InputSampler (LIB/partition/TotalOrderPartitioner.java,
+  InputSampler.java:97-312): range-partition by sampled split points →
+  ``repartitionByRange`` (Spark's RangePartitioner reservoir-samples keys
+  internally, exactly the InputSampler.writePartitionFile job).
+- Sort example (MR-EX/Sort.java:98-167) → ``df.orderBy``.
+- Global rank assignment: the scalable replacement for a single-partition
+  window — two-phase (per-partition rank + partition offset), the same trick
+  the reference's TotalOrderPartitioner enables for its single-reducer-free
+  total sort.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Globally-ordered output: RangePartitioning + per-partition sort —
+    exactly TotalOrderPartitioner + the always-on shuffle sort."""
+    return df.orderBy(*cols)
+
+
+def global_rank(
+    df: DataFrame,
+    sort_cols: list[Column],
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a 1-based dense global row number under a total order, at scale.
+
+    A naive ``row_number() OVER (ORDER BY …)`` collapses the whole dataset
+    into ONE partition — fine at sf0.01, fatal at 100 TB. Instead:
+
+    1. ``repartitionByRange`` on the sort key (sampled split points — the
+       InputSampler analog) and sort within partitions;
+    2. count rows per range partition (tiny driver-side list, one row per
+       partition);
+    3. rank = row_number within partition + the partition's cumulative offset.
+
+    The sort key must be a total order (add tie-breaker columns) so ranks are
+    deterministic. The repartitioned frame is persisted so the count pass and
+    the output pass see identical partitioning.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = dict(
+        part.groupBy("__pid").count().collect()
+    )  # ≤ n entries — scale-safe
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return (
+        part.withColumn(
+            rank_name, F.row_number().over(w) + off_expr[F.col("__pid")]
+        )
+        .drop("__pid")
+    )

@@ -1,0 +1,89 @@
+"""Dedup + similarity-search inventory queries (LLM-pipeline operators).
+
+Spark builder and DuckDB oracle are generated from the same parameters by the
+functions.dedup / functions.similarity codegen twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    duckdb_exact_dedup,
+    duckdb_minhash_lsh,
+    duckdb_ngram_jaccard,
+    duckdb_simhash32,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from ..functions.similarity import (
+    cosine_topk,
+    duckdb_cosine_topk,
+    duckdb_ivf_assign,
+    ivf_assign,
+)
+from ..session import table as T
+from .registry import register
+
+_NGRAM = dict(n=3, threshold=0.4)
+_MINHASH = dict(n=3, num_hashes=16, rows_per_band=4, threshold=0.4)
+_KNN = dict(k=5, round_digits=6)
+_IVF = dict(num_centroids=8, round_digits=6)
+
+
+@register(
+    "dedup_exact",
+    oracle=duckdb_exact_dedup("documents"),
+    ref="exact dedup: hash-groupBy on normalized-text fingerprint (distinct idiom, SURVEY §2.8)",
+)
+def dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=duckdb_ngram_jaccard("documents", **_NGRAM),
+    ref="n-gram Jaccard near-dup pairs (shingle join + set-overlap)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=duckdb_minhash_lsh("documents", **_MINHASH),
+    ref="MinHash signatures + banded LSH candidates + Jaccard verify — the scale path",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(T(spark, sf_dir, "documents"), **_MINHASH)
+
+
+@register(
+    "dedup_simhash",
+    oracle=duckdb_simhash32("documents"),
+    ref="32-bit SimHash per document over distinct tokens",
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash32(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=duckdb_cosine_topk("embeddings", query_where="vec_id < 100", **_KNN),
+    ref="brute-force cosine top-k ANN baseline over array<float> embeddings",
+)
+def knn_cosine_topk(spark, sf_dir):
+    return cosine_topk(
+        T(spark, sf_dir, "embeddings"), query_filter=F.col("id") < 100, **_KNN
+    )
+
+
+@register(
+    "ivf_assign_buckets",
+    oracle=duckdb_ivf_assign("embeddings", **_IVF),
+    ref="IVF coarse-quantizer bucket assignment (broadcast centroids) — ANN scale path",
+)
+def ivf_assign_buckets(spark, sf_dir):
+    return ivf_assign(T(spark, sf_dir, "embeddings"), **_IVF)

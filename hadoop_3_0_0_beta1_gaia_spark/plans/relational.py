@@ -1,0 +1,577 @@
+"""Relational inventory queries (SURVEY §2.3-§2.9).
+
+Each entry pairs an idiomatic-Spark builder with a DuckDB oracle. Aggregates
+over doubles are rounded identically on both sides (float sums are
+order-dependent; rounding to 2-4 digits makes the hash comparison robust).
+Dimension-table joins broadcast automatically under the session's
+autoBroadcastJoinThreshold — the reference's DistributedCache replicated-join
+idiom, now Catalyst's decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import duckdb_value_histogram, value_aggregate, value_histogram
+from ..operators.fieldsel import duckdb_field_select, field_select
+from ..operators.join import broadcast_join, datajoin_theta, override_join
+from ..operators.keyfield import duckdb_order_by, keyfield_sort_columns
+from ..operators.sort import global_rank
+from ..session import table as T
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation: the full map/combine/shuffle/reduce pipeline in one chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    ref="flagship: scan→filter→partial+final agg (Combiner, MapTask.java:1594) →Reducer.java:147",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_value_descriptors",
+    oracle="""
+        SELECT event_type,
+               round(sum(value), 2)                    AS sum_value,
+               max(value)                              AS max_value,
+               min(value)                              AS min_value,
+               count(DISTINCT user_id)                 AS uniq_users,
+               least(count(DISTINCT user_id), 25)      AS uniq_users_cap25,
+               count(*)                                AS n_events
+        FROM events GROUP BY event_type
+    """,
+    ref="ValueAggregator framework LIB/aggregate/ValueAggregatorBaseDescriptor.java:39-83; UniqValueCount.java:63-75 cap=truncation",
+)
+def agg_value_descriptors(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # The ValueAggregator descriptor compiler builds the single groupBy.agg;
+    # rounding the float sum afterwards keeps the oracle hash stable.
+    out = value_aggregate(
+        ev,
+        "event_type",
+        {
+            "sum_value": ("DoubleValueSum", "value"),
+            "uniq_users": ("UniqValueCount", "user_id"),
+            "uniq_users_cap25": ("UniqValueCount:25", "user_id"),
+        },
+    )
+    extra = ev.groupBy("event_type").agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count("*").alias("n_events"),
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 2)).join(
+        extra, "event_type"
+    )
+
+
+@register(
+    "agg_string_minmax",
+    oracle="""
+        SELECT c_nationkey,
+               max(c_name) AS max_name, min(c_name) AS min_name,
+               max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    """,
+    ref="StringValueMax/Min, LongValueMax/Min — LIB/aggregate/*.java (SURVEY §2.5)",
+)
+def agg_string_minmax(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max("c_name").alias("max_name"),
+        F.min("c_name").alias("min_name"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "value_histogram_events",
+    oracle=duckdb_value_histogram("events", "event_type", "user_id"),
+    ref="ValueHistogram.java:38-169 — stats over the value-frequency distribution",
+)
+def value_histogram_events(spark, sf_dir):
+    return value_histogram(T(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_nway",
+    oracle="""
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name
+    """,
+    ref="CompositeInputFormat inner join LIB/join/InnerJoinRecordReader.java:34-45; N-way chained",
+)
+def join_inner_nway(spark, sf_dir):
+    region = T(spark, sf_dir, "region")
+    nation = T(spark, sf_dir, "nation")
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = T(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "join_outer_full",
+    oracle="""
+        WITH oagg AS (
+            SELECT o_custkey, count(*) AS n_open
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS custkey,
+               c_name,
+               coalesce(n_open, 0) AS n_open
+        FROM customer FULL OUTER JOIN oagg ON c_custkey = o_custkey
+    """,
+    ref="OuterJoinRecordReader.java:34-45 — full outer, unwritten TupleWritable slots → NULL",
+)
+def join_outer_full(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    oagg = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_open"))
+    )
+    return cust.join(oagg, cust.c_custkey == oagg.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+    )
+
+
+@register(
+    "join_override",
+    oracle="""
+        WITH s1 AS (SELECT c_custkey AS k, c_mktsegment AS v FROM customer),
+             s2 AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+             s3 AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+             keys AS (SELECT k FROM s1 UNION SELECT k FROM s2 UNION SELECT k FROM s3)
+        SELECT keys.k AS key,
+               CASE WHEN s3.k IS NOT NULL THEN 'open'
+                    WHEN s2.k IS NOT NULL THEN 'finished'
+                    ELSE s1.v END AS value
+        FROM keys
+        LEFT JOIN s1 ON keys.k = s1.k
+        LEFT JOIN s2 ON keys.k = s2.k
+        LEFT JOIN s3 ON keys.k = s3.k
+    """,
+    ref="OverrideRecordReader.java:42-84 — rightmost source with the key wins",
+)
+def join_override(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("value")
+    )
+    orders = T(spark, sf_dir, "orders")
+    fin = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("value", F.lit("finished"))
+    )
+    opn = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("value", F.lit("open"))
+    )
+    return override_join([("cust", cust), ("fin", fin), ("open", opn)])
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    ref="left-semi: free in Spark (SURVEY §2.6 'not present' row); reduce-side idiom in reference",
+)
+def join_semi(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    urgent = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    ref="left-anti derivation (SURVEY §2.6); datajoin outer + null-filter idiom in reference",
+)
+def join_anti(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_datajoin",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_pairs,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_extendedprice > o_totalprice * 0.5
+        GROUP BY o_orderpriority
+    """,
+    ref="hadoop-datajoin DataJoinReducerBase.java:47 — per-key cross product + arbitrary pair predicate",
+)
+def join_theta_datajoin(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    pairs = datajoin_theta(
+        orders,
+        li,
+        on=orders.o_orderkey == li.l_orderkey,
+        theta=F.col("l_extendedprice") > F.col("o_totalprice") * 0.5,
+    )
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "join_broadcast_parts",
+    oracle="""
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    """,
+    ref="DistributedCache replicated join idiom (SURVEY §2.6) → BroadcastHashJoin",
+)
+def join_broadcast_parts(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    return (
+        broadcast_join(li, part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.7 partitioning, sorting, top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_k_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    ref="top-k idiom (single reducer) — SURVEY §2.7; here orderBy().limit() with tie-break",
+)
+def top_k_orders(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "global_sort_rank",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rank
+        FROM lineitem
+    """,
+    ref="TotalOrderPartitioner.java + Sort.java:98-167 — scalable 2-phase rank, no single-partition window",
+)
+def global_sort_rank(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    ranked = global_rank(
+        li,
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_name="rank",
+    )
+    return ranked.select("l_orderkey", "l_linenumber", "rank")
+
+
+@register(
+    "secondary_sort",
+    oracle="""
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS seq
+        FROM events
+    """,
+    ref="SecondarySort pattern MR-EX/SecondarySort.java:57,133-145 — partition by k1, order by (k1,k2)",
+)
+def secondary_sort(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("seq")
+    )
+
+
+@register(
+    "keyfield_sorted_lines",
+    oracle=f"""
+        WITH lines AS (
+            SELECT concat_ws('|', s_name,
+                             CAST(round(s_acctbal * 100, 0) AS BIGINT),
+                             s_nationkey) AS line
+            FROM supplier
+        )
+        SELECT line,
+               row_number() OVER (ORDER BY {duckdb_order_by("-k2,2nr -k1,1", "line", "|")}, line) AS rank
+        FROM lines
+    """,
+    ref="KeyFieldBasedComparator.java:41-67 — '-k2,2nr -k1,1' numeric/reverse subfield sort",
+)
+def keyfield_sorted_lines(spark, sf_dir):
+    sup = T(spark, sf_dir, "supplier")
+    lines = sup.select(
+        F.concat_ws(
+            "|",
+            F.col("s_name"),
+            F.round(F.col("s_acctbal") * 100, 0).cast("long"),
+            F.col("s_nationkey"),
+        ).alias("line")
+    )
+    arr = F.split(F.col("line"), "\\|")
+    sort_cols = keyfield_sort_columns("-k2,2nr -k1,1", arr) + [F.col("line")]
+    return global_rank(lines, sort_cols, rank_name="rank").select("line", "rank")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 field selection / KV-text parsing / identity-family mappers
+# ---------------------------------------------------------------------------
+
+_FIELDSEL_LINE = "concat_ws('|', c_custkey, c_name, c_mktsegment, c_nationkey)"
+_FS_KEY, _FS_VAL = duckdb_field_select(_FIELDSEL_LINE, "0,3:1-", "|")
+
+
+@register(
+    "fieldsel_project",
+    oracle=f"SELECT {_FS_KEY} AS key, {_FS_VAL} AS value FROM customer",
+    ref="FieldSelectionHelper.java:37-71 spec '0,3:1-' — cut(1)-style key/value projection",
+)
+def fieldsel_project(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    lines = cust.select(
+        F.concat_ws(
+            "|", "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+        ).alias("line")
+    )
+    return field_select(lines, "0,3:1-", sep="|")
+
+
+@register(
+    "kv_text_parse",
+    oracle="""
+        WITH lines AS (
+            SELECT event_id, concat_ws(chr(9), event_type, props, user_id) AS line
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN strpos(line, chr(9)) = 0 THEN line
+                    ELSE substr(line, 1, strpos(line, chr(9)) - 1) END AS key,
+               CASE WHEN strpos(line, chr(9)) = 0 THEN ''
+                    ELSE substr(line, strpos(line, chr(9)) + 1) END AS value
+        FROM lines
+    """,
+    ref="KeyValueTextInputFormat / KeyValueLineRecordReader — split at FIRST separator",
+)
+def kv_text_parse(spark, sf_dir):
+    from ..sources.text import parse_kv_lines
+
+    ev = T(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat_ws("\t", "event_type", "props", "user_id").alias("line"),
+    )
+    return parse_kv_lines(lines, sep="\t", line_col="line", keep=["event_id"])
+
+
+@register(
+    "map_inverse",
+    oracle="SELECT o_orderpriority AS key, o_orderkey AS value FROM orders",
+    ref="InverseMapper.java:34 — emit (v, k)",
+)
+def map_inverse(spark, sf_dir):
+    return T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("key"), F.col("o_orderkey").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations / §2.1 multi-input union
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    ref="distinct idiom (emit key + identity reduce) — SURVEY §2.8",
+)
+def distinct_segments(spark, sf_dir):
+    return T(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    ref="intersect (free in Spark; hand-written reducer in reference) — SURVEY §2.8",
+)
+def set_intersect(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.intersect(f)
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders
+    """,
+    ref="except (free in Spark) — SURVEY §2.8",
+)
+def set_except(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordc = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(ordc)
+
+
+@register(
+    "union_multi_input",
+    oracle="""
+        SELECT src, count(*) AS n, count(DISTINCT k) AS uniq FROM (
+            SELECT 'orders' AS src, o_orderkey AS k FROM orders
+            UNION ALL
+            SELECT 'lineitem' AS src, l_orderkey AS k FROM lineitem
+        ) GROUP BY src
+    """,
+    ref="MultipleInputs.java / DelegatingInputFormat.java — per-path source + unionByName",
+)
+def union_multi_input(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"), F.col("o_orderkey").alias("k")
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("src"), F.col("l_orderkey").alias("k")
+    )
+    return (
+        o.unionByName(l)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"), F.countDistinct("k").alias("uniq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events rollup (batch windowing over the stream table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hour_rollup",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    ref="batch time-bucket rollup over the events table (reference has no streaming ops — SURVEY §2.11)",
+)
+def events_hour_rollup(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

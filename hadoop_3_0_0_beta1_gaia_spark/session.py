@@ -1,0 +1,98 @@
+"""SparkSession factory + table registry.
+
+Maps the reference's job-submission machinery (Job.waitForCompletion →
+YARN/MRAppMaster, SURVEY §3.1) onto a single SparkSession: Catalyst is the
+planner the reference never had, and the scale knobs below are the analog of
+``io.sort.mb`` / ``dfs.blocksize`` / slowstart tuning
+(reference: hadoop-mapreduce-client-core .../mapred/MapTask.java:885-1009,
+hdfs-default.xml dfs.blocksize=128MB).
+
+100 TB posture (tested on local[32], designed for a 1000-executor cluster):
+- AQE on: runtime coalescing of post-shuffle partitions + skew-join splitting
+  replaces hand-tuned reducer counts.
+- shuffle.partitions default kept moderate locally; on a real cluster set it
+  ~2-3x total cores or rely on AQE's initialPartitionNum.
+- maxPartitionBytes=128m mirrors the reference's HDFS block-sized splits
+  (FileInputFormat.getSplits, LIB/input/FileInputFormat.java:386-444).
+- autoBroadcastJoinThreshold raised: every dimension table of the star schema
+  (region/nation/customer/supplier/part at sane SFs) should broadcast — the
+  reference's DistributedCache replicated-join idiom, now automatic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_session(
+    app_name: str = "gaia-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's scale posture."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))),
+        )
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+# Timestamp columns in the driver testdata. The files carry parquet
+# TIMESTAMP(NANOS) which Spark refuses to read natively; we read nanos as
+# long (legacy conf) and rebuild TIMESTAMP_NTZ values with exact integer
+# arithmetic (DIV + decimal seconds — no double rounding at 1e18 nanos).
+# NTZ keeps every downstream filter/format independent of the session
+# timezone, matching DuckDB's naive-timestamp view of the same files.
+_TS_COLS = {
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+    "events": ("ts",),
+}
+
+_NANOS_TO_NTZ = (
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00' "
+    "+ make_dt_interval(0, 0, 0, CAST(`{c}` DIV 1000 AS DECIMAL(20,0)) / 1000000)"
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table (TESTDATA.md)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TS_COLS.get(name, ()):
+        if df.schema[c].dataType.simpleString() == "bigint":
+            df = df.withColumn(c, F.expr(_NANOS_TO_NTZ.format(c=c)))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; return the frames."""
+    out = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,107 @@
+"""Text-line sources — TextInputFormat family (SURVEY §2.1).
+
+- ``read_text_lines``      → TextInputFormat (LIB/input/TextInputFormat.java):
+  one row per line; optional byte-offset analog column.
+- ``parse_kv_lines``       → KeyValueTextInputFormat / KeyValueLineRecordReader
+  (LIB/input/KeyValueTextInputFormat.java): split each line at the FIRST
+  separator; a line with no separator becomes (line, "").
+- ``read_fixed_length``    → FixedLengthInputFormat
+  (LIB/input/FixedLengthInputFormat.java:47): fixed-width binary records.
+- ``read_multiple_inputs`` → MultipleInputs/DelegatingInputFormat
+  (LIB/input/MultipleInputs.java): per-path reader + per-path transform,
+  unioned by name.
+- ``scan_filters``         → SequenceFileInputFilter regex/percent/md5 filters
+  (LIB/input/SequenceFileInputFilter.java:110-202) as scan-time predicates.
+
+All are built-in-expression paths (no Python UDFs): splits, filters and
+projections stay JVM-side and push down into the scan.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, with_offset: bool = False
+) -> DataFrame:
+    """TextInputFormat: (offset, line). Spark's file splits mirror
+    FileInputFormat.getSplits' block-sized splitting via maxPartitionBytes.
+
+    The offset analog is a monotonically increasing id — per-file byte offsets
+    are a storage detail no reference job's *semantics* depend on.
+    """
+    df = spark.read.text(path).withColumnRenamed("value", "line")
+    if with_offset:
+        df = df.withColumn("offset", F.monotonically_increasing_id())
+    return df
+
+
+def parse_kv_lines(
+    df: DataFrame,
+    sep: str = "\t",
+    line_col: str = "line",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Split each line at the FIRST separator into (key, value) —
+    KeyValueLineRecordReader semantics: no separator → (whole line, "")."""
+    line = F.col(line_col)
+    pos = F.instr(line, sep)
+    key = F.when(pos == 0, line).otherwise(F.substring(line, F.lit(1), pos - 1))
+    value = F.when(pos == 0, F.lit("")).otherwise(
+        F.substr(line, pos + F.lit(len(sep)))
+    )
+    return df.select(
+        *[F.col(c) for c in (keep or [])], key.alias("key"), value.alias("value")
+    )
+
+
+def read_fixed_length(
+    spark: SparkSession, path: str, record_length: int
+) -> DataFrame:
+    """FixedLengthInputFormat: fixed-width binary records → one BinaryType
+    column ``record``. Uses sc.binaryRecords (record-aligned splits, same
+    guarantee as FixedLengthRecordReader)."""
+    rdd = spark.sparkContext.binaryRecords(path, record_length)
+    return spark.createDataFrame(rdd.map(lambda b: (bytearray(b),)), "record: binary")
+
+
+def read_multiple_inputs(
+    spark: SparkSession,
+    inputs: list[tuple[str, Callable[[SparkSession, str], DataFrame]]],
+) -> DataFrame:
+    """MultipleInputs: (path, reader) pairs; each reader maps its path to a
+    common schema, results unioned by name (TaggedInputSplit routing →
+    unionByName)."""
+    frames = [reader(spark, path) for path, reader in inputs]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# --- SequenceFileInputFilter analogs (scan-time row filters) ---------------
+
+
+def regex_filter(df: DataFrame, key_col: str, pattern: str) -> DataFrame:
+    """RegexFilter (SequenceFileInputFilter.java:110): keep rows whose key
+    matches."""
+    return df.filter(F.col(key_col).rlike(pattern))
+
+
+def percent_filter(df: DataFrame, frequency: int) -> DataFrame:
+    """PercentFilter (:153): keep every f-th record (by stable row id)."""
+    return df.withColumn("__rid", F.monotonically_increasing_id()).filter(
+        F.col("__rid") % frequency == 0
+    ).drop("__rid")
+
+
+def md5_filter(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
+    """MD5Filter (:202): keep rows where hash(key) % f == 0. Uses md5 like the
+    reference (deterministic across engines, unlike Spark's murmur hash)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+    return df.filter(bucket.cast("long") % frequency == 0)
