@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark driver: headline inventory queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: covers scan→agg, N-way join, broadcast join, global sort,
+# window, text explode, minhash-LSH dedup, vector top-k.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_nway",
+    "join_broadcast_parts",
+    "join_theta_datajoin",
+    "top_k_orders",
+    "global_sort_rank",
+    "secondary_sort",
+    "value_histogram_events",
+    "events_hour_rollup",
+    "word_count",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+]
+
+
+def main() -> None:
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+    from hadoop_3_0_0_beta1_gaia_spark.session import get_session
+
+    spark = get_session(app_name="gaia-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # Warm the JVM + parquet footers so per-query numbers measure the plan,
+    # not first-touch JIT/IO.
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # full materialization of the query result
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
