@@ -355,6 +355,6 @@ def duckdb_simhash32(table: str, id_col: str = "doc_id", text_col: str = "text")
             FROM toks, range(0, 32) t(b)
             GROUP BY id, b
         )
-        SELECT id, sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+        SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY id
     """

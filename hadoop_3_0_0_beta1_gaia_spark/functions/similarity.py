@@ -66,7 +66,7 @@ def cosine_topk(
     scored = pairs.select("q_id", "n_id", cos.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )

@@ -50,8 +50,8 @@ def word_length_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         fround(F.avg(length), 4).alias("mean_len"),
         fround(F.median(length), 4).alias("median_len"),
         F.round(F.stddev_pop(length), 4).alias("stddev_len"),
-        F.min(length).alias("min_len"),
-        F.max(length).alias("max_len"),
+        F.min(length).cast("long").alias("min_len"),
+        F.max(length).cast("long").alias("max_len"),
     )
 
 
@@ -74,8 +74,8 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     t = F.lower(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0)).alias("n_bpe_tokens"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0)).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -99,8 +99,8 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         fround(punct_ratio, 4).alias("punct_ratio"),
         fround(stop_ratio, 4).alias("stopword_ratio"),
         fround(score, 4).alias("quality"),

@@ -66,7 +66,8 @@ def global_rank(
     w = Window.partitionBy("__pid").orderBy(*sort_cols)
     return (
         part.withColumn(
-            rank_name, F.row_number().over(w) + off_expr[F.col("__pid")]
+            rank_name,
+            (F.row_number().over(w) + off_expr[F.col("__pid")]).cast("long"),
         )
         .drop("__pid")
     )

@@ -379,7 +379,7 @@ def secondary_sort(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("value", "event_id")
     return ev.select(
-        "user_id", "event_id", F.row_number().over(w).alias("seq")
+        "user_id", "event_id", F.row_number().over(w).cast("long").alias("seq")
     )
 
 
