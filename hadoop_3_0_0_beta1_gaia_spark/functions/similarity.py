@@ -103,6 +103,56 @@ def duckdb_cosine_topk(
     """
 
 
+def cosine_near_dup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id < b_id) with rounded
+    cosine >= threshold. Exact O(n²) baseline — the correctness anchor for
+    the bucketed variants (MinHash/IVF); at 100 TB run IVF bucket assignment
+    first and this join only within buckets (same ``cos`` expression)."""
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
+    a = base.select(
+        F.col("id").alias("a_id"), F.col("__v").alias("av"), F.col("__n2").alias("an")
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), F.col("__v").alias("bv"), F.col("__n2").alias("bn")
+    )
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = fround(
+        dot(F.col("av"), F.col("bv")) / F.sqrt(F.col("an") * F.col("bn")),
+        round_digits,
+    )
+    return (
+        pairs.select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def duckdb_cosine_near_dup(
+    table: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v, list_dot_product({v}, {v}) AS n2
+            FROM {table}
+        )
+        SELECT a_id, b_id, cos FROM (
+            SELECT a.id AS a_id, b.id AS b_id,
+                   {duck_fround('list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)', round_digits)} AS cos
+            FROM base a JOIN base b ON a.id < b.id
+        ) WHERE cos >= {threshold}
+    """
+
+
 def ivf_assign(
     df: DataFrame,
     num_centroids: int = 8,

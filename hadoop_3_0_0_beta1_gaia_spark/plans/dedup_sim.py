@@ -19,7 +19,9 @@ from ..functions.dedup import (
     simhash32,
 )
 from ..functions.similarity import (
+    cosine_near_dup,
     cosine_topk,
+    duckdb_cosine_near_dup,
     duckdb_cosine_topk,
     duckdb_ivf_assign,
     ivf_assign,
@@ -30,6 +32,7 @@ from .registry import register
 _NGRAM = dict(n=3, threshold=0.4)
 _MINHASH = dict(n=3, num_hashes=16, rows_per_band=4, threshold=0.4)
 _KNN = dict(k=5, round_digits=6)
+_NEARDUP = dict(threshold=0.35, round_digits=6)
 _IVF = dict(num_centroids=8, round_digits=6)
 
 
@@ -78,6 +81,15 @@ def knn_cosine_topk(spark, sf_dir):
     return cosine_topk(
         T(spark, sf_dir, "embeddings"), query_filter=F.col("id") < 100, **_KNN
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=duckdb_cosine_near_dup("embeddings", **_NEARDUP),
+    ref="embedding-cosine near-dup pairs (exact O(n²) baseline; IVF-bucketed variant is the scale path)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return cosine_near_dup(T(spark, sf_dir, "embeddings"), **_NEARDUP)
 
 
 @register(

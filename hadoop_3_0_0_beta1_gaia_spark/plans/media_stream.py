@@ -1,0 +1,98 @@
+"""Multimodal + streaming inventory queries.
+
+The media table is derived deterministically from `documents` (the container
+has no image/audio libs — TESTDATA has no binary media column — so text bytes
+stand in as the opaque blob; the schema/batching contract is the real part,
+per functions.multimodal).
+
+The streaming entry replays the events parquet through Structured Streaming
+(availableNow) and must agree with the equivalent batch SQL — batch/stream
+parity is the check, so the oracle is plain DuckDB over the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import decode_features, frame_sample
+from ..session import table as T
+from ..streaming.events import read_events_stream, run_to_memory, windowed_counts
+from .registry import register
+
+_FRAME_EVERY_MS = 250
+
+
+def _media_df(spark, sf_dir):
+    """documents → MEDIA_SCHEMA-shaped frame: text bytes as the opaque blob,
+    kind cycling image/audio/video, duration derived from doc_id."""
+    d = T(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.lit("raw").alias("format"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        ((F.col("doc_id") % 10 + 1) * 1000).alias("duration_ms"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas kernel (hashlib-seeded) — not SQL-expressible
+    ref="LLM-pipeline multimodal op: binary column + typed metadata → Arrow-batched "
+    "feature extraction via mapInPandas (decode stubbed, plumbing real)",
+)
+def multimodal_features(spark, sf_dir):
+    media = _media_df(spark, sf_dir)
+    feats = decode_features(media, decode="fake")
+    # Project to a stable, hashable shape: per-media feature count + mean.
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("features").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    )
+
+
+@register(
+    "frame_sample_grid",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0, ((doc_id % 10 + 1) * 1000) - 1, {_FRAME_EVERY_MS})) AS frame_ms,
+               md5(text || ':' || ((doc_id % 10 + 1) * 1000)::VARCHAR) AS frame_digest
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """,
+    ref="LLM-pipeline video op: frame-sampling grid explode over duration_ms "
+    "(decode stubbed as digest; Spark-side explode/sequence is the real plumbing)",
+)
+def frame_sample_grid(spark, sf_dir):
+    return frame_sample(_media_df(spark, sf_dir), every_ms=_FRAME_EVERY_MS)
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    ref="Structured Streaming replay of the events table: tumbling event-time window + "
+    "watermark, drained with availableNow — must equal the batch rollup "
+    "(reference has no streaming ops, SURVEY §2.11; this is the engine's stream surface)",
+)
+def stream_windowed_counts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    counted = windowed_counts(stream, window="1 hour", watermark="1 hour")
+    return run_to_memory(counted, "stream_windowed_counts_sink", spark)

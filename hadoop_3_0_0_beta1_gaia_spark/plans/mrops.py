@@ -1,0 +1,229 @@
+"""MapReduce-surface inventory queries: generators, total-order sort, pipe,
+scan-time filters, sampling, capped distinct, fixed-width records, numeric pi.
+
+Each entry re-expresses a reference operator (SURVEY §2.1/§2.4/§2.5/§2.7)
+Spark-first, with a DuckDB oracle built from the same expression parameters so
+the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_fround, fround
+from ..operators.chain import chain
+from ..operators.pipe import pipe_df
+from ..operators.sort import global_rank
+from ..session import table as T
+from ..sources.generators import (
+    duckdb_random_text,
+    duckdb_teragen,
+    random_text,
+    teragen,
+)
+from .registry import register
+
+# md5-derived 60-bit integer of an expression — the cross-engine pseudo-hash
+# used by the md5 scan filter, the pi sampler, and the generators.
+_N_TERA = 20_000
+_N_TEXT = 2_000
+_N_PI = 100_000
+
+
+def _md5_60(col):
+    """First 15 hex chars of md5 as a long (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _duck_md5_60(sql: str) -> str:
+    return f"(('0x' || substr(md5({sql}), 1, 15))::BIGINT)"
+
+
+@register(
+    "gen_teragen",
+    oracle=duckdb_teragen(_N_TERA),
+    ref="MR-EX/terasort/TeraGen.java:203-242 — seeded deterministic K/V generator (spark.range + md5)",
+)
+def gen_teragen(spark, sf_dir):
+    return teragen(spark, _N_TERA)
+
+
+@register(
+    "terasort_rank",
+    oracle=f"""
+        SELECT kv_key, CAST(row_number() OVER (ORDER BY kv_key) AS BIGINT) AS rank
+        FROM ({duckdb_teragen(_N_TERA)})
+    """,
+    ref="MR-EX/terasort/TeraSort.java + TeraInputFormat.java:82-132 — total-order sort via "
+    "repartitionByRange (RangePartitioner sampling ≙ InputSampler.writePartitionFile)",
+)
+def terasort_rank(spark, sf_dir):
+    gen = teragen(spark, _N_TERA)
+    return global_rank(gen, [F.col("kv_key")], rank_name="rank").select("kv_key", "rank")
+
+
+@register(
+    "gen_text_wordcount",
+    oracle=f"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM ({duckdb_random_text(_N_TEXT)}))
+        GROUP BY word
+    """,
+    ref="MR-EX/RandomTextWriter.java + WordCount.java, composed via ChainMapper "
+    "(LIB/chain/ChainMapper.java:84-119) — generator chained into tokenize+count",
+)
+def gen_text_wordcount(spark, sf_dir):
+    tokenize = lambda df: df.select(  # noqa: E731
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    count = lambda df: df.groupBy("word").agg(F.count("*").alias("cnt"))  # noqa: E731
+    return chain(tokenize, count)(random_text(spark, _N_TEXT))
+
+
+@register(
+    "pipe_identity_kv",
+    oracle="""
+        SELECT CAST(o_orderkey AS VARCHAR) AS key,
+               CAST(o_custkey AS VARCHAR) AS value
+        FROM orders
+    """,
+    ref="hadoop-streaming PipeMapper.java:79-81 / PipeMapRed.java — rdd.pipe through an "
+    "external command (cat), TAB separator, first field = key",
+)
+def pipe_identity_kv(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return pipe_df(o, "cat", sep="\t", num_key_fields=1)
+
+
+@register(
+    "uniq_value_count",
+    oracle="""
+        SELECT event_type AS key,
+               least(count(DISTINCT user_id), 50) AS uniq_capped,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    ref="LIB/aggregate/UniqValueCount.java:35-75 — EXACT distinct count with a cap "
+    "(truncation, not approximation): least(countDistinct, cap)",
+)
+def uniq_value_count(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.least(F.countDistinct("user_id"), F.lit(50)).cast("long").alias("uniq_capped"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "seqfilter_md5",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE {_duck_md5_60("o_orderkey::VARCHAR")} % 16 = 0
+    """,
+    ref="LIB/input/SequenceFileInputFilter.java:202 (MD5Filter) — scan-time "
+    "hash(key) %% f == 0 row filter, pushed into the scan predicate",
+)
+def seqfilter_md5(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.filter(_md5_60(F.col("o_orderkey").cast("string")) % 16 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "seqfilter_regex",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE regexp_matches(o_orderpriority, '^[12]-')
+    """,
+    ref="LIB/input/SequenceFileInputFilter.java:110 (RegexFilter) — key-regex scan filter",
+)
+def seqfilter_regex(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").rlike("^[12]-")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "sample_interval",
+    oracle="""
+        SELECT o_orderkey, o_custkey, rank FROM (
+            SELECT o_orderkey, o_custkey,
+                   CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rank
+            FROM orders
+        ) WHERE rank % 100 = 1
+    """,
+    ref="LIB/partition/InputSampler.java:249 (IntervalSampler) + :153 (PercentFilter) — "
+    "every f-th record under a total order",
+)
+def sample_interval(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ranked = global_rank(o, [F.col("o_orderkey")], rank_name="rank")
+    return ranked.filter((F.col("rank") % 100) == 1).select(
+        "o_orderkey", "o_custkey", "rank"
+    )
+
+
+_PI_DENOM = float(2**60)
+
+
+@register(
+    "pi_estimate",
+    oracle=f"""
+        SELECT {duck_fround(f"4.0 * sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) / {_N_PI}", 6)} AS pi_est,
+               count(*) AS n_points
+        FROM (
+            SELECT {_duck_md5_60("i::VARCHAR || ':x'")} / {_PI_DENOM} AS x,
+                   {_duck_md5_60("i::VARCHAR || ':y'")} / {_PI_DENOM} AS y
+            FROM range(0, {_N_PI}) t(i)
+        )
+    """,
+    ref="MR-EX/QuasiMonteCarlo.java:46-153 — deterministic low-discrepancy-style sampling, "
+    "inside/outside counts, 4·in/total (md5-derived points so the oracle reproduces them)",
+)
+def pi_estimate(spark, sf_dir):
+    rng = spark.range(_N_PI)
+    i = F.col("id").cast("string")
+    x = _md5_60(F.concat(i, F.lit(":x"))) / _PI_DENOM
+    y = _md5_60(F.concat(i, F.lit(":y"))) / _PI_DENOM
+    pts = rng.select(x.alias("x"), y.alias("y"))
+    inside = F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0, 1).otherwise(0)
+    return pts.agg(
+        fround(4.0 * F.sum(inside) / _N_PI, 6).alias("pi_est"),
+        F.count("*").alias("n_points"),
+    )
+
+
+@register(
+    "fixedlen_parse",
+    oracle="""
+        SELECT CAST(substr(rec, 1, 12) AS BIGINT) AS rec_orderkey,
+               trim(substr(rec, 13, 4)) AS rec_status,
+               CAST(substr(rec, 17, 12) AS BIGINT) AS rec_custkey
+        FROM (
+            SELECT lpad(o_orderkey::VARCHAR, 12, '0')
+                   || rpad(o_orderstatus, 4, ' ')
+                   || lpad(o_custkey::VARCHAR, 12, '0') AS rec
+            FROM orders
+        )
+    """,
+    ref="LIB/input/FixedLengthInputFormat.java:47 + FixedLengthRecordReader.java — "
+    "fixed-width record encode/parse via substring offsets (28-byte records)",
+)
+def fixedlen_parse(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    rec = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.rpad(F.col("o_orderstatus"), 4, " "),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+    ).alias("rec")
+    recs = o.select(rec)
+    return recs.select(
+        F.substring("rec", 1, 12).cast("long").alias("rec_orderkey"),
+        F.trim(F.substring("rec", 13, 4)).alias("rec_status"),
+        F.substring("rec", 17, 12).cast("long").alias("rec_custkey"),
+    )

@@ -43,7 +43,7 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 
 def all_entries() -> dict[str, InventoryEntry]:
     # Import query modules lazily so registration happens on first use.
-    from . import dedup_sim, relational, textops  # noqa: F401
+    from . import dedup_sim, media_stream, mrops, relational, textops  # noqa: F401
 
     return dict(_REGISTRY)
 

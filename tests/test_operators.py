@@ -1,0 +1,255 @@
+"""Per-operator unit tests — the analog of the reference's
+`mapreduce/lib/**` test classes (SURVEY §5.1): tiny deterministic inputs with
+analytically known answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- pair kernel
+
+
+def test_pair_kernel_roundtrip(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators import pair
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3), ("b", 4), ("a", 5)], ["k", "v"]
+    )
+    kv = pair.to_kv(df, "k", "v")
+    assert kv.columns == ["key", "value"]
+
+    summed = {r["key"]: r["value"] for r in pair.reduce_by_key(kv, F.sum("value")).collect()}
+    assert summed == {"a": 9, "b": 6}
+
+    multi = pair.combine_by_key(
+        kv, F.sum("value").alias("s"), F.count("*").alias("c")
+    ).collect()
+    assert {(r["key"], r["s"], r["c"]) for r in multi} == {("a", 9, 3), ("b", 6, 2)}
+
+
+def test_pair_flat_map_and_inverse(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators import pair
+
+    df = spark.createDataFrame([("d1", "x y x")], ["k", "text"])
+    kv = pair.to_kv(df, "k", "text")
+    words = pair.flat_map_values(kv, F.split(F.col("value"), " "))
+    assert sorted(r["value"] for r in words.collect()) == ["x", "x", "y"]
+
+
+def test_pair_group_sorted_values_secondary_sort(spark):
+    """SecondarySort.java contract: values per key in deterministic order."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators import pair
+
+    rows = [("u1", 30), ("u1", 10), ("u2", 7), ("u1", 20), ("u2", 3)]
+    kv = pair.to_kv(spark.createDataFrame(rows, ["k", "v"]), "k", "v")
+    out = {r["key"]: r["values"] for r in pair.group_sorted_values(kv).collect()}
+    assert out == {"u1": [10, 20, 30], "u2": [3, 7]}
+
+
+def test_pair_counters_observe(spark):
+    """Counter.java → df.observe: exact counts after an action."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators import pair
+
+    df = spark.range(100).select(F.col("id").alias("key"), F.col("id").alias("value"))
+    observed, obs = pair.with_counter(
+        df, "counters", F.count("*").alias("records"), F.sum("value").alias("vsum")
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["records"] == 100
+    assert obs.get["vsum"] == 4950
+
+
+# ------------------------------------------------------------ chain / control
+
+
+def test_chain_composes_in_order(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.chain import chain
+
+    df = spark.range(10)
+    f = chain(
+        lambda d: d.filter(F.col("id") % 2 == 0),
+        lambda d: d.select((F.col("id") * 10).alias("x")),
+        lambda d: d.agg(F.sum("x").alias("s")),
+    )
+    assert f(df).collect()[0]["s"] == 200  # (0+2+4+6+8)*10
+
+
+def test_jobcontrol_dag_and_failure_propagation():
+    from hadoop_3_0_0_beta1_gaia_spark.operators.chain import (
+        ControlledJob,
+        JobControl,
+        JobState,
+    )
+
+    log: list[str] = []
+    jc = JobControl()
+    jc.add_job(ControlledJob("a", lambda: log.append("a")))
+    jc.add_job(ControlledJob("b", lambda: 1 / 0, depends_on=["a"]))
+    jc.add_job(ControlledJob("c", lambda: log.append("c"), depends_on=["b"]))
+    jc.add_job(ControlledJob("d", lambda: log.append("d"), depends_on=["a"]))
+    states = jc.run()
+    assert states == {
+        "a": JobState.SUCCESS,
+        "b": JobState.FAILED,
+        "c": JobState.DEPENDENT_FAILED,
+        "d": JobState.SUCCESS,
+    }
+    assert log == ["a", "d"]
+
+
+def test_jobcontrol_cycle_detection():
+    from hadoop_3_0_0_beta1_gaia_spark.operators.chain import ControlledJob, JobControl
+
+    jc = JobControl()
+    jc.add_job(ControlledJob("a", lambda: None, depends_on=["b"]))
+    jc.add_job(ControlledJob("b", lambda: None, depends_on=["a"]))
+    with pytest.raises(ValueError, match="cycle"):
+        jc.run()
+
+
+# ------------------------------------------------------------------- terasort
+
+
+def test_terasort_teravalidate(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.terasort import (
+        checksum,
+        terasort,
+        teravalidate,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
+
+    gen = teragen(spark, 5000, num_partitions=8)
+    csum_in = checksum(gen)
+    sorted_df = terasort(gen, num_partitions=8)
+    v = teravalidate(sorted_df, csum_in)
+    assert v.ok, v
+    assert v.n_rows == 5000
+    assert csum_in > 0
+
+
+def test_teravalidate_flags_disorder(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.terasort import checksum, teravalidate
+    from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
+
+    gen = teragen(spark, 2000).repartition(4)  # hash-scattered: NOT sorted
+    v = teravalidate(gen, checksum(gen))
+    assert v.checksum_in == v.checksum_out  # same records
+    assert v.n_boundary_violations > 0  # but no total order
+
+
+# ----------------------------------------------------------------------- pipe
+
+
+def test_pipe_df_identity_and_transform(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.pipe import pipe_df
+
+    df = spark.createDataFrame([("k1", "alpha"), ("k2", "beta")], ["k", "v"])
+    out = {r["key"]: r["value"] for r in pipe_df(df, "cat").collect()}
+    assert out == {"k1": "alpha", "k2": "beta"}
+
+    upper = {r["key"]: r["value"] for r in pipe_df(df, "tr a-z A-Z").collect()}
+    assert upper == {"K1": "ALPHA", "K2": "BETA"}
+
+
+def test_pipe_num_key_fields(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.pipe import pipe_df
+
+    df = spark.createDataFrame([("a", "b", "c d")], ["x", "y", "z"])
+    row = pipe_df(df, "cat", num_key_fields=2).collect()[0]
+    assert (row["key"], row["value"]) == ("a\tb", "c d")
+
+
+# -------------------------------------------------------------------- writers
+
+
+def test_write_text_and_partitioned(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.writers import (
+        write_partitioned,
+        write_text,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "us"), ("b", 2, "eu"), ("c", 3, "us")], ["k", "v", "geo"]
+    )
+    tpath = str(tmp_path / "text")
+    write_text(df, tpath, sep="\t")
+    lines = sorted(r["value"] for r in spark.read.text(tpath).collect())
+    assert lines == ["a\t1\tus", "b\t2\teu", "c\t3\tus"]
+
+    ppath = str(tmp_path / "part")
+    write_partitioned(df, ppath, ["geo"])
+    back = spark.read.parquet(ppath)
+    # partition pruning surface: geo is a partition column
+    assert sorted(r["k"] for r in back.filter(F.col("geo") == "us").collect()) == ["a", "c"]
+
+
+def test_write_named_outputs_and_sorted(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.writers import (
+        write_named_outputs,
+        write_sorted,
+    )
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 2 == 0).alias("even"))
+    base = str(tmp_path / "named")
+    write_named_outputs(
+        df, base, {"evens": F.col("even"), "big": F.col("id") >= 90}
+    )
+    assert spark.read.parquet(f"{base}/evens").count() == 50
+    assert spark.read.parquet(f"{base}/big").count() == 10
+
+    spath = str(tmp_path / "sorted")
+    write_sorted(spark.range(1000).select((999 - F.col("id")).alias("id")), spath, "id", 4)
+    files = spark.read.parquet(spath)
+    assert files.count() == 1000
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+def test_multimodal_decode_features_deterministic(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+    )
+
+    rows = [
+        (1, "image", b"imgbytes", "jpeg", 8, 8, None),
+        (2, "audio", b"wavbytes", "wav", None, None, 1000),
+    ]
+    cols = ["media_id", "kind", "media", "format", "width", "height", "duration_ms"]
+    df = spark.createDataFrame(rows, cols)
+    a = decode_features(df).collect()
+    b = decode_features(df).collect()
+    assert [r["features"] for r in a] == [r["features"] for r in b]  # deterministic
+    assert all(len(r["features"]) == FEATURE_DIM for r in a)
+    assert all(0.0 <= x < 1.0 for r in a for x in r["features"])
+
+
+def test_multimodal_real_decode_raises(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", b"x", "jpeg", 1, 1, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_features(df, decode="real").collect()
+
+
+def test_multimodal_resize_updates_metadata(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_stub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", b"x", "jpeg", 100, 50, None)], MEDIA_SCHEMA
+    )
+    r = resize_stub(df, 32, 32).collect()[0]
+    assert (r["width"], r["height"]) == (32, 32)
+    assert r["media"] is not None and bytes(r["media"]) != b"x"

@@ -1,0 +1,51 @@
+"""Batch/stream parity: the windowed rollup computed by Structured Streaming
+replay must equal the same logical plan run as a batch query — Structured
+Streaming is incremental execution of the identical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _batch_events_instant(spark, sf_dir):
+    """Batch view of events with instant (TIMESTAMP) semantics, same as
+    read_events_stream: naive stored nanos taken as UTC wall-clock."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def test_stream_equals_batch_windowed_counts(spark, sf_dir):
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    stream_out = run_to_memory(
+        windowed_counts(read_events_stream(spark, sf_dir)),
+        "parity_sink",
+        spark,
+    )
+    batch_out = windowed_counts(_batch_events_instant(spark, sf_dir))
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    s = {key(r): (r["n"], r["sum_value"]) for r in stream_out.collect()}
+    b = {key(r): (r["n"], r["sum_value"]) for r in batch_out.collect()}
+    assert s == b
+    assert len(s) > 0
+
+
+def test_watermark_bounds_state(spark, sf_dir):
+    """The streaming plan carries the watermark node (state-bound contract)."""
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        read_events_stream,
+        windowed_counts,
+    )
+
+    plan = windowed_counts(read_events_stream(spark, sf_dir))
+    assert plan.isStreaming
+    assert "EventTimeWatermark" in plan._jdf.queryExecution().analyzed().toString()
