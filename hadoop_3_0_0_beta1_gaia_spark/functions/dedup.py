@@ -230,18 +230,27 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
-    candidates → exact-Jaccard verify on candidates only."""
+    candidates → exact-Jaccard verify on candidates only.
+
+    The verify intersection starts FROM the candidate pairs (cands ⋈ shingles
+    of a ⋈ shingles of b), never from the all-pairs shingle join — candidate
+    count is linear in corpus size, so the verify stays linear too. Pairs with
+    zero shingle overlap drop out of the inner join, which is safe: their
+    Jaccard is 0 < threshold. The shingle set feeds three consumers
+    (signatures, sizes, verify); its shuffle output is shared between them via
+    Spark's ReusedExchange (measured equal to an explicit persist, without the
+    cache-memory cost).
+    """
     sh = shingles(df, n, id_col, text_col)
     cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), rows_per_band)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
-        .join(cands, ["id_a", "id_b"])  # verify only LSH candidates
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))

@@ -58,7 +58,9 @@ def cosine_topk(
     n = base.select(
         F.col("id").alias("n_id"), F.col("__v").alias("nv"), F.col("__n2").alias("nn")
     )
-    pairs = q.crossJoin(n).filter(F.col("q_id") != F.col("n_id"))
+    # The query side is the small one (a re-rank/query batch): broadcast it so
+    # the neighbor scan streams with no shuffle (BroadcastNestedLoopJoin).
+    pairs = F.broadcast(q).crossJoin(n).filter(F.col("q_id") != F.col("n_id"))
     cos = fround(
         dot(F.col("qv"), F.col("nv")) / F.sqrt(F.col("qn") * F.col("nn")),
         round_digits,

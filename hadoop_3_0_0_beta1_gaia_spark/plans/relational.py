@@ -355,7 +355,12 @@ def top_k_orders(spark, sf_dir):
     ref="TotalOrderPartitioner.java + Sort.java:98-167 — scalable 2-phase rank, no single-partition window",
 )
 def global_sort_rank(spark, sf_dir):
-    li = T(spark, sf_dir, "lineitem")
+    # Project to the 3 needed columns BEFORE the range shuffle — column
+    # pruning doesn't cross repartitionByRange on its own, and shuffling the
+    # full 16-column lineitem row would move ~5x the bytes.
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     ranked = global_rank(
         li,
         [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
