@@ -1,0 +1,194 @@
+"""Source/sink unit tests: JDBC splitters (mirroring the reference's
+TestIntegerSplitter/TestTextSplitter), sequence-file roundtrip, whole-file
+reading, distcp counters, compaction, and the text-source family.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ JDBC splitters
+
+
+def test_integer_split_points_even():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import integer_split_points
+
+    # clean division: n+1 boundaries, evenly spaced
+    assert integer_split_points(10, 0, 100) == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+
+
+def test_integer_split_points_remainder_and_degenerate():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import integer_split_points
+
+    # non-dividing range: "may need an extra task" (IntegerSplitter comment)
+    pts = integer_split_points(3, 0, 10)
+    assert pts[0] == 0 and pts[-1] == 10
+    assert pts == [0, 3, 6, 9, 10]
+    # min == max
+    assert integer_split_points(4, 5, 5) == [5, 5]
+    # range smaller than numSplits: splitSize clamps to 1
+    assert integer_split_points(10, 0, 3) == [0, 1, 2, 3]
+
+
+def test_date_split_points_monotone():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import date_split_points
+
+    lo, hi = datetime(2024, 1, 1), datetime(2024, 1, 31)
+    pts = date_split_points(6, lo, hi)
+    assert pts[0] == lo and pts[-1] == hi
+    assert all(a < b for a, b in zip(pts, pts[1:]))
+
+
+def test_text_split_points_roundtrip_order():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import text_split_points
+
+    pts = text_split_points(4, "alpha", "omega")
+    assert pts[0] == "alpha" and pts[-1] == "omega"
+    # boundaries are lexicographically ordered — the splitter's contract
+    assert all(a <= b for a, b in zip(pts, pts[1:]))
+    assert len(pts) >= 5
+
+
+def test_text_split_points_shared_prefix():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import text_split_points
+
+    pts = text_split_points(3, "useraaa", "userzzz")
+    assert all(p.startswith("user") for p in pts)
+    assert pts[0] == "useraaa" and pts[-1] == "userzzz"
+
+
+def test_text_fraction_roundtrip():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import (
+        _fraction_to_string,
+        _string_to_fraction,
+    )
+
+    for s in ["a", "abc", "zebra", "Hello Wo"]:
+        assert _fraction_to_string(_string_to_fraction(s)) == s
+
+
+def test_text_split_predicates_cover_range():
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import text_split_predicates
+
+    preds = text_split_predicates(3, "name", "aaa", "zzz")
+    assert preds[0].startswith("name >= 'aaa'")
+    assert preds[-1].endswith("<= 'zzz'")
+    assert all("AND" in p for p in preds)
+
+
+# --------------------------------------------------------------- containers
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.sequence import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("k3", "v3")], ["key", "value"]
+    )
+    path = str(tmp_path / "seq")
+    write_sequence_file(df, path)
+    back = read_sequence_file(spark, path)
+    assert sorted((r["key"], r["value"]) for r in back.collect()) == [
+        ("k1", "v1"),
+        ("k2", "v2"),
+        ("k3", "v3"),
+    ]
+
+
+def test_whole_files(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.files import read_whole_files
+
+    (tmp_path / "a.txt").write_text("first file\nwith two lines")
+    (tmp_path / "b.txt").write_text("second")
+    df = read_whole_files(spark, str(tmp_path))
+    rows = {r["path"].rsplit("/", 1)[-1]: r["content"] for r in df.collect()}
+    assert rows == {"a.txt": "first file\nwith two lines", "b.txt": "second"}
+
+
+def test_distcp_update_and_overwrite(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.files import distcp
+
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "one.dat").write_bytes(b"x" * 100)
+    (src / "sub" / "two.dat").write_bytes(b"y" * 50)
+    dst = tmp_path / "dst"
+
+    c1 = distcp(spark, str(src), str(dst))
+    assert c1 == {"copied": 2, "skipped": 0, "bytes": 150}
+    assert (dst / "sub" / "two.dat").read_bytes() == b"y" * 50
+
+    # -update: second run skips same-size files
+    c2 = distcp(spark, str(src), str(dst))
+    assert c2 == {"copied": 0, "skipped": 2, "bytes": 0}
+
+    # changed source file is re-copied
+    (src / "one.dat").write_bytes(b"z" * 120)
+    c3 = distcp(spark, str(src), str(dst))
+    assert c3["copied"] == 1 and c3["skipped"] == 1
+    assert (dst / "one.dat").read_bytes() == b"z" * 120
+
+    # -overwrite: everything copied unconditionally
+    c4 = distcp(spark, str(src), str(dst), overwrite=True)
+    assert c4["copied"] == 2
+
+
+def test_compact_small_files(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.files import compact_small_files
+
+    src = str(tmp_path / "small")
+    spark.range(10_000).repartition(50).write.parquet(src)  # 50 small parts
+    df = spark.read.parquet(src)
+    dst = str(tmp_path / "compact")
+    n = compact_small_files(df, dst, target_partition_bytes=10 * 1024 * 1024)
+    assert n < 50
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    import glob
+
+    assert len(glob.glob(f"{dst}/part-*")) == n
+
+
+# ------------------------------------------------------- text source family
+
+
+def test_parse_kv_lines_first_separator(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.text import parse_kv_lines
+
+    df = spark.createDataFrame(
+        [("a\tb\tc",), ("nosep",), ("k\t",)], ["line"]
+    )
+    rows = sorted(
+        (r["key"], r["value"]) for r in parse_kv_lines(df).collect()
+    )
+    assert rows == [("a", "b\tc"), ("k", ""), ("nosep", "")]
+
+
+def test_fixed_length_reader(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.text import read_fixed_length
+
+    p = tmp_path / "fixed.bin"
+    p.write_bytes(b"AAAABBBBCCCC")
+    df = read_fixed_length(spark, str(p), 4)
+    assert sorted(bytes(r["record"]) for r in df.collect()) == [b"AAAA", b"BBBB", b"CCCC"]
+
+
+def test_scan_filters(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.text import (
+        md5_filter,
+        percent_filter,
+        regex_filter,
+    )
+
+    df = spark.createDataFrame([(f"key{i}",) for i in range(100)], ["k"])
+    assert regex_filter(df, "k", "^key1$|^key2$").count() == 2
+    assert percent_filter(df, 10).count() == 10
+    n = md5_filter(df, "k", 4).count()
+    assert 10 <= n <= 45  # ~25 expected, deterministic
