@@ -1,0 +1,177 @@
+"""Unit tests for the four little languages (SURVEY §7.3): join expressions,
+key-field specs, field-selection specs, aggregator descriptors — mirroring
+the reference's Parser/TestKeyFieldHelper/TestMRFieldSelection/AggregatorTests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, ["key", "value"])
+
+
+# ------------------------------------------------------- join expressions
+
+
+@pytest.fixture()
+def catalog(spark):
+    return {
+        "a": _kv(spark, [(1, "a1"), (2, "a2"), (3, "a3")]),
+        "b": _kv(spark, [(2, "b2"), (3, "b3"), (4, "b4")]),
+        "c": _kv(spark, [(3, "c3"), (5, "c5")]),
+    }
+
+
+def test_join_expr_inner(spark, catalog):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import compile_join_expr
+
+    out = compile_join_expr("inner(a, b)", catalog).collect()
+    got = {r["key"]: tuple(r["value"]) for r in out}
+    assert got == {2: ("a2", "b2"), 3: ("a3", "b3")}
+
+
+def test_join_expr_outer(spark, catalog):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import compile_join_expr
+
+    out = compile_join_expr("outer(a, c)", catalog).collect()
+    got = {r["key"]: tuple(r["value"]) for r in out}
+    assert got == {
+        1: ("a1", None),
+        2: ("a2", None),
+        3: ("a3", "c3"),
+        5: (None, "c5"),
+    }
+
+
+def test_join_expr_override_rightmost_wins(spark, catalog):
+    """OverrideRecordReader.java:42-84: rightmost source with the key wins."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import compile_join_expr
+
+    out = compile_join_expr("override(a, b, c)", catalog).collect()
+    got = {r["key"]: r["value"] for r in out}
+    assert got == {1: "a1", 2: "b2", 3: "c3", 4: "b4", 5: "c5"}
+
+
+def test_join_expr_nested_and_tbl(spark, catalog):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import compile_join_expr
+
+    out = compile_join_expr(
+        'inner(tbl(SequenceFileInputFormat, "a"), override(b, c))', catalog
+    ).collect()
+    got = {r["key"]: (r["value"]["v_n2s0"], r["value"]["v_n2s1"]) for r in out}
+    # override(b,c): {2:b2, 3:c3, 4:b4, 5:c5}; inner with a: keys 2,3
+    assert got == {2: ("a2", "b2"), 3: ("a3", "c3")}
+
+
+def test_join_expr_errors(spark, catalog):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import compile_join_expr
+
+    with pytest.raises(ValueError, match="unknown join op"):
+        compile_join_expr("sideways(a, b)", catalog)
+    with pytest.raises(KeyError, match="unknown source"):
+        compile_join_expr("inner(a, zz)", catalog)
+    with pytest.raises(ValueError, match="trailing"):
+        compile_join_expr("inner(a, b) x", catalog)
+
+
+# --------------------------------------------------------- key-field specs
+
+
+def test_parse_keyfield_spec():
+    from hadoop_3_0_0_beta1_gaia_spark.operators.keyfield import parse_keyfield_spec
+
+    ks = parse_keyfield_spec("-k2,2n -k3r")
+    assert [(k.first, k.last, k.numeric, k.reverse) for k in ks] == [
+        (2, 2, True, False),
+        (3, 3, False, True),
+    ]
+    ks2 = parse_keyfield_spec("-k1,3")
+    assert (ks2[0].first, ks2[0].last) == (1, 3)
+    with pytest.raises(ValueError):
+        parse_keyfield_spec("-k0")
+    with pytest.raises(ValueError):
+        parse_keyfield_spec("bogus")
+
+
+def test_keyfield_sorted_numeric_vs_text(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.keyfield import keyfield_sorted
+
+    lines = [("b\t10",), ("a\t9",), ("c\t100",)]
+    df = spark.createDataFrame(lines, ["line"])
+    # text sort on field 2: "10" < "100" < "9"
+    text_order = [r["line"] for r in keyfield_sorted(df, "-k2,2").collect()]
+    assert text_order == ["b\t10", "c\t100", "a\t9"]
+    # numeric sort on field 2: 9 < 10 < 100
+    num_order = [r["line"] for r in keyfield_sorted(df, "-k2,2n").collect()]
+    assert num_order == ["a\t9", "b\t10", "c\t100"]
+    # reverse numeric
+    rev = [r["line"] for r in keyfield_sorted(df, "-k2,2nr").collect()]
+    assert rev == ["c\t100", "b\t10", "a\t9"]
+
+
+# ---------------------------------------------------- field-selection specs
+
+
+def test_field_select_specs(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.fieldsel import field_select
+
+    df = spark.createDataFrame([("f0\tf1\tf2\tf3\tf4",)], ["line"])
+
+    r = field_select(df, "0:1-3").collect()[0]
+    assert (r["key"], r["value"]) == ("f0", "f1\tf2\tf3")
+
+    r = field_select(df, "2,0:3-").collect()[0]  # reordering + open range
+    assert (r["key"], r["value"]) == ("f2\tf0", "f3\tf4")
+
+    r = field_select(df, ":0-").collect()[0]  # empty key side
+    assert (r["key"], r["value"]) == ("", "f0\tf1\tf2\tf3\tf4")
+
+    with pytest.raises(ValueError, match="must contain"):
+        field_select(df, "0-2")
+
+
+def test_parse_field_specs_validation():
+    from hadoop_3_0_0_beta1_gaia_spark.operators.fieldsel import parse_field_specs
+
+    assert [(s.start, s.end) for s in parse_field_specs("0-2,4,6-")] == [
+        (0, 2),
+        (4, 4),
+        (6, None),
+    ]
+    with pytest.raises(ValueError):
+        parse_field_specs("5-2")
+    with pytest.raises(ValueError):
+        parse_field_specs("x")
+
+
+# ------------------------------------------------- aggregator descriptors
+
+
+def test_value_aggregate_descriptor_compiler(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.aggregate import value_aggregate
+
+    rows = [("a", i, f"u{i % 3}") for i in range(10)] + [("b", 5, "u9")]
+    df = spark.createDataFrame(rows, ["k", "v", "u"])
+    out = value_aggregate(
+        df,
+        "k",
+        {
+            "total": ("LongValueSum", "v"),
+            "vmax": ("LongValueMax", "v"),
+            "smin": ("StringValueMin", "u"),
+            "uniq": ("UniqValueCount", "u"),
+            "uniq2": ("UniqValueCount:2", "u"),  # cap TRUNCATES (not approx)
+        },
+    ).collect()
+    got = {r["k"]: (r["total"], r["vmax"], r["smin"], r["uniq"], r["uniq2"]) for r in out}
+    assert got == {"a": (45, 9, "u0", 3, 2), "b": (5, 5, "u9", 1, 1)}
+
+
+def test_parse_descriptor():
+    from hadoop_3_0_0_beta1_gaia_spark.operators.aggregate import parse_descriptor
+
+    assert parse_descriptor("LongValueSum") == ("LongValueSum", None)
+    assert parse_descriptor("UniqValueCount:100") == ("UniqValueCount", 100)
