@@ -14,10 +14,25 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import os
+
 from ..functions.multimodal import decode_features, frame_sample
 from ..session import table as T
-from ..streaming.events import read_events_stream, run_to_memory, windowed_counts
+from ..streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    sessionize,
+    windowed_counts,
+)
 from .registry import register
+
+
+def _events_instant(spark, sf_dir):
+    """Batch events with instant (TIMESTAMP) semantics — same convention as
+    read_events_stream: stored naive nanos taken as UTC wall-clock."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 _FRAME_EVERY_MS = 250
 
@@ -77,6 +92,35 @@ def multimodal_features(spark, sf_dir):
 )
 def frame_sample_grid(spark, sf_dir):
     return frame_sample(_media_df(spark, sf_dir), every_ms=_FRAME_EVERY_MS)
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+        WITH m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    ref="session_window stateful operator (engine extension; reference has no streaming — "
+    "SURVEY §2.11): per-user inactivity-gap sessions; oracle = lag-gap + running-sum SQL",
+)
+def sessionize_events(spark, sf_dir):
+    return sessionize(_events_instant(spark, sf_dir), gap="30 minutes")
 
 
 @register(

@@ -89,6 +89,88 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — the custom stateful
+    operator surface. ``session_window`` merges events closer than ``gap``
+    into one growing window; on a stream the watermark closes sessions and
+    bounds state (the applyInPandasWithState-class capability, expressed with
+    the built-in operator so state management stays JVM-side).
+
+    Equivalent batch SQL: lag-gap flag + running sum → group (the oracle).
+    Output is timezone-independent (epoch-arithmetic window label).
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    ntz_start = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' "
+        "+ make_dt_interval(0, 0, 0, unix_timestamp(w.start))"
+    )
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.expr(ntz_start), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (event count, value sum) maintained in GroupState across micro-batches and
+    emitted each time the user appears in a batch.
+
+    This is the escape hatch for stateful logic the built-in operators can't
+    express (the reference's hand-written Reducer-with-state analog); state is
+    a fixed-width tuple per user, so memory is O(distinct users) — bound it
+    with a state TTL in production (GroupStateTimeout) when key cardinality
+    is unbounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("sum_value", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("s", DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
     """Drain a (bounded) stream into an in-memory sink with availableNow —
     the batch-replay harness used by the tests."""

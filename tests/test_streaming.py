@@ -39,6 +39,59 @@ def test_stream_equals_batch_windowed_counts(spark, sf_dir):
     assert len(s) > 0
 
 
+def test_stream_sessionize_equals_batch(spark, sf_dir):
+    """Session windows computed incrementally (availableNow drain) must match
+    the batch session_window aggregation — closed-session parity."""
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        sessionize,
+    )
+
+    stream_out = run_to_memory(
+        sessionize(read_events_stream(spark, sf_dir)), "session_sink", spark
+    )
+    batch_out = sessionize(_batch_events_instant(spark, sf_dir))
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    s = {key(r): (r["n_events"], r["sum_value"]) for r in stream_out.collect()}
+    b = {key(r): (r["n_events"], r["sum_value"]) for r in batch_out.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_apply_in_pandas_with_state_totals(spark, sf_dir):
+    """Custom GroupState operator: after draining the bounded stream, the
+    latest per-user running totals must equal the batch groupBy totals."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        read_events_stream,
+        running_user_totals,
+    )
+
+    q = (
+        running_user_totals(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (user, batch); keep the last per user
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("state_sink").collect()
+    }
+
+    batch = (
+        _batch_events_instant(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    expected = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == expected
+
+
 def test_watermark_bounds_state(spark, sf_dir):
     """The streaming plan carries the watermark node (state-bound contract)."""
     from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
