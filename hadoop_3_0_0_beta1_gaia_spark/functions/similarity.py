@@ -167,7 +167,6 @@ def ivf_assign(
     assigned to its max-cosine centroid (rounded, centroid-id tie-break).
     The centroid side is broadcast — the scan side streams, no shuffle."""
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
-    w = Window.orderBy("id")
     cents = (
         base.orderBy("id").limit(num_centroids).select(
             F.col("id").alias("c_id"), F.col("__v").alias("cv"), F.col("__n2").alias("cn")
