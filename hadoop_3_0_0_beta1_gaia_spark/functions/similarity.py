@@ -155,6 +155,128 @@ def duckdb_cosine_near_dup(
     """
 
 
+def _hyperplane_frac(p, j) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
+    md5-fraction of 'p:j' (plane index, dimension index) — reproducible in
+    any engine with md5."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(p.cast("string"), F.lit(":"), j.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(2**60)) - 0.5
+
+
+def simhash_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash) bucket id per vector: bit p = sign of
+    v·h_p. Same-bucket vectors are near-dup candidates — linear in corpus
+    size. Output: (vec_id, bucket long)."""
+    v = as_double(F.col(vec_col))
+    planes = F.sequence(F.lit(0), F.lit(num_planes - 1))
+    proj = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda j: _hyperplane_frac(p, j)),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            proj,
+            F.transform(planes, lambda p: p),
+            lambda pr, p: F.when(pr > 0, F.pow(F.lit(2.0), p.cast("double"))).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bucketed near-dup: exact cosine verify only WITHIN hyperplane buckets.
+
+    The 100 TB scale path for :func:`cosine_near_dup` — candidate generation
+    is a same-bucket self-join (linear + per-bucket quadratic), recall < 1 by
+    construction (cross-bucket pairs are missed; more planes → smaller
+    buckets → faster and lower recall). Deterministic hyperplanes keep the
+    result oracle-reproducible."""
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
+    buckets = simhash_buckets(df, num_planes, id_col, vec_col)
+    keyed = base.join(buckets, "id")
+    a = keyed.select(
+        F.col("bucket"), F.col("id").alias("a_id"), F.col("__v").alias("av"), F.col("__n2").alias("an")
+    )
+    b = keyed.select(
+        F.col("bucket"), F.col("id").alias("b_id"), F.col("__v").alias("bv"), F.col("__n2").alias("bn")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    cos = fround(
+        dot(F.col("av"), F.col("bv")) / F.sqrt(F.col("an") * F.col("bn")),
+        round_digits,
+    )
+    return (
+        pairs.select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def duckdb_cosine_near_dup_lsh(
+    table: str,
+    threshold: float = 0.35,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    frac = "((('0x' || substr(md5(p::VARCHAR || ':' || (j-1)::VARCHAR), 1, 15))::BIGINT) / 1152921504606846976.0 - 0.5)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v, list_dot_product({v}, {v}) AS n2
+            FROM {table}
+        ),
+        buckets AS (
+            SELECT id,
+                   CAST(sum(CASE WHEN proj > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM (
+                SELECT id, p,
+                       list_aggregate(list_transform(range(1, len(v) + 1),
+                           j -> v[j] * {frac}), 'sum') AS proj
+                FROM base, range(0, {num_planes}) t(p)
+            )
+            GROUP BY id
+        )
+        SELECT a_id, b_id, cos FROM (
+            SELECT a.id AS a_id, b.id AS b_id,
+                   {duck_fround('list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)', round_digits)} AS cos
+            FROM base a
+            JOIN buckets ba ON ba.id = a.id
+            JOIN buckets bb ON TRUE
+            JOIN base b ON b.id = bb.id
+            WHERE ba.bucket = bb.bucket AND a.id < b.id
+        ) WHERE cos >= {threshold}
+    """
+
+
 def ivf_assign(
     df: DataFrame,
     num_centroids: int = 8,

@@ -20,8 +20,10 @@ from ..functions.dedup import (
 )
 from ..functions.similarity import (
     cosine_near_dup,
+    cosine_near_dup_lsh,
     cosine_topk,
     duckdb_cosine_near_dup,
+    duckdb_cosine_near_dup_lsh,
     duckdb_cosine_topk,
     duckdb_ivf_assign,
     ivf_assign,
@@ -90,6 +92,16 @@ def knn_cosine_topk(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return cosine_near_dup(T(spark, sf_dir, "embeddings"), **_NEARDUP)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=duckdb_cosine_near_dup_lsh("embeddings", **_NEARDUP),
+    ref="random-hyperplane LSH bucketed near-dup — the 100 TB scale path: exact cosine "
+    "verify only within same-bucket candidates (deterministic md5 hyperplanes)",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    return cosine_near_dup_lsh(T(spark, sf_dir, "embeddings"), **_NEARDUP)
 
 
 @register(

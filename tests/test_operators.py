@@ -206,6 +206,32 @@ def test_write_named_outputs_and_sorted(spark, tmp_path):
     assert files.count() == 1000
 
 
+# ----------------------------------------------------------------- similarity
+
+
+def test_lsh_near_dup_subset_of_bruteforce(spark, sf_dir):
+    """Bucketed LSH near-dup returns a subset of the exact O(n²) pairs (same
+    cosine values; recall < 1 from cross-bucket misses)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_near_dup,
+        cosine_near_dup_lsh,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in cosine_near_dup(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in cosine_near_dup_lsh(emb, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # identical cosine on shared pairs
+
+
 # ----------------------------------------------------------------- multimodal
 
 
