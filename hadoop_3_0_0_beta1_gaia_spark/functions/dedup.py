@@ -178,18 +178,46 @@ def duckdb_ngram_jaccard(
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_i, b_i) for
+    h_i(x) = (a_i·h(x) + b_i) mod P — derived from md5 in Python so the Spark
+    plan and the DuckDB oracle embed the SAME literals."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) % (_MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    md5_long(i || ':' || shingle). A groupBy-min → map-side combinable."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select("id", "shingle", seeds).select(
-        "id",
-        "seed",
-        md5_long(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
+    """MinHash signature per doc: ONE md5 per shingle (the base hash), then
+    ``num_hashes`` affine permutations (a_i·h + b_i) mod P — 16× fewer md5
+    evaluations than hashing per (seed, shingle), same minhash guarantees.
+    sig[i] = min over shingles; a groupBy-min → map-side combinable.
+    a_i < P and h < P keep every product < 2^62 (no 64-bit overflow)."""
+    coeffs = _minhash_coeffs(num_hashes)
+    base = sh.select(
+        "id", (md5_long(F.col("shingle")) % _MINHASH_P).alias("h")
+    )
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias("h"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    hashed = base.select("id", F.explode(perms).alias("p")).select(
+        "id", F.col("p.seed").alias("seed"), F.col("p.h").alias("h")
     )
     return hashed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
 
@@ -277,12 +305,15 @@ def duckdb_minhash_lsh(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    h = duck_md5_long("seed::VARCHAR || ':' || shingle")
+    coeffs = _minhash_coeffs(num_hashes)
+    perm_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
     return f"""
         WITH sh AS ({duck_shingles(table, n, id_col, text_col)}),
+        perms(seed, a, b) AS (VALUES {perm_rows}),
         sig AS (
-            SELECT id, seed, min({h}) AS mh
-            FROM sh, range(0, {num_hashes}) t(seed)
+            SELECT id, seed,
+                   min((a * ({duck_md5_long('shingle')} % {_MINHASH_P}) + b) % {_MINHASH_P}) AS mh
+            FROM sh, perms
             GROUP BY id, seed
         ),
         banded AS (
