@@ -84,6 +84,30 @@ def read_multiple_inputs(
     return out
 
 
+def read_xml_records(
+    spark: SparkSession,
+    path: str,
+    begin_tag: str = "<record>",
+    end_tag: str = "</record>",
+) -> DataFrame:
+    """StreamXmlRecordReader (hadoop-streaming StreamXmlRecordReader.java —
+    SURVEY §2.1): one row per XML-tag-delimited record.
+
+    Splittable the same way the reference is: the scan splits on ``end_tag``
+    (lineSep), so a record never spans split boundaries; content before the
+    ``begin_tag`` (inter-record text) is discarded. Returns ``record`` =
+    the text between the tags.
+    """
+    raw = spark.read.option("lineSep", end_tag).text(path)
+    after_begin = F.regexp_extract(
+        F.col("value"), re.escape(begin_tag) + r"([\s\S]*)", 1
+    )
+    return (
+        raw.filter(F.col("value").contains(begin_tag))
+        .select(after_begin.alias("record"))
+    )
+
+
 # --- SequenceFileInputFilter analogs (scan-time row filters) ---------------
 
 

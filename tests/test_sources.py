@@ -156,6 +156,33 @@ def test_compact_small_files(spark, tmp_path):
     assert len(glob.glob(f"{dst}/part-*")) == n
 
 
+def test_xml_records(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.text import read_xml_records
+
+    p = tmp_path / "data.xml"
+    p.write_text(
+        "<root>\n"
+        "<record>alpha\nbeta</record>\n"
+        "<record>gamma</record>\n"
+        "junk between records\n"
+        "<record>delta </record>\n"
+        "</root>"
+    )
+    df = read_xml_records(spark, str(p))
+    assert sorted(r["record"] for r in df.collect()) == ["alpha\nbeta", "delta ", "gamma"]
+
+
+def test_parquet_compression_codecs(spark, tmp_path):
+    """Codec surface (COMMON/io/compress — gzip/snappy/zstd analogs)."""
+    from hadoop_3_0_0_beta1_gaia_spark.sources.writers import write_parquet
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for codec in ["snappy", "gzip", "zstd", "none"]:
+        path = str(tmp_path / f"c_{codec}")
+        write_parquet(df, path, compression=codec)
+        assert spark.read.parquet(path).count() == 1000
+
+
 # ------------------------------------------------------- text source family
 
 
