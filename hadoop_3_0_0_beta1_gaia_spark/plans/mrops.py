@@ -199,6 +199,48 @@ def pi_estimate(spark, sf_dir):
 
 
 @register(
+    "order_gaps_pandas",
+    oracle="""
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('second',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                             o_orderdate) / 86400.0 AS gap
+            FROM orders
+        )
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               coalesce(max(gap), 0.0) AS max_gap_days
+        FROM g GROUP BY o_custkey
+    """,
+    ref="Reducer.java:147-167 procedural per-group reduce via applyInPandas (Arrow batches; "
+    "group sorted inside the fn — Spark guarantees no group order, SURVEY §7.3 risk list)",
+)
+def order_gaps_pandas(spark, sf_dir):
+    from ..operators.pair import reduce_groups_pandas
+
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("o_orderdate")
+        gaps = pdf["o_orderdate"].diff().dt.total_seconds() / 86400.0
+        mg = gaps.max()
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "max_gap_days": [0.0 if pd.isna(mg) else float(mg)],
+            }
+        )
+
+    return reduce_groups_pandas(
+        o, fn, "o_custkey long, n_orders long, max_gap_days double", key_col="o_custkey"
+    )
+
+
+@register(
     "fixedlen_parse",
     oracle="""
         SELECT CAST(substr(rec, 1, 12) AS BIGINT) AS rec_orderkey,
