@@ -25,6 +25,25 @@ def total_order_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def binary_partition(
+    df: DataFrame,
+    num_partitions: int,
+    key: Column | str,
+    left_offset: int = 0,
+    right_offset: int | None = None,
+) -> DataFrame:
+    """BinaryPartitioner (LIB/partition/BinaryPartitioner.java): co-locate
+    rows by a byte/char-range slice of the key — ``repartition`` on the
+    substring. Offsets are 0-based; ``right_offset`` is inclusive (the
+    reference's left/right offset config), None = through end of key."""
+    k = F.col(key) if isinstance(key, str) else key
+    if right_offset is None:
+        sl = F.substring(k.cast("string"), left_offset + 1, 1 << 30)
+    else:
+        sl = F.substring(k.cast("string"), left_offset + 1, right_offset - left_offset + 1)
+    return df.repartition(num_partitions, sl)
+
+
 def global_rank(
     df: DataFrame,
     sort_cols: list[Column],

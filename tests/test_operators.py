@@ -206,6 +206,25 @@ def test_write_named_outputs_and_sorted(spark, tmp_path):
     assert files.count() == 1000
 
 
+# -------------------------------------------------------------- partitioning
+
+
+def test_binary_partition_colocates_key_slices(spark):
+    """BinaryPartitioner contract: equal key-slices land in one partition."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators.sort import binary_partition
+
+    df = spark.createDataFrame(
+        [(f"{p}x{i}",) for p in "abcd" for i in range(25)], ["k"]
+    )
+    out = binary_partition(df, 8, "k", left_offset=0, right_offset=0)
+    pid = out.withColumn("pid", F.spark_partition_id())
+    # every first-char group maps to exactly one partition id
+    per_group = pid.groupBy(F.substring("k", 1, 1)).agg(
+        F.countDistinct("pid").alias("n_pids")
+    )
+    assert all(r["n_pids"] == 1 for r in per_group.collect())
+
+
 # ----------------------------------------------------------------- similarity
 
 
