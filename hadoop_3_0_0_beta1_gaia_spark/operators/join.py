@@ -131,10 +131,16 @@ class _Parser:
     mirroring TupleWritable nesting; override yields the single winning value.
     """
 
-    def __init__(self, tokens: list[str], catalog: dict[str, DataFrame]):
+    def __init__(
+        self,
+        tokens: list[str],
+        catalog: dict[str, DataFrame],
+        ops: dict | None = None,
+    ):
         self.toks = tokens
         self.i = 0
         self.catalog = catalog
+        self.ops = ops or {}
         self.n_node = 0
 
     def peek(self) -> str | None:
@@ -179,6 +185,10 @@ class _Parser:
             out = composite_outer_join(named)
         elif head == "override":
             return override_join(named)
+        elif head in self.ops:
+            # user-defined op (mapreduce.join.define.<ident> analog,
+            # CompositeInputFormat.java:44-47): fn(named_sources) -> DataFrame
+            return self.ops[head](named)
         else:
             raise ValueError(f"unknown join op {head!r}")
         vcols = [c for c in out.columns if c != "key"]
@@ -193,11 +203,15 @@ class _Parser:
         return df.select("key", "value")
 
 
-def compile_join_expr(expr: str, catalog: dict[str, DataFrame]) -> DataFrame:
+def compile_join_expr(
+    expr: str, catalog: dict[str, DataFrame], ops: dict | None = None
+) -> DataFrame:
     """Compile a CompositeInputFormat-style join expression to a DataFrame.
 
     Sources in ``catalog`` are (key, value) DataFrames. Returns a DataFrame
     with ``key`` plus a ``value`` column (struct for inner/outer composites,
-    scalar for override).
+    scalar for override). ``ops`` registers user-defined join operators
+    (``mapreduce.join.define.<ident>``, CompositeInputFormat.java:44-47):
+    name → fn(list of (name, keyed DataFrame)) → DataFrame.
     """
-    return _Parser(_tokenize(expr), catalog).parse()
+    return _Parser(_tokenize(expr), catalog, ops).parse()

@@ -66,6 +66,23 @@ def test_join_expr_nested_and_tbl(spark, catalog):
     assert got == {2: ("a2", "b2"), 3: ("a3", "c3")}
 
 
+def test_join_expr_user_defined_op(spark, catalog):
+    """mapreduce.join.define.<ident>: plug a custom op into the grammar."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import (
+        compile_join_expr,
+        composite_inner_join,
+    )
+
+    def leftmost(named):  # keep the leftmost source's value for keys in all
+        inner = composite_inner_join(named)
+        first = f"v_{named[0][0]}"
+        return inner.select("key", F.col(first).alias("value"))
+
+    out = compile_join_expr("leftmost(a, b)", catalog, ops={"leftmost": leftmost})
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == {2: "a2", 3: "a3"}
+
+
 def test_join_expr_errors(spark, catalog):
     from hadoop_3_0_0_beta1_gaia_spark.operators.join import compile_join_expr
 
