@@ -135,11 +135,15 @@ def ngram_jaccard_pairs(
     ``max_df`` drops ubiquitous shingles before pairing (document-frequency
     cap) — essential at corpus scale, off by default for oracle parity.
     """
-    sh = shingles(df, n, id_col, text_col)
+    sh_arr = shingle_arrays(df, n, id_col, text_col)
+    sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
         sh = sh.join(rare.select("shingle"), "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    else:
+        # set size is the per-row array length — no aggregation shuffle
+        sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: the physical plans the 100 TB posture
+depends on must not silently regress — filter pushdown into the parquet scan,
+column pruning, dimension broadcast, and range partitioning for global sorts.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+
+QS = queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QS[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must NOT read join-irrelevant wide columns
+    read_schema = p.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_nway_join_broadcasts_dimensions(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_inner_nway")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # every dim is broadcast-sized
+
+
+def test_broadcast_join_hint_respected(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_broadcast_parts")
+    assert "BroadcastHashJoin" in p
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    p = _plan(spark, sf_dir, "knn_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "global_sort_rank")
+    assert "rangepartitioning" in p.lower()
+    # the rank window partitions by __pid — never a single global partition
+    assert "SinglePartition" not in p
+
+
+def test_events_rollup_scans_pruned(spark, sf_dir):
+    p = _plan(spark, sf_dir, "events_hour_rollup")
+    read_schema = p.split("ReadSchema", 1)[1][:300]
+    assert "props" not in read_schema  # wide unused column pruned
