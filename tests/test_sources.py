@@ -80,6 +80,51 @@ def test_text_split_predicates_cover_range():
     assert all("AND" in p for p in preds)
 
 
+# --------------------------------------------------------------------- jdbc
+
+
+def test_jdbc_roundtrip_dbcountpageview(spark, tmp_path):
+    """DBCountPageView analog (MR-EX/DBCountPageView.java): JDBC in →
+    group-count → JDBC out, verified against the in-DB expected counts —
+    runs on the Derby embedded driver that ships with Spark."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.sources.jdbc import (
+        read_jdbc,
+        read_jdbc_partitioned,
+        write_jdbc,
+    )
+
+    # Derby resolves unquoted identifiers as uppercase; use uppercase names so
+    # Spark's quoted DDL and our raw-SQL fragments agree.
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    views = spark.createDataFrame(
+        [(i, f"/page{i % 7}") for i in range(200)], ["ACCESS_ID", "URL"]
+    )
+    write_jdbc(views, url, "PAGE_ACCESS", mode="overwrite")
+
+    # DBInputFormat-style scan with fieldNames + conditions
+    filtered = read_jdbc(
+        spark, url, "PAGE_ACCESS", field_names=["URL"], conditions="ACCESS_ID < 100"
+    )
+    assert filtered.count() == 100
+
+    # DataDrivenDBInputFormat-style parallel range scan
+    part = read_jdbc_partitioned(
+        spark, url, "PAGE_ACCESS", "ACCESS_ID", 0, 200, num_partitions=4
+    )
+    assert part.rdd.getNumPartitions() == 4
+    counts = part.groupBy("URL").agg(F.count("*").alias("PAGEVIEW"))
+    write_jdbc(counts, url, "PAGEVIEW_TBL", mode="overwrite")
+
+    back = {
+        r["URL"]: r["PAGEVIEW"]
+        for r in read_jdbc(spark, url, "PAGEVIEW_TBL").collect()
+    }
+    expected = {f"/page{k}": (29 if k < 4 else 28) for k in range(7)}  # 200/7
+    assert back == expected
+
+
 # --------------------------------------------------------------- containers
 
 
