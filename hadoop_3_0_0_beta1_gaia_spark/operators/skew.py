@@ -1,0 +1,96 @@
+"""Skew-mitigation operators: salted two-phase aggregation and an as-of join.
+
+Neither exists in the reference (its answer to skew is "write a smarter
+Partitioner", Partitioner.java:58); these are the engine's scale extensions:
+
+- ``salted_agg``: heavy-hitter keys overwhelm one reducer in a plain
+  groupBy. Salting splits each key into ``num_salts`` sub-keys for the
+  partial aggregate, then combines partials in a second (tiny) aggregate.
+  Results are IDENTICAL to the unsalted groupBy — only the shuffle layout
+  changes — so every salted query keeps its plain-SQL oracle. (AQE's
+  skew-join splitting covers joins; this covers aggregations whose partial
+  state is algebraic.)
+
+- ``asof_join``: for each left row, the most recent right row at-or-before
+  its timestamp, per key. Implemented scalably as union + last_value
+  (ignore nulls) over a key-partitioned time window — one shuffle on the
+  key, no per-key collect, no range self-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    partials: list[tuple[str, Column, Column]],
+    num_salts: int = 16,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``partials`` is a list of (name, partial_expr, combine_expr): the partial
+    runs per (key, salt), the combine merges partials per key — e.g.
+    ``("n", F.count("*"), F.sum("n"))`` or ``("s", F.sum("v"), F.sum("s"))``.
+    ``salt_source`` picks the salt deterministically (defaults to a stable
+    hash of all columns is NOT possible portably, so callers pass a column —
+    any value column works; uniformity, not determinism of placement,
+    is what matters for skew).
+    """
+    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    if src is None:
+        raise ValueError("salt_source column required")
+    salt = (F.abs(F.hash(src)) % num_salts).alias("__salt")
+    stage1 = df.groupBy(F.col(key), salt).agg(
+        *[p.alias(name) for name, p, _ in partials]
+    )
+    return stage1.groupBy(key).agg(
+        *[c.alias(name) for name, _, c in partials]
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value: str,
+    out_name: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the latest ``right_value`` whose
+    timestamp is <= the left row's timestamp, within the same ``key``.
+
+    Union the sides tagged, then ``last_value(..., ignorenulls=True)`` over
+    (key ORDER BY ts, side) with rows-unbounded-preceding — right rows sort
+    before left rows at equal ts, giving inclusive (<=) semantics. One
+    shuffle, linear state; ties among right rows at one ts resolve to the
+    greatest (ts, right_value) pair deterministically.
+    """
+    out_name = out_name or f"asof_{right_value}"
+    lcols = left.columns
+    l = left.select(
+        *lcols, F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *[
+            F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.col(right_value).alias("__rv"),
+        F.lit(0).alias("__side"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.col("__side"), F.col("__rv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(out_name, F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(*lcols, out_name)
+    )

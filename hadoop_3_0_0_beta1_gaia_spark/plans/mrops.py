@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import duck_fround, fround
 from ..operators.chain import chain
 from ..operators.pipe import pipe_df
+from ..operators.skew import asof_join, salted_agg
 from ..operators.sort import global_rank
 from ..session import table as T
 from ..sources.generators import (
@@ -196,6 +197,70 @@ def pi_estimate(spark, sf_dir):
         fround(4.0 * F.sum(inside) / _N_PI, 6).alias("pi_est"),
         F.count("*").alias("n_points"),
     )
+
+
+@register(
+    "salted_event_counts",
+    oracle="""
+        SELECT event_type AS key,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    ref="skew-mitigation extension (reference's answer is a custom Partitioner.java:58): "
+    "salted two-phase aggregation — IDENTICAL results to the plain groupBy, "
+    "heavy-hitter keys split across num_salts partial aggregates",
+)
+def salted_event_counts(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select(F.col("event_type").alias("key"), "value", "event_id"),
+        key="key",
+        partials=[
+            ("n", F.count("*"), F.sum("n").cast("long")),
+            ("s", F.sum("value"), F.sum("s")),
+        ],
+        num_salts=16,
+        salt_source="event_id",
+    )
+    return out.select("key", "n", F.round(F.col("s"), 2).alias("sum_value"))
+
+
+@register(
+    "asof_purchase_value",
+    oracle="""
+        WITH u AS (
+            SELECT event_id, user_id, ts, NULL AS rv, 1 AS side
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT NULL, user_id, ts, value AS rv, 0 AS side
+            FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT *, last_value(rv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, rv
+                       ROWS UNBOUNDED PRECEDING) AS asof_value
+            FROM u
+        )
+        SELECT event_id, user_id, asof_value FROM m WHERE side = 1
+    """,
+    ref="as-of join extension (operator Spark lacks; union + last_value-ignore-nulls window "
+    "— one shuffle on the key, no range self-join): for each click, the user's most "
+    "recent prior-or-equal purchase value",
+)
+def asof_purchase_value(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", ts="ts", right_value="value",
+        out_name="asof_value",
+    )
+    return joined.select("event_id", "user_id", "asof_value")
 
 
 @register(

@@ -206,6 +206,51 @@ def test_write_named_outputs_and_sorted(spark, tmp_path):
     assert files.count() == 1000
 
 
+# ----------------------------------------------------------------- skew ops
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.skew import salted_agg
+
+    rows = [("hot", i, float(i)) for i in range(900)] + [
+        ("cold", i, float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["key", "rid", "v"])
+    salted = salted_agg(
+        df,
+        "key",
+        [("n", F.count("*"), F.sum("n")), ("s", F.sum("v"), F.sum("s"))],
+        num_salts=8,
+        salt_source="rid",
+    )
+    got = {r["key"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert got == {"hot": (900, float(sum(range(900)))), "cold": (100, float(sum(range(100))))}
+
+
+def test_asof_join_semantics(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.skew import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l@10"), (1, 20, "l@20"), (1, 5, "l@5"), (2, 50, "l2@50")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)], ["k", "t", "val"]
+    )
+    out = {
+        r["tag"]: r["asof_val"]
+        for r in asof_join(
+            left, right, key="k", ts="t", right_value="val", out_name="asof_val"
+        ).collect()
+    }
+    assert out == {
+        "l@5": None,  # nothing at-or-before t=5
+        "l@10": 100.0,  # equal timestamp matches (inclusive)
+        "l@20": 150.0,  # latest at-or-before
+        "l2@50": None,  # right exists only later
+    }
+
+
 # -------------------------------------------------------------- partitioning
 
 
