@@ -52,6 +52,42 @@ def salted_agg(
     )
 
 
+def range_join_bucketed(
+    probe: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Interval (range) join at scale: probe.ts ∈ [start, end).
+
+    A naive non-equi join is a broadcast-nested-loop (quadratic). Bucketing
+    time into ``bucket_days``-wide buckets turns it into an equi-join: each
+    interval explodes into the few buckets it covers, each probe row maps to
+    exactly one bucket, the bucket equi-join hash-shuffles, and the precise
+    [start, end) predicate refines the candidates. Output = probe columns +
+    interval columns. Intervals wider than a few buckets should raise
+    ``bucket_days``; the explode factor is ceil(interval/bucket) + 1.
+    """
+    day = lambda c: F.datediff(F.col(c), F.to_date(F.lit("1970-01-01")))  # noqa: E731
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                (day(start) / bucket_days).cast("long"),
+                (day(end) / bucket_days).cast("long"),
+            )
+        ),
+    )
+    pr = probe.withColumn("__b", (day(ts) / bucket_days).cast("long"))
+    return (
+        pr.join(iv, "__b")
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("__b")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

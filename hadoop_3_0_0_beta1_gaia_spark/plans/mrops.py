@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import duck_fround, fround
 from ..operators.chain import chain
 from ..operators.pipe import pipe_df
-from ..operators.skew import asof_join, salted_agg
+from ..operators.skew import asof_join, range_join_bucketed, salted_agg
 from ..operators.sort import global_rank
 from ..session import table as T
 from ..sources.generators import (
@@ -261,6 +261,48 @@ def asof_purchase_value(spark, sf_dir):
         out_name="asof_value",
     )
     return joined.select("event_id", "user_id", "asof_value")
+
+
+@register(
+    "range_join_ship_windows",
+    oracle=f"""
+        SELECT l.l_orderkey AS p_orderkey, l.l_linenumber,
+               o.o_orderkey AS i_orderkey
+        FROM (SELECT * FROM lineitem
+              WHERE {_duck_md5_60("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 64 = 0) l
+        JOIN (SELECT * FROM orders
+              WHERE {_duck_md5_60("o_orderkey::VARCHAR")} % 16 = 0) o
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+    """,
+    ref="range (interval) join extension — bucketed equi-join + refine predicate instead "
+    "of a quadratic non-equi join: lineitem ship events ∈ sampled 7-day order windows",
+)
+def range_join_ship_windows(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    probe = li.filter(
+        _md5_60(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        % 64
+        == 0
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+    o = T(spark, sf_dir, "orders")
+    intervals = o.filter(_md5_60(F.col("o_orderkey").cast("string")) % 16 == 0).select(
+        F.col("o_orderkey").alias("i_orderkey"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("w_end"),
+    )
+    joined = range_join_bucketed(
+        probe, intervals, ts="l_shipdate", start="w_start", end="w_end", bucket_days=7
+    )
+    return joined.select(
+        F.col("l_orderkey").alias("p_orderkey"), "l_linenumber", "i_orderkey"
+    )
 
 
 @register(

@@ -227,6 +227,31 @@ def test_salted_agg_equals_plain_groupby(spark):
     assert got == {"hot": (900, float(sum(range(900)))), "cold": (100, float(sum(range(100))))}
 
 
+def test_range_join_bucketed_equals_nonequi(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.skew import range_join_bucketed
+
+    probe = spark.createDataFrame(
+        [(i, f"2024-03-{d:02d}") for i, d in enumerate([1, 5, 9, 14, 28], 1)],
+        ["pid", "d"],
+    ).select("pid", F.to_timestamp("d").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-03-01", "2024-03-06"), (20, "2024-03-04", "2024-03-15")],
+        ["iid", "s", "e"],
+    ).select("iid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(probe, iv, "ts", "s", "e", bucket_days=3).collect()
+    }
+    plain = {
+        (r["pid"], r["iid"])
+        for r in probe.join(
+            iv, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+        ).collect()
+    }
+    assert got == plain == {(1, 10), (2, 10), (2, 20), (3, 20), (4, 20)}
+
+
 def test_asof_join_semantics(spark):
     from hadoop_3_0_0_beta1_gaia_spark.operators.skew import asof_join
 
