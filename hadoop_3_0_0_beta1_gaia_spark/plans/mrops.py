@@ -306,6 +306,40 @@ def range_join_ship_windows(spark, sf_dir):
 
 
 @register(
+    "events_multigrain_rollup",
+    oracle="""
+        SELECT coalesce(day, 'ALL') AS day,
+               coalesce(event_type, 'ALL') AS event_type,
+               n, sum_value
+        FROM (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((1, 2), (1), ())
+        )
+    """,
+    ref="hypertable-style multi-granularity rollup (engine extension; free in Spark — "
+    "SURVEY §2.5 notes grouping sets absent from the reference): day×type, day, grand total",
+)
+def events_multigrain_rollup(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "order_gaps_pandas",
     oracle="""
         WITH g AS (
