@@ -6,6 +6,8 @@ same module as the Spark builders so tokenization can't drift.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..functions.rounding import duck_fround
 from ..functions.text_metrics import (
     BPE_ISH,
@@ -142,6 +144,72 @@ _LANG_SCORES = ",\n               ".join(
 )
 def doc_lang_id(spark, sf_dir):
     return lang_id(T(spark, sf_dir, "documents"))
+
+
+_LANG_PRED = """
+        CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es THEN 'en'
+             WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+             WHEN score_de >= score_es THEN 'de'
+             ELSE 'es' END
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+        WITH padded AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+        s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM padded)
+        SELECT lang AS gold, {_LANG_PRED} AS pred, count(*) AS n
+        FROM s GROUP BY 1, 2
+    """,
+    ref="language-ID evaluation: confusion matrix of the heuristic against the gold lang "
+    "column — the eval op a training-data pipeline runs on every classifier stage",
+)
+def lang_id_confusion(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pred = lang_id(d).select("doc_id", "lang_pred")
+    return (
+        d.select("doc_id", F.col("lang").alias("gold"))
+        .join(pred, "doc_id")
+        .groupBy("gold", F.col("lang_pred").alias("pred"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "doc_top_bigrams",
+    oracle=f"""
+        SELECT bigram, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM (SELECT {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 2
+        )
+        GROUP BY bigram
+        HAVING count(*) >= 10
+    """,
+    ref="word-bigram frequency (n-gram table over the corpus; the shingle machinery at n=2 "
+    "without the per-doc distinct) — LLM-pipeline text analysis",
+)
+def doc_top_bigrams(spark, sf_dir):
+    from ..functions.text_metrics import tokens
+
+    d = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
 
 
 @register(
