@@ -340,6 +340,39 @@ def events_multigrain_rollup(spark, sf_dir):
 
 
 @register(
+    "events_json_extract",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    ref="schema-on-read over a JSON payload column (the reference's schema-less value "
+    "interpreted at read time, SURVEY §1.1) — get_json_object extraction + aggregate",
+)
+def events_json_extract(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@register(
     "order_gaps_pandas",
     oracle="""
         WITH g AS (
