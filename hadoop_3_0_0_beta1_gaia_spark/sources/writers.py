@@ -70,17 +70,22 @@ def write_sorted(
     key: str,
     num_partitions: int | None = None,
     mode: str = "overwrite",
+    bloom_cols: list[str] | None = None,
 ) -> None:
-    """MapFileOutputFormat: globally range-partitioned, in-part sorted
-    output. Point lookup = parquet min/max row-group pruning on the sort key
-    (the MapFile index analog, maintained by the format itself)."""
+    """MapFileOutputFormat / BloomMapFile: globally range-partitioned,
+    in-part sorted output. Point lookup = parquet min/max row-group pruning
+    on the sort key (the MapFile index analog); ``bloom_cols`` adds parquet
+    bloom filters (COMMON/io/BloomMapFile.java's membership filter, now a
+    storage-format feature)."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    (
+    writer = (
         df.repartitionByRange(int(n), F.col(key))
         .sortWithinPartitions(key)
         .write.mode(mode)
-        .parquet(path)
     )
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
 
 
 def write_null(df: DataFrame) -> int:

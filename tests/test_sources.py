@@ -201,6 +201,58 @@ def test_compact_small_files(spark, tmp_path):
     assert len(glob.glob(f"{dst}/part-*")) == n
 
 
+def test_multiple_inputs_per_path_readers(spark, tmp_path):
+    """MultipleInputs: per-path reader + transform, unioned by name."""
+    from hadoop_3_0_0_beta1_gaia_spark.sources.text import (
+        parse_kv_lines,
+        read_multiple_inputs,
+        read_text_lines,
+    )
+
+    (tmp_path / "tsv.txt").write_text("a\t1\nb\t2")
+    (tmp_path / "csv.txt").write_text("c,3\nd,4")
+
+    def tsv_reader(spark, path):
+        return parse_kv_lines(read_text_lines(spark, path), sep="\t")
+
+    def csv_reader(spark, path):
+        return parse_kv_lines(read_text_lines(spark, path), sep=",")
+
+    df = read_multiple_inputs(
+        spark,
+        [(str(tmp_path / "tsv.txt"), tsv_reader), (str(tmp_path / "csv.txt"), csv_reader)],
+    )
+    assert sorted((r["key"], r["value"]) for r in df.collect()) == [
+        ("a", "1"), ("b", "2"), ("c", "3"), ("d", "4"),
+    ]
+
+
+def test_binary_files_metadata_pruning(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.sources.files import read_binary_files
+
+    (tmp_path / "x.bin").write_bytes(b"\x00" * 64)
+    df = read_binary_files(spark, str(tmp_path))
+    row = df.select("length", "content").collect()[0]
+    assert row["length"] == 64 and bytes(row["content"]) == b"\x00" * 64
+
+
+def test_write_sorted_bloom_and_pruning(spark, tmp_path):
+    """BloomMapFile analog: bloom-filtered sorted parquet; the point lookup
+    pushes an equality filter into the scan."""
+    from hadoop_3_0_0_beta1_gaia_spark.sources.writers import write_sorted
+
+    df = spark.range(10_000).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+    path = str(tmp_path / "bloomed")
+    write_sorted(df, path, "id", num_partitions=4, bloom_cols=["h"])
+    back = spark.read.parquet(path)
+    target = back.filter(F.col("id") == 1234).collect()
+    assert len(target) == 1
+    probe = back.filter(F.col("h") == target[0]["h"])
+    assert probe.count() == 1
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "h" in plan
+
+
 def test_xml_records(spark, tmp_path):
     from hadoop_3_0_0_beta1_gaia_spark.sources.text import read_xml_records
 
