@@ -380,6 +380,96 @@ def ivf_assign(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """End-to-end IVF ANN search: assign every vector to its coarse centroid
+    (:func:`ivf_assign`), then compute exact cosine top-k for each query
+    AMONG ITS OWN BUCKET only — the candidate set shrinks ~num_centroids×,
+    which is the whole point at scale (recall < 1 vs brute force when true
+    neighbors fall in other buckets; raise nprobe by unioning more buckets).
+    """
+    assign = ivf_assign(df, num_centroids, id_col, vec_col, round_digits).select(
+        F.col("vec_id").alias("id"), "centroid_id"
+    )
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
+    keyed = base.join(assign, "id")
+    q = keyed.filter(query_filter) if query_filter is not None else keyed
+    q = q.select(
+        F.col("id").alias("q_id"),
+        F.col("centroid_id").alias("bucket"),
+        F.col("__v").alias("qv"),
+        F.col("__n2").alias("qn"),
+    )
+    n = keyed.select(
+        F.col("id").alias("n_id"),
+        F.col("centroid_id").alias("bucket"),
+        F.col("__v").alias("nv"),
+        F.col("__n2").alias("nn"),
+    )
+    pairs = q.join(n, "bucket").filter(F.col("q_id") != F.col("n_id"))
+    cos = fround(
+        dot(F.col("qv"), F.col("nv")) / F.sqrt(F.col("qn") * F.col("nn")),
+        round_digits,
+    )
+    scored = pairs.select("q_id", "n_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def duckdb_ivf_topk(
+    table: str,
+    k: int = 5,
+    num_centroids: int = 8,
+    query_where: str = "TRUE",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v, list_dot_product({v}, {v}) AS n2
+            FROM {table}
+        ),
+        cents AS (
+            SELECT id AS c_id, v AS cv, n2 AS cn FROM base ORDER BY id LIMIT {num_centroids}
+        ),
+        assign AS (
+            SELECT id, c_id AS bucket FROM (
+                SELECT base.id, c_id,
+                       row_number() OVER (
+                           PARTITION BY base.id
+                           ORDER BY {duck_fround('list_dot_product(v, cv) / sqrt(n2 * cn)', round_digits)} DESC, c_id
+                       ) AS r
+                FROM base CROSS JOIN cents
+            ) WHERE r = 1
+        ),
+        keyed AS (SELECT base.*, bucket FROM base JOIN assign USING (id)),
+        scored AS (
+            SELECT q.id AS q_id, n.id AS n_id,
+                   {duck_fround('list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2)', round_digits)} AS cos
+            FROM keyed q JOIN keyed n ON q.bucket = n.bucket AND q.id <> n.id
+            WHERE {query_where.replace(id_col, 'q.id')}
+        )
+        SELECT q_id, n_id, cos, rank FROM (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def duckdb_ivf_assign(
     table: str,
     num_centroids: int = 8,

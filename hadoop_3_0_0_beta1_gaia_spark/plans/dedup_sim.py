@@ -26,7 +26,9 @@ from ..functions.similarity import (
     duckdb_cosine_near_dup_lsh,
     duckdb_cosine_topk,
     duckdb_ivf_assign,
+    duckdb_ivf_topk,
     ivf_assign,
+    ivf_topk,
 )
 from ..session import table as T
 from .registry import register
@@ -102,6 +104,21 @@ def dedup_embedding_cosine(spark, sf_dir):
 )
 def dedup_embedding_lsh(spark, sf_dir):
     return cosine_near_dup_lsh(T(spark, sf_dir, "embeddings"), **_NEARDUP)
+
+
+@register(
+    "ivf_topk_search",
+    oracle=duckdb_ivf_topk("embeddings", query_where="vec_id < 100", **_IVF, k=5),
+    ref="end-to-end IVF ANN search: coarse-quantize then exact top-k within the query's "
+    "bucket only (~num_centroids× candidate shrink; the scale path over knn_cosine_topk)",
+)
+def ivf_topk_search(spark, sf_dir):
+    return ivf_topk(
+        T(spark, sf_dir, "embeddings"),
+        k=5,
+        query_filter=F.col("id") < 100,
+        **_IVF,
+    )
 
 
 @register(
