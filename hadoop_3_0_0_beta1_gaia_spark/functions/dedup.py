@@ -378,6 +378,70 @@ def duckdb_minhash_lsh(
 
 
 # ---------------------------------------------------------------------------
+# connected components (dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Dedup clusters: connected components over a near-dup pair graph via
+    iterative min-label propagation — the engine's iterative-algorithm
+    surface. Output: (doc_id, component) where component = min reachable id,
+    a deterministic fixpoint independent of iteration order (hence
+    oracle-checkable despite being iterative).
+
+    Each iteration is one join + min-aggregate (both shuffles on id);
+    convergence takes O(component diameter) rounds — near-dup clusters are
+    shallow, so a handful. The loop's only driver-side step is a one-row
+    convergence check. (At extreme scale swap in large-star/small-star; the
+    per-round plan shape is the same.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # one-row convergence probe (sum of labels strictly decreases)
+        old = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        new = prop.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        labels = prop
+        if old == new:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def duckdb_connected_components(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: component = min reachable id over the pair graph
+    (UNION dedup guarantees termination; near-dup clusters are tiny)."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, q.r FROM edges e JOIN reach q ON q.id = e.dst
+        )
+        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
+    connected_components,
+    duckdb_connected_components,
     duckdb_exact_dedup,
     duckdb_minhash_lsh,
     duckdb_ngram_jaccard,
@@ -85,6 +87,19 @@ def knn_cosine_topk(spark, sf_dir):
     return cosine_topk(
         T(spark, sf_dir, "embeddings"), query_filter=F.col("id") < 100, **_KNN
     )
+
+
+@register(
+    "dedup_components",
+    oracle=duckdb_connected_components(
+        duckdb_ngram_jaccard("documents", **_NGRAM)
+    ),
+    ref="dedup clustering: connected components over the near-dup pair graph via iterative "
+    "min-label propagation — deterministic fixpoint, oracled by a recursive CTE",
+)
+def dedup_components(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM)
+    return connected_components(pairs)
 
 
 @register(
