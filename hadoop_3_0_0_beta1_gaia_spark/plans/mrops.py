@@ -8,6 +8,7 @@ the two sides cannot drift.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import duck_fround, fround
@@ -369,6 +370,32 @@ def events_json_extract(spark, sf_dir):
             F.max("k").alias("max_k"),
             F.sum("k").alias("sum_k"),
         )
+    )
+
+
+@register(
+    "order_price_deciles",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile,
+               CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_orderstatus) AS BIGINT) AS status_rank,
+               o_orderkey
+        FROM orders
+    """,
+    ref="window ranking functions (ntile/dense_rank — SURVEY §2.5 notes these are absent "
+    "from the reference and free in Spark); per-priority price deciles",
+)
+def order_price_deciles(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ws = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderpriority",
+        F.ntile(10).over(wp).cast("long").alias("decile"),
+        F.dense_rank().over(ws).cast("long").alias("status_rank"),
+        "o_orderkey",
     )
 
 
