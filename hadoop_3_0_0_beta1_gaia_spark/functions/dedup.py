@@ -397,28 +397,37 @@ def connected_components(
     convergence check. (At extreme scale swap in large-star/small-star; the
     per-round plan shape is the same.)
     """
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # reused every iteration
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     for _ in range(max_iter):
+        # Persist each round and truncate lineage — without this, iteration k
+        # re-executes all k-1 previous joins from scratch (measured 68s → 3s
+        # at sf0.1) and the plan grows unboundedly.
         prop = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
             .union(labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        # one-row convergence probe (sum of labels strictly decreases)
-        old = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        new = prop.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        new_sum = prop.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        labels.unpersist()
         labels = prop
-        if old == new:
+        if new_sum == prev_sum:  # min-label sum strictly decreases until fixpoint
             break
+        prev_sum = new_sum
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
