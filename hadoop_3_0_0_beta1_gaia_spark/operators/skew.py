@@ -52,6 +52,42 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_salts: int = 8,
+    salt_source: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted replicated join for skewed keys.
+
+    When one join key dominates (a heavy-hitter customer, a null-ish default),
+    the plain shuffle join lands the whole key on one task. Salting spreads
+    the BIG side across ``num_salts`` sub-partitions (salt = hash of
+    ``salt_source``), replicates every SMALL-side row once per salt value
+    (explode — ``num_salts``× the small side, which is the cheap side by
+    assumption), and joins on (key, salt). Results are IDENTICAL to the plain
+    equi-join — each big row still meets exactly one copy of its matching
+    small rows — only the shuffle layout changes, so salted queries keep
+    their plain-SQL oracles. AQE's skew-join split covers the same need
+    adaptively; this is the explicit form that also works with AQE off or
+    under broadcast-threshold pressure.
+    """
+    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    if src is None:
+        raise ValueError("salt_source column required")
+    b = big.withColumn("__salt_b", (F.abs(F.hash(src)) % num_salts).cast("int"))
+    s = small.withColumn(
+        "__salt_s", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    cond = (F.col(big_key) == F.col(small_key)) & (
+        F.col("__salt_b") == F.col("__salt_s")
+    )
+    return b.join(s, cond, how).drop("__salt_b", "__salt_s")
+
+
 def range_join_bucketed(
     probe: DataFrame,
     intervals: DataFrame,

@@ -470,3 +470,144 @@ def fixedlen_parse(spark, sf_dir):
         F.trim(F.substring("rec", 13, 4)).alias("rec_status"),
         F.substring("rec", 17, 12).cast("long").alias("rec_custkey"),
     )
+
+
+@register(
+    "cube_orders_pricing",
+    oracle="""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               n, sum_price
+        FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        )
+    """,
+    ref="cube over (priority, status) — SURVEY §2.5 notes grouping sets/cube absent from "
+    "the reference and free in Spark; exact DECIMAL(18,2) sums (no float drift), labels "
+    "coalesced OUTSIDE the grouped subquery (grouping-null rule)",
+)
+def cube_orders_pricing(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", price.alias("p"))
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("sum_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "topk_events_per_type",
+    oracle="""
+        SELECT event_type, event_id, value, rk FROM (
+            SELECT event_type, event_id, value,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY value DESC, event_id) AS BIGINT) AS rk
+            FROM events
+        ) WHERE rk <= 3
+    """,
+    ref="per-group top-k (SURVEY §2.7 'no operator; idiom = single reducer') — the "
+    "scalable form: window row_number per partition, no global single-reducer bottleneck",
+)
+def topk_events_per_type(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "running_total_supplier",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_revenue
+        FROM lineitem
+    """,
+    ref="running (cumulative) aggregate per key — the reference's answer is a stateful "
+    "Reducer scan (Reducer.java:147-167); here a rows-unbounded-preceding window over a "
+    "total order (shipdate, orderkey, linenumber), DECIMAL-exact so prefix sums match "
+    "bit-for-bit across engines",
+)
+def running_total_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w)
+        .alias("running_revenue"),
+    )
+
+
+@register(
+    "distinct_suppliers_two_phase",
+    oracle="""
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="exact distinct-count at scale, two-phase: distinct (key, value) pairs first "
+    "(map-side partial dedup + one shuffle), then a count per key — the scalable exact "
+    "form of UniqValueCount.java:35-75 without its truncation cap",
+)
+def distinct_suppliers_two_phase(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_supp"))
+    )
+
+
+@register(
+    "join_salted_custsales",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    ref="salted replicated join (skew extension; the reference's answer is a custom "
+    "Partitioner.java:58): big side salted by hash, small side exploded num_salts x, "
+    "join on (key, salt) — identical results to the plain equi-join, skew-proof layout",
+)
+def join_salted_custsales(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        o, c, big_key="o_custkey", small_key="c_custkey",
+        num_salts=8, salt_source="o_orderkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )

@@ -227,6 +227,26 @@ def test_salted_agg_equals_plain_groupby(spark):
     assert got == {"hot": (900, float(sum(range(900)))), "cold": (100, float(sum(range(100))))}
 
 
+def test_salted_join_equals_plain_join(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(300)], ["rid", "k", "payload"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["sk", "tag"])
+    plain = sorted(
+        (r["rid"], r["tag"])
+        for r in big.join(small, big["k"] == small["sk"]).collect()
+    )
+    salted = sorted(
+        (r["rid"], r["tag"])
+        for r in salted_join(
+            big, small, big_key="k", small_key="sk", num_salts=4, salt_source="rid"
+        ).collect()
+    )
+    assert salted == plain and len(salted) == 300
+
+
 def test_range_join_bucketed_equals_nonequi(spark):
     from hadoop_3_0_0_beta1_gaia_spark.operators.skew import range_join_bucketed
 
