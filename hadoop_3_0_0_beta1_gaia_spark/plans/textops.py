@@ -223,3 +223,121 @@ def doc_top_bigrams(spark, sf_dir):
 )
 def doc_fingerprint(spark, sf_dir):
     return fingerprint(T(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# rolling-hash (winnowing) fingerprints + TF-IDF — LLM-pipeline text ops
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 8  # char-gram width
+_WINNOW_W = 8  # winnowing window (guarantee threshold t = K + W - 1 = 15)
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(nt) - {_WINNOW_K - 2}),
+                       i -> (('0x' || substr(md5(substr(nt, i, {_WINNOW_K})), 1, 15))::BIGINT)) AS hs
+            FROM t WHERE length(nt) >= {_WINNOW_K + _WINNOW_W - 1}
+        )
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                       j -> list_aggregate(list_slice(hs, j, j + {_WINNOW_W - 1}), 'min'))) AS fp
+            FROM h
+        )
+    """,
+    ref="document fingerprinting via winnowing (rolling k-gram hash, per-window min — "
+    "Schleimer/Wilkerson/Aiken's scheme): any shared substring of length >= K+W-1 "
+    "guarantees a shared fingerprint. All array ops are map-side (no shuffle before "
+    "the final distinct); hashes are md5-derived for cross-engine reproducibility",
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    from ..functions.dedup import md5_long
+
+    d = T(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = d.select("doc_id", norm.alias("nt")).filter(
+        F.length("nt") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("nt") - (_WINNOW_K - 1)),
+        lambda i: md5_long(F.col("nt").substr(i, F.lit(_WINNOW_K))),
+    )
+    hframe = base.select("doc_id", grams.alias("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (_WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice("hs", j, _WINNOW_W)),
+        )
+    )
+    return hframe.select("doc_id", F.explode(fps).alias("fp")).distinct()
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf_cnt
+               FROM ex GROUP BY doc_id, dl, term),
+        dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM d),
+        scored AS (
+            SELECT doc_id, term,
+                   {duck_fround('(tf_cnt / dl) * ln(n_docs / df_cnt)', 6)} AS tfidf
+            FROM tf JOIN dfc USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+            SELECT doc_id, term, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    ref="TF-IDF top terms per document — the keyword-extraction op of a training-data "
+    "pipeline. tf = term count / doc length; idf = ln(N / doc-frequency); the document "
+    "count joins in as a broadcast 1-row frame (no driver-side collect); ranking uses "
+    "the ROUNDED score + term tie-break so ranks agree across engines",
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.rounding import fround
+    from ..functions.text_metrics import tokens
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    ex = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    tf = ex.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf_cnt"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            fround(
+                (F.col("tf_cnt") / F.col("dl"))
+                * F.log(F.col("n_docs") / F.col("df_cnt")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
