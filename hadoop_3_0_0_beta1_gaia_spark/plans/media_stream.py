@@ -19,6 +19,7 @@ import os
 from ..functions.multimodal import decode_features, frame_sample
 from ..session import table as T
 from ..streaming.events import (
+    dedup_exactly_once,
     read_events_stream,
     run_to_memory,
     sessionize,
@@ -140,3 +141,24 @@ def stream_windowed_counts(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     counted = windowed_counts(stream, window="1 hour", watermark="1 hour")
     return run_to_memory(counted, "stream_windowed_counts_sink", spark)
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    ref="streaming exactly-once dedup (dropDuplicates + watermark state eviction): the "
+    "stream is replayed UNIONED WITH ITSELF (every event delivered twice, an "
+    "at-least-once source), deduped by (event_id, ts), then aggregated — counts must "
+    "equal the batch table's, proving duplicates were dropped (SURVEY §2.11 extension)",
+)
+def stream_dedup_counts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)  # simulate at-least-once delivery
+    deduped = dedup_exactly_once(doubled, watermark="1 hour")
+    counted = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_to_memory(counted, "stream_dedup_counts_sink", spark)

@@ -611,3 +611,62 @@ def join_salted_custsales(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY 1
+    """,
+    ref="pivot (long->wide conditional aggregation; SURVEY §2.5 — absent from the "
+    "reference, free in Spark). The pivot VALUES ARE DECLARED explicitly: an "
+    "undeclared pivot runs an extra distinct-values job over the full table at scale",
+)
+def events_pivot_daily(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    piv = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "quantity_quantiles_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               min(l_quantity) AS q_min,
+               max(l_quantity) AS q_max
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="exact interpolated quantiles per group (the generalized WordMedian.java:154-158 "
+    "midpoint rule). percentile() is exact — at 100 TB switch to percentile_approx "
+    "(sketch-mergeable, one pass); quantiles over integer-valued doubles interpolate "
+    "to binary-exact fractions, keeping both engines bit-identical",
+)
+def quantity_quantiles_by_flag(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )

@@ -171,6 +171,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_exactly_once(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop replayed/duplicate events by id.
+
+    At-least-once sources (replayed files, retried producers) deliver
+    duplicates; ``dropDuplicates`` keyed on (event_id, ts) keeps the first
+    arrival. The event-time watermark column is part of the dedup key so
+    Spark can EVICT state older than the watermark — without it the seen-ids
+    state grows unboundedly, which is the thing that kills this op at 100 TB.
+    Works on batch frames too (plain dropDuplicates semantics).
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(["event_id", "ts"])
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
     """Drain a (bounded) stream into an in-memory sink with availableNow —
     the batch-replay harness used by the tests."""
