@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import duck_fround, fround
+from ..functions.sketch import duckdb_kmv_distinct
 from ..operators.chain import chain
 from ..operators.pipe import pipe_df
 from ..operators.skew import asof_join, range_join_bucketed, salted_agg
@@ -670,3 +671,18 @@ def quantity_quantiles_by_flag(spark, sf_dir):
         F.min("l_quantity").alias("q_min"),
         F.max("l_quantity").alias("q_max"),
     )
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=duckdb_kmv_distinct("events", key="event_type", value="user_id", k=64),
+    ref="KMV k-minimum-values distinct sketch (bounded-state approx distinct; the "
+    "principled form of UniqValueCount.java:35-75's truncation cap, and the "
+    "oracle-checkable stand-in for approx_count_distinct): distinct users per "
+    "event_type, k=64, md5-hash fractions so both engines compute the SAME estimate",
+)
+def kmv_distinct_users(spark, sf_dir):
+    from ..functions.sketch import kmv_distinct
+
+    ev = T(spark, sf_dir, "events")
+    return kmv_distinct(ev, key="event_type", value="user_id", k=64)

@@ -415,3 +415,16 @@ def test_multimodal_resize_updates_metadata(spark):
     r = resize_stub(df, 32, 32).collect()[0]
     assert (r["width"], r["height"]) == (32, 32)
     assert r["media"] is not None and bytes(r["media"]) != b"x"
+
+
+def test_kmv_estimate_tracks_true_distinct(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.functions.sketch import kmv_distinct
+
+    rows = [("big", i) for i in range(2000)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    got = {r["key"]: r for r in kmv_distinct(df, "key", "v", k=64).collect()}
+    # below k: exact
+    assert got["small"]["n_seen"] == 10 and got["small"]["kmv_estimate"] == 10.0
+    # above k: bounded state (n_seen == k), estimate within ~4 standard errors
+    assert got["big"]["n_seen"] == 64
+    assert abs(got["big"]["kmv_estimate"] - 2000) / 2000 < 0.5
