@@ -57,3 +57,28 @@ def test_events_rollup_scans_pruned(spark, sf_dir):
     p = _plan(spark, sf_dir, "events_hour_rollup")
     read_schema = p.split("ReadSchema", 1)[1][:300]
     assert "props" not in read_schema  # wide unused column pruned
+
+
+def test_salted_join_no_broadcast_nested_loop(spark, sf_dir):
+    """The salted join must stay an equi-join (hash/sort-merge on key+salt),
+    never degrade to a nested-loop product."""
+    p = _plan(spark, sf_dir, "join_salted_custsales")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_winnow_fingerprints_single_shuffle(spark, sf_dir):
+    """Winnowing is map-side until the final distinct: exactly one exchange."""
+    p = _plan(spark, sf_dir, "doc_winnow_fingerprints")
+    assert p.count("Exchange") <= 2  # distinct = partial+final around 1 shuffle
+
+
+def test_pivot_reads_only_needed_columns(spark, sf_dir):
+    p = _plan(spark, sf_dir, "events_pivot_daily")
+    read_schema = p.split("ReadSchema", 1)[1][:300]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_tfidf_broadcasts_doc_count(spark, sf_dir):
+    """The 1-row document-count frame must broadcast, not shuffle-join."""
+    p = _plan(spark, sf_dir, "doc_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
