@@ -226,6 +226,97 @@ def cosine_topk_numpy(
     )
 
 
+def cosine_topk_vectorized(
+    df: DataFrame,
+    k: int = 5,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bit-identical fast path for :func:`cosine_topk`.
+
+    The expression fold evaluates one interpreted add/mul pair per dimension
+    per candidate pair — the hot cost of brute-force kNN. This kernel keeps
+    the EXACT same IEEE operation sequence (accumulate dimension 0..d-1 in a
+    left fold: ``acc += v[d] * q[d]``, norms likewise, then
+    ``dot / sqrt(qn * nn)`` and the floor-rounding trick), but vectorizes
+    each step across the whole Arrow batch with numpy — so results are
+    bit-for-bit equal to :func:`cosine_topk` (asserted in tests) while the
+    per-pair interpreter overhead disappears (~5-10×).
+
+    Query vectors (the small filtered batch) are collected and closed over;
+    neighbors stream through ``mapInPandas`` with a per-partition top-k under
+    the same (rounded cos DESC, id ASC) total order as the final window, so
+    the partition-level prune can never drop a global top-k row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    # Same aliasing contract as cosine_topk: the filter references "id".
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+    q_df = base.filter(query_filter) if query_filter is not None else base
+    q_rows = q_df.collect()  # small query batch
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["__vec"] for r in q_rows], dtype=np.float64)
+    scale = float(10**round_digits)
+
+    def _fold_dots(V: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
+        # acc[i, j] = ((v[i,0]*q[j,0]) + v[i,1]*q[j,1]) + ... — same
+        # association order as F.aggregate's left fold.
+        acc = np.zeros((V.shape[0], Q.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += np.outer(V[:, d], Q[:, d])
+        return acc
+
+    def _fold_norms(V: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d] * V[:, d]
+        return acc
+
+    qn = _fold_norms(Q)
+
+    schema = StructType(
+        [
+            StructField("q_id", LongType(), False),
+            StructField("n_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["__vec"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            nn = _fold_norms(V)
+            cos = _fold_dots(V, Q) / np.sqrt(np.outer(nn, qn))  # b×q
+            cos = np.floor(cos * scale + 0.5) / scale  # fround, same IEEE ops
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                cand = np.where(ids != q_ids[j])[0]
+                if not len(cand):
+                    continue
+                # same total order as the final window: cos DESC, n_id ASC
+                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
+                out_q.extend([q_ids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos": out_c})
+
+    partial = base.mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def _hyperplane_frac(p, j) -> Column:
     """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     md5-fraction of 'p:j' (plane index, dimension index) — reproducible in

@@ -24,6 +24,7 @@ from ..functions.similarity import (
     cosine_near_dup,
     cosine_near_dup_lsh,
     cosine_topk,
+    cosine_topk_vectorized,
     duckdb_cosine_near_dup,
     duckdb_cosine_near_dup_lsh,
     duckdb_cosine_topk,
@@ -84,7 +85,9 @@ def dedup_simhash(spark, sf_dir):
     ref="brute-force cosine top-k ANN baseline over array<float> embeddings",
 )
 def knn_cosine_topk(spark, sf_dir):
-    return cosine_topk(
+    # Vectorized kernel — bit-identical to the cosine_topk expression fold
+    # (same IEEE op order; equality asserted in tests/test_operators.py).
+    return cosine_topk_vectorized(
         T(spark, sf_dir, "embeddings"), query_filter=F.col("id") < 100, **_KNN
     )
 

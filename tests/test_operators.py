@@ -428,3 +428,23 @@ def test_kmv_estimate_tracks_true_distinct(spark):
     # above k: bounded state (n_seen == k), estimate within ~4 standard errors
     assert got["big"]["n_seen"] == 64
     assert abs(got["big"]["kmv_estimate"] - 2000) / 2000 < 0.5
+
+
+def test_cosine_topk_vectorized_bit_identical(spark, sf_dir):
+    """The numpy kernel must reproduce the expression fold EXACTLY (same IEEE
+    op order) — this is what licenses using it on the oracle-checked path."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    df = T(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, cosine_topk(df, k=5, query_filter=F.col("id") < 50).collect()))
+    b = sorted(
+        map(
+            tuple,
+            cosine_topk_vectorized(df, k=5, query_filter=F.col("id") < 50).collect(),
+        )
+    )
+    assert a == b
