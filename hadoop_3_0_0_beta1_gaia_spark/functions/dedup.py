@@ -243,10 +243,18 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig: DataFrame, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the per-doc signature array and bucket-join on (band, banded
-    signature string). Banding is a map-side array slice (no shuffle); the
-    only shuffle is the bucket equi-join itself — linear candidate
-    generation. Input: (id, sig array<long>)."""
+    """Band the per-doc signature array and bucket on (band, banded signature
+    string). Banding is a map-side array slice; buckets are formed by ONE
+    groupBy shuffle with the co-bucketed ids collected per bucket, and pairs
+    expand IN-ROW from the sorted id set (id_a < id_b by construction).
+
+    A self-join formulation would recompute the whole shingle→signature→band
+    chain once per join side (map-side frames leave no exchange for Spark to
+    reuse) — the groupBy shape computes it once and shuffles only (bucket
+    key, id). Bucket sizes are near-duplicate cluster sizes (small by
+    construction); a degenerate hot bucket (e.g. boilerplate-heavy corpora)
+    would blow up ANY LSH formulation quadratically — cap bucket size
+    upstream in that regime. Input: (id, sig array<long>)."""
     bands = F.transform(
         F.sequence(
             F.lit(0), (F.size("sig") / rows_per_band).cast("int") - 1
@@ -265,12 +273,25 @@ def lsh_candidate_pairs(
     banded = sig.select("id", F.explode(bands).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
     )
-    a = banded.select(F.col("id").alias("id_a"), "band", "bsig")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bsig")
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bsig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
