@@ -429,6 +429,12 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Size the per-iteration shuffles from the data, not the session default:
+    # under the driver's plain session (200 shuffle partitions) a tiny graph
+    # would otherwise pay 200-task overhead per round, ~|edges|/2M partitions
+    # keeps rounds dense at any scale.
+    n_edges = edges.count()
+    nparts = int(max(8, min(2048, n_edges // 2_000_000 + 8)))
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     for _ in range(max_iter):
         # Persist each round and truncate lineage — without this, iteration k
@@ -438,6 +444,7 @@ def connected_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
             .union(labels)
+            .repartition(nparts, "id")  # groupBy reuses this exchange
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
