@@ -317,18 +317,16 @@ def cosine_topk_vectorized(
     )
 
 
-def _hyperplane_frac(p, j) -> Column:
+def _hyperplane_coeff(p: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
-    md5-fraction of 'p:j' (plane index, dimension index) — reproducible in
-    any engine with md5."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(p.cast("string"), F.lit(":"), j.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h / F.lit(float(2**60)) - 0.5
+    md5-fraction of 'p:j' (plane index, dimension index) — the same value the
+    DuckDB oracle computes with SQL md5, here evaluated ONCE in Python and
+    embedded as a literal (the coefficients are row-independent; computing
+    them inside the row expression cost |rows|·planes·dims redundant md5s)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16)
+    return h / float(2**60) - 0.5
 
 
 def simhash_buckets(
@@ -336,34 +334,32 @@ def simhash_buckets(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (SimHash) bucket id per vector: bit p = sign of
     v·h_p. Same-bucket vectors are near-dup candidates — linear in corpus
-    size. Output: (vec_id, bucket long)."""
+    size. The plane matrix is a broadcast-sized literal (planes × dims
+    doubles). Output: (vec_id, bucket long)."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
     v = as_double(F.col(vec_col))
-    planes = F.sequence(F.lit(0), F.lit(num_planes - 1))
-    proj = F.transform(
-        planes,
-        lambda p: F.aggregate(
+    proj = [
+        F.aggregate(
             F.zip_with(
                 v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda j: _hyperplane_frac(p, j)),
+                F.array(*[F.lit(_hyperplane_coeff(p, j)) for j in range(dims)]),
                 lambda x, h: x * h,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-    )
-    bucket = F.aggregate(
-        F.zip_with(
-            proj,
-            F.transform(planes, lambda p: p),
-            lambda pr, p: F.when(pr > 0, F.pow(F.lit(2.0), p.cast("double"))).otherwise(F.lit(0.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ).cast("long")
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+        )
+        for p in range(num_planes)
+    ]
+    bucket = None
+    for p, pr in enumerate(proj):
+        bit = F.when(pr > 0, F.lit(float(2**p))).otherwise(F.lit(0.0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col).alias("id"), bucket.cast("long").alias("bucket"))
 
 
 def cosine_near_dup_lsh(
