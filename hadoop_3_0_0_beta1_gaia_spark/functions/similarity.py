@@ -482,11 +482,15 @@ def ivf_topk(
     which is the whole point at scale (recall < 1 vs brute force when true
     neighbors fall in other buckets; raise nprobe by unioning more buckets).
     """
+    from pyspark import StorageLevel
+
     assign = ivf_assign(df, num_centroids, id_col, vec_col, round_digits).select(
         F.col("vec_id").alias("id"), "centroid_id"
     )
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
-    keyed = base.join(assign, "id")
+    # keyed feeds BOTH sides of the bucket join; the assign chain (broadcast
+    # cross + window) would otherwise recompute once per side.
+    keyed = base.join(assign, "id").persist(StorageLevel.MEMORY_AND_DISK)
     q = keyed.filter(query_filter) if query_filter is not None else keyed
     q = q.select(
         F.col("id").alias("q_id"),
