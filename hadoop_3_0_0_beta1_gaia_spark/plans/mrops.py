@@ -686,3 +686,101 @@ def kmv_distinct_users(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return kmv_distinct(ev, key="event_type", value="user_id", k=64)
+
+
+_STRATA_RATES = {"1-URGENT": 20, "2-HIGH": 10, "3-MEDIUM": 5, "4-NOT SPECIFIED": 2, "5-LOW": 1}
+# keep row iff md5-fraction(orderkey) * 100 < rate[priority] — deterministic
+# per-row sampling, so the same rows are kept by any engine (sampleBy analog
+# with reproducibility instead of rand()).
+
+
+@register(
+    "stratified_sample_orders",
+    oracle=f"""
+        SELECT o_orderpriority, count(*) AS n_kept,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   CASE o_orderpriority
+                        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+                        ELSE 0 END AS rate,
+                   {_duck_md5_60("o_orderkey::VARCHAR")} / {float(2**60)} * 100 AS frac
+            FROM orders
+        ) WHERE frac < rate
+        GROUP BY o_orderpriority
+    """,
+    ref="stratified (per-key rate) sampling — df.sampleBy's semantics with md5-derived "
+    "fractions instead of rand() so the kept set is deterministic and engine-portable "
+    "(InputSampler.java:159 RandomSampler generalized per stratum); summarized per "
+    "stratum for a stable compare",
+)
+def stratified_sample_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    rate = F.lit(0)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(rate)
+    frac = _md5_60(F.col("o_orderkey").cast("string")) / float(2**60) * 100
+    kept = o.withColumn("__rate", rate).withColumn("__frac", frac).filter(
+        F.col("__frac") < F.col("__rate")
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+        SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY 1
+    """,
+    ref="document-length histogram in log2 buckets — the corpus-profiling op a pipeline "
+    "runs before length filtering (ValueHistogram.java:38-169 generalized to numeric "
+    "bucketing; log2 of exact ints is bit-portable)",
+)
+def doc_length_histogram(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("long")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "orders_monthly_delta",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders, revenue,
+               revenue - lag(revenue) OVER (ORDER BY month) AS revenue_delta
+        FROM m
+    """,
+    ref="time-series delta: monthly rollup + lag window (month-over-month revenue "
+    "change). DECIMAL-exact sums; the lag window runs over the tiny AGGREGATED frame, "
+    "so the single-partition window is safe at any input scale",
+)
+def orders_monthly_delta(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    m = (
+        o.select(month.alias("month"), F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n_orders"), F.sum("p").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+    )
