@@ -377,9 +377,13 @@ def cosine_near_dup_lsh(
     construction (cross-bucket pairs are missed; more planes → smaller
     buckets → faster and lower recall). Deterministic hyperplanes keep the
     result oracle-reproducible."""
+    from pyspark import StorageLevel
+
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
     buckets = simhash_buckets(df, num_planes, id_col, vec_col)
-    keyed = base.join(buckets, "id")
+    # keyed feeds both sides of the bucket self-join; the norm+projection
+    # chain is map-side (no exchange to reuse) — persist computes it once.
+    keyed = base.join(buckets, "id").persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.select(
         F.col("bucket"), F.col("id").alias("a_id"), F.col("__v").alias("av"), F.col("__n2").alias("an")
     )
