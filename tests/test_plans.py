@@ -41,9 +41,12 @@ def test_broadcast_join_hint_respected(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
-def test_knn_broadcasts_query_side(spark, sf_dir):
+def test_knn_streams_through_arrow_kernel(spark, sf_dir):
+    """knn is the vectorized mapInPandas kernel: the neighbor side streams
+    (no join, no shuffle before the tiny top-k window)."""
     p = _plan(spark, sf_dir, "knn_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in p
+    assert "MapInPandas" in p
+    assert "Join" not in p and "CartesianProduct" not in p
 
 
 def test_global_sort_uses_range_partitioning(spark, sf_dir):
