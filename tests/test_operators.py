@@ -448,3 +448,22 @@ def test_cosine_topk_vectorized_bit_identical(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_salted_join_drops_null_keys_like_plain_join(spark):
+    """SQL equi-join semantics: NULL keys match nothing — salting must not
+    change that (the salt equality can't accidentally pair two NULL-key rows)."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 0, "a"), (2, None, "b"), (3, 1, "c")],
+        "rid INT, k INT, payload STRING",
+    )
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (None, "z")], "sk INT, tag STRING")
+    out = sorted(
+        (r["rid"], r["tag"])
+        for r in salted_join(
+            big, small, big_key="k", small_key="sk", num_salts=4, salt_source="rid"
+        ).collect()
+    )
+    assert out == [(1, "x"), (3, "y")]
