@@ -134,6 +134,72 @@ def cosine_near_dup(
     )
 
 
+def cosine_near_dup_vectorized(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bit-identical fast path for :func:`cosine_near_dup` (same contract,
+    same IEEE op order — see :func:`cosine_topk_vectorized`).
+
+    The full (small) vector matrix is closed over and each partition streams
+    its block of the pair matrix — an O(n²) BASELINE VERIFIER by design: it
+    exists to anchor the bucketed paths (:func:`cosine_near_dup_lsh`, IVF),
+    which are the 100 TB route. The closure is n·d doubles; past ~1e6 vectors
+    use the bucketed paths, full stop."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+    rows = base.collect()
+    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.array([r["__vec"] for r in rows], dtype=np.float64)
+    scale = float(10**round_digits)
+
+    def _fold_dots(V, Q):
+        acc = np.zeros((V.shape[0], Q.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += np.outer(V[:, d], Q[:, d])
+        return acc
+
+    def _fold_norms(V):
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d] * V[:, d]
+        return acc
+
+    all_n2 = _fold_norms(M)
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType(), False),
+            StructField("b_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["__vec"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            nn = _fold_norms(V)
+            cos = _fold_dots(V, M) / np.sqrt(np.outer(nn, all_n2))
+            cos = np.floor(cos * scale + 0.5) / scale
+            # emit each unordered pair once: partition row id < global id
+            keep = (ids[:, None] < all_ids[None, :]) & (cos >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a_id": ids[ai], "b_id": all_ids[bj], "cos": cos[ai, bj]}
+            )
+
+    return base.mapInPandas(kernel, schema=schema)
+
+
 def duckdb_cosine_near_dup(
     table: str,
     threshold: float = 0.35,

@@ -23,6 +23,7 @@ from ..functions.dedup import (
 from ..functions.similarity import (
     cosine_near_dup,
     cosine_near_dup_lsh,
+    cosine_near_dup_vectorized,
     cosine_topk,
     cosine_topk_vectorized,
     duckdb_cosine_near_dup,
@@ -111,7 +112,9 @@ def dedup_components(spark, sf_dir):
     ref="embedding-cosine near-dup pairs (exact O(n²) baseline; IVF-bucketed variant is the scale path)",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    return cosine_near_dup(T(spark, sf_dir, "embeddings"), **_NEARDUP)
+    # Vectorized kernel — bit-identical to the cosine_near_dup expression
+    # fold (equality asserted in tests/test_operators.py).
+    return cosine_near_dup_vectorized(T(spark, sf_dir, "embeddings"), **_NEARDUP)
 
 
 @register(

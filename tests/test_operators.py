@@ -467,3 +467,16 @@ def test_salted_join_drops_null_keys_like_plain_join(spark):
         ).collect()
     )
     assert out == [(1, "x"), (3, "y")]
+
+
+def test_cosine_near_dup_vectorized_bit_identical(spark, sf_dir):
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_near_dup,
+        cosine_near_dup_vectorized,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    df = T(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, cosine_near_dup(df, threshold=0.3).collect()))
+    b = sorted(map(tuple, cosine_near_dup_vectorized(df, threshold=0.3).collect()))
+    assert a == b and len(a) > 0
