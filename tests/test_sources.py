@@ -316,3 +316,39 @@ def test_scan_filters(spark):
     assert percent_filter(df, 10).count() == 10
     n = md5_filter(df, "k", 4).count()
     assert 10 <= n <= 45  # ~25 expected, deterministic
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key must SortMergeJoin with no
+    Exchange on either side — the CompositeInputFormat map-side merge join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+    from hadoop_3_0_0_beta1_gaia_spark.sources.writers import write_bucketed
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(o, "bkt_orders", str(tmp_path / "bo"), "o_custkey", 8)
+    write_bucketed(c, "bkt_customer", str(tmp_path / "bc"), "c_custkey", 8)
+
+    bo, bc = spark.table("bkt_orders"), spark.table("bkt_customer")
+    # disable broadcast so the join strategy is decided by layout, not size
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # results still correct
+        assert joined.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_orders", "bkt_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
