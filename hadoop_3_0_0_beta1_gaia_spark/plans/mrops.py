@@ -784,3 +784,51 @@ def orders_monthly_delta(spark, sf_dir):
         "revenue",
         (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
     )
+
+
+@register(
+    "events_daily_retention",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+            FROM events
+        ),
+        base AS (
+            SELECT day, count(*) AS dau FROM du GROUP BY day
+        ),
+        ret AS (
+            SELECT a.day, count(*) AS retained
+            FROM du a JOIN du b ON b.user_id = a.user_id
+             AND b.day = strftime(CAST(a.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+            GROUP BY a.day
+        )
+        SELECT base.day, dau,
+               coalesce(retained, 0) AS retained,
+               (floor(coalesce(retained, 0) / dau * 10000 + 0.5) / 10000) AS retention_rate
+        FROM base LEFT JOIN ret ON base.day = ret.day
+    """,
+    ref="next-day user retention over the events stream: distinct (day, user) frame "
+    "self-joined at +1 day — the cohort-analytics op every event pipeline ships. The "
+    "distinct frame is the only full shuffle; the self-join keys on user_id",
+)
+def events_daily_retention(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    base = du.groupBy("day").agg(F.count("*").alias("dau"))
+    nxt = F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd")
+    a = du.select("day", "user_id", nxt.alias("next_day"))
+    b = du.select(F.col("day").alias("b_day"), F.col("user_id").alias("b_user"))
+    ret = (
+        a.join(b, (a.user_id == b.b_user) & (a.next_day == b.b_day))
+        .groupBy("day")
+        .agg(F.count("*").alias("retained"))
+    )
+    joined = base.join(ret, "day", "left")
+    retained = F.coalesce(F.col("retained"), F.lit(0))
+    return joined.select(
+        "day",
+        "dau",
+        retained.alias("retained"),
+        fround(retained / F.col("dau"), 4).alias("retention_rate"),
+    )
