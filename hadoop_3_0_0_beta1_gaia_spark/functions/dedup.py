@@ -87,7 +87,10 @@ def shingle_arrays(
     """Per-document DISTINCT shingle array (docs with < n tokens drop out).
     Dedup happens inside the row (array_distinct) — no shuffle; fully
     map-side."""
+    from ..session import ensure_parallelism
+
     t = tokens(F.col(text_col))
+    df = ensure_parallelism(df)  # single-file scans otherwise shingle on 1 core
     df = df.select(F.col(id_col).alias("id"), t.alias("toks")).filter(
         F.size("toks") >= n
     )
@@ -278,21 +281,28 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    return expand_bucket_pairs(buckets).distinct()
+
+
+def expand_bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """One row per unordered pair (id_a < id_b) from each bucket's sorted id
+    array — the in-row pair expansion shared by every bucket-first candidate
+    generator (LSH bands, winnow fingerprints). Pairs sharing multiple
+    buckets appear once per bucket; callers either ``distinct()`` (candidate
+    semantics) or ``groupBy().count()`` (shared-bucket counting)."""
     pair_arr = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
+            F.sequence(F.lit(1), F.size(ids_col) - 1),
             lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                F.slice(F.col(ids_col), i + 1, F.size(ids_col) - i),
                 lambda y: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
+                    F.element_at(F.col(ids_col), i).alias("id_a"), y.alias("id_b")
                 ),
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+    return buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
 
 

@@ -153,7 +153,11 @@ def cosine_near_dup_vectorized(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+    from ..session import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+    )
     rows = base.collect()
     all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.array([r["__vec"] for r in rows], dtype=np.float64)
@@ -321,6 +325,8 @@ def cosine_topk_vectorized(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     # Same aliasing contract as cosine_topk: the filter references "id".
+    # NO repartition here: the per-batch work (|batch|·|Q|·d flops) is tiny
+    # relative to shuffle+task overhead — measured slower with one.
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
     q_df = base.filter(query_filter) if query_filter is not None else base
     q_rows = q_df.collect()  # small query batch

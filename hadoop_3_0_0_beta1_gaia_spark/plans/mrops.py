@@ -832,3 +832,51 @@ def events_daily_retention(spark, sf_dir):
         retained.alias("retained"),
         fround(retained / F.col("dau"), 4).alias("retention_rate"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_signup) AS n_signup,
+               count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_then_click,
+               count(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                          THEN 1 END) AS n_full_funnel
+        FROM m
+    """,
+    ref="ordered event funnel (signup → click → purchase): per-user min event times in "
+    "one grouped pass (conditional aggregates), then strict-order stage counts — the "
+    "sequence-analytics op; NULL min times drop out of the > comparisons naturally",
+)
+def events_funnel(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    m = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return m.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_signup_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

@@ -233,40 +233,99 @@ _WINNOW_K = 8  # char-gram width
 _WINNOW_W = 8  # winnowing window (guarantee threshold t = K + W - 1 = 15)
 
 
-@register(
-    "doc_winnow_fingerprints",
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id,
-                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-            FROM documents
-        ),
-        h AS (
-            SELECT doc_id,
-                   list_transform(range(1, length(nt) - {_WINNOW_K - 2}),
-                       i -> (('0x' || substr(md5(substr(nt, i, {_WINNOW_K})), 1, 15))::BIGINT)) AS hs
-            FROM t WHERE length(nt) >= {_WINNOW_K + _WINNOW_W - 1}
-        )
+# Shared oracle body: DISTINCT (doc_id, fp) winnow fingerprints.
+_WINNOW_ORACLE = f"""
         SELECT DISTINCT doc_id, fp FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
                        j -> list_aggregate(list_slice(hs, j, j + {_WINNOW_W - 1}), 'min'))) AS fp
-            FROM h
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(1, length(nt) - {_WINNOW_K - 2}),
+                           i -> (('0x' || substr(md5(substr(nt, i, {_WINNOW_K})), 1, 15))::BIGINT)) AS hs
+                FROM (
+                    SELECT doc_id,
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                    FROM documents
+                ) WHERE length(nt) >= {_WINNOW_K + _WINNOW_W - 1}
+            )
         )
-    """,
+"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=_WINNOW_ORACLE,
     ref="document fingerprinting via winnowing (rolling k-gram hash, per-window min — "
     "Schleimer/Wilkerson/Aiken's scheme): any shared substring of length >= K+W-1 "
     "guarantees a shared fingerprint. All array ops are map-side (no shuffle before "
     "the final distinct); hashes are md5-derived for cross-engine reproducibility",
 )
 def doc_winnow_fingerprints(spark, sf_dir):
-    from ..functions.dedup import md5_long
+    return _winnow_frame(spark, sf_dir)
 
-    d = T(spark, sf_dir, "documents")
+
+def _winnow_base(spark, sf_dir):
+    """(doc_id, nt) with Spark-side normalization — shared by both winnow
+    implementations so the normalization semantics cannot drift."""
+    from ..session import ensure_parallelism
+
+    d = ensure_parallelism(T(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = d.select("doc_id", norm.alias("nt")).filter(
+    return d.select("doc_id", norm.alias("nt")).filter(
         F.length("nt") >= _WINNOW_K + _WINNOW_W - 1
     )
+
+
+def _winnow_frame(spark, sf_dir):
+    """DISTINCT (doc_id, fp) winnow fingerprints via an Arrow-batched kernel.
+
+    Winnowing is integer-exact (md5 → int, sliding min) so the Python
+    hashlib/numpy kernel is bit-identical to the expression formulation by
+    construction (asserted in tests vs :func:`_winnow_frame_expr`); the
+    expression version pays ~|doc| interpreted md5+conv calls per document.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("fp", LongType(), False)]
+    )
+    K, W = _WINNOW_K, _WINNOW_W
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                b = nt.encode("utf-8")
+                # md5 operates on bytes; gram boundaries are CHARACTER
+                # offsets (Spark substr semantics) — slice the str, not bytes
+                n = len(nt)
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(nt[i : i + K].encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(n - K + 1)
+                    ),
+                    dtype=np.int64,
+                    count=n - K + 1,
+                )
+                mins = np.lib.stride_tricks.sliding_window_view(hs, W).min(axis=1)
+                fps = np.unique(mins)
+                out_id.extend([doc_id] * len(fps))
+                out_fp.extend(fps)
+            yield pd.DataFrame({"doc_id": out_id, "fp": out_fp})
+
+    return _winnow_base(spark, sf_dir).mapInPandas(kernel, schema=schema)
+
+
+def _winnow_frame_expr(spark, sf_dir):
+    """Expression-only formulation (the correctness anchor for the kernel)."""
+    from ..functions.dedup import md5_long
+
+    base = _winnow_base(spark, sf_dir)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("nt") - (_WINNOW_K - 1)),
         lambda i: md5_long(F.col("nt").substr(i, F.lit(_WINNOW_K))),
@@ -279,6 +338,48 @@ def doc_winnow_fingerprints(spark, sf_dir):
         )
     )
     return hframe.select("doc_id", F.explode(fps).alias("fp")).distinct()
+
+
+_WINNOW_SHARED_MIN = 5
+_WINNOW_MAX_DF = 50  # drop fingerprints occurring in more docs (boilerplate)
+
+
+@register(
+    "doc_winnow_near_dup",
+    oracle=f"""
+        WITH fps AS ({_WINNOW_ORACLE}),
+        rare AS (
+            SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF}
+        ),
+        fpr AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+        SELECT a_id, b_id, shared FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+            FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) WHERE shared >= {_WINNOW_SHARED_MIN}
+    """,
+    ref="near-dup by shared winnow fingerprints (substring/plagiarism flavor: robust to "
+    "token reordering that defeats shingle Jaccard). Ubiquitous fingerprints (doc "
+    "frequency > cap) are dropped first — common substrings are boilerplate, not "
+    "duplication, and ONE hot fingerprint bucket otherwise yields quadratic garbage "
+    "pairs (measured 3.7M pairs → 86 without the cap at sf0.1). Bucket groupBy + "
+    "in-row pair expansion; pair count across buckets IS the shared-fp count",
+)
+def doc_winnow_near_dup(spark, sf_dir):
+    from ..functions.dedup import expand_bucket_pairs
+
+    fps = _winnow_frame(spark, sf_dir)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _WINNOW_MAX_DF))
+    )
+    return (
+        expand_bucket_pairs(buckets)
+        .groupBy(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_SHARED_MIN)
+    )
 
 
 @register(

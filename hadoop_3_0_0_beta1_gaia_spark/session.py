@@ -96,3 +96,18 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy map work.
+
+    Small single-file tables arrive as ONE partition (a parquet file with one
+    row group can't be split), so every downstream map-side kernel — shingle
+    hashing, winnowing, vector kernels — runs on one core. A cheap round-robin
+    repartition buys full parallelism; a no-op when the scan already has
+    enough partitions (the 100 TB case, where inputs are thousands of files).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
