@@ -480,3 +480,16 @@ def test_cosine_near_dup_vectorized_bit_identical(spark, sf_dir):
     a = sorted(map(tuple, cosine_near_dup(df, threshold=0.3).collect()))
     b = sorted(map(tuple, cosine_near_dup_vectorized(df, threshold=0.3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_winnow_kernel_bit_identical(spark, sf_dir):
+    """The hashlib/numpy winnow kernel must equal the expression formulation
+    exactly (integer-exact md5 + sliding min — no float concerns)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.textops import (
+        _winnow_frame,
+        _winnow_frame_expr,
+    )
+
+    a = sorted(map(tuple, _winnow_frame_expr(spark, sf_dir).collect()))
+    b = sorted(map(tuple, _winnow_frame(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
