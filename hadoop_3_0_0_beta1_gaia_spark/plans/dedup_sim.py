@@ -149,3 +149,34 @@ def ivf_topk_search(spark, sf_dir):
 )
 def ivf_assign_buckets(spark, sf_dir):
     return ivf_assign(T(spark, sf_dir, "embeddings"), **_IVF)
+
+
+@register(
+    "dedup_kept_corpus",
+    oracle=f"""
+        WITH comp AS ({duckdb_connected_components(duckdb_ngram_jaccard("documents", **_NGRAM))})
+        SELECT d.doc_id,
+               CASE WHEN comp.component IS NOT NULL THEN comp.component
+                    ELSE d.doc_id END AS component,
+               (comp.component IS NULL OR comp.component = d.doc_id) AS kept
+        FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    """,
+    ref="the dedup pipeline's DELIVERABLE: every doc labeled with its duplicate "
+    "component (itself when untouched by any near-dup pair) and whether it is the "
+    "kept representative (component minimum). Downstream training reads "
+    "WHERE kept — near-dup groups collapse to one exemplar each",
+)
+def dedup_kept_corpus(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, **_NGRAM)
+    comp = connected_components(pairs)
+    joined = d.select("doc_id").join(
+        comp.select(F.col("doc_id").alias("c_doc"), "component"),
+        F.col("doc_id") == F.col("c_doc"),
+        "left",
+    )
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return joined.select(
+        "doc_id", component.alias("component"), kept.alias("kept")
+    )
