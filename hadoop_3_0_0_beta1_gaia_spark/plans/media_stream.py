@@ -162,3 +162,31 @@ def stream_dedup_counts(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_to_memory(counted, "stream_dedup_counts_sink", spark)
+
+
+@register(
+    "stream_user_running_totals",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               (floor(sum(value) * 100 + 0.5) / 100) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    ref="custom stateful operator via applyInPandasWithState (GroupState across "
+    "micro-batches — the hand-written stateful Reducer analog): per-user running "
+    "totals in update mode. The availableNow replay is one micro-batch, so the "
+    "drained updates ARE the final per-user totals — oracle = batch groupBy",
+)
+def stream_user_running_totals(spark, sf_dir):
+    from ..streaming.events import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stream_user_totals_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_user_totals_sink")

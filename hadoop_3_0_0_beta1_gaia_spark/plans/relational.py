@@ -580,3 +580,48 @@ def events_hour_rollup(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT o_orderkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(12,10))) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    ref="composite star-join workload (TPC-H Q3 shape): selective dim filter → broadcast "
+    "join chain → grouped DECIMAL-exact revenue → global top-k. The customer filter "
+    "broadcasts; only lineitem shuffles (for the final aggregate); top-10 via "
+    "orderBy.limit (TakeOrderedAndProject — no full sort materialization)",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,10)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )

@@ -151,15 +151,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state: GroupState):
+        import math
+
         import pandas as pd
 
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
+            # accumulate in pandas' order — the same left-fold any engine
+            # applies to this partition-ordered stream
             s += float(pdf["value"].sum())
         state.update((n, s))
+        # floor-trick rounding (engine-portable HALF-UP) — Python round()
+        # is banker's rounding, which no SQL engine matches
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [math.floor(s * 100 + 0.5) / 100],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
