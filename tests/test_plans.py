@@ -85,3 +85,11 @@ def test_tfidf_broadcasts_doc_count(spark, sf_dir):
     """The 1-row document-count frame must broadcast, not shuffle-join."""
     p = _plan(spark, sf_dir, "doc_tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
+    """Q3: filtered dims broadcast (only lineitem shuffles) and the top-10
+    runs as TakeOrderedAndProject, never a full global sort."""
+    p = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
