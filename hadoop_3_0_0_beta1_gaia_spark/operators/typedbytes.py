@@ -24,6 +24,10 @@ from io import BytesIO
 
 BYTES, BYTE, BOOL, INT, LONG, FLOAT, DOUBLE, STRING, VECTOR, LIST, MAP = range(11)
 _LIST_END = 0xFF
+# Decoder-side terminator marker. MUST be out-of-band (a unique object): the
+# integer 255 is a legal decoded VALUE, and comparing values against the
+# terminator byte truncated lists containing it (found by hypothesis).
+_END = object()
 
 
 def _write(obj, out: BytesIO) -> None:
@@ -74,7 +78,7 @@ def _read(inp: BytesIO):
         raise EOFError("typedbytes: truncated stream")
     code = t[0]
     if code == _LIST_END:
-        return _LIST_END  # sentinel consumed by the LIST branch
+        return _END  # out-of-band sentinel consumed by the LIST branch
     if code == BYTES:
         (n,) = struct.unpack(">i", inp.read(4))
         return inp.read(n)
@@ -100,7 +104,7 @@ def _read(inp: BytesIO):
         out = []
         while True:
             v = _read(inp)
-            if v == _LIST_END and isinstance(v, int):
+            if v is _END:
                 break
             out.append(v)
         return out

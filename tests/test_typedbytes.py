@@ -72,3 +72,10 @@ def test_typedbytes_pipe_integration(spark):
     )
     out = rdd.pipe("cat").map(tb.loads_b64).collect()
     assert sorted(out) == sorted(records)
+
+
+def test_list_containing_terminator_valued_int():
+    """Regression (hypothesis-found): int 255 == the list-terminator byte;
+    the decoder must distinguish the terminator out-of-band."""
+    for v in ([255], [255, 1], [[255]], [-1, 255, True]):
+        assert tb.loads(tb.dumps(v)) == v
