@@ -93,11 +93,30 @@ def datajoin_theta(
 
 
 def broadcast_join(
-    fact: DataFrame, dim: DataFrame, on: list[str] | Column, how: str = "inner"
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+    max_bytes: int | None = 512 << 20,
 ) -> DataFrame:
     """Replicated join — DistributedCache idiom (SURVEY §2.6) →
     BroadcastHashJoin hint; at 100 TB this is how every star-schema dimension
-    should join."""
+    should join.
+
+    A forced hint overrides Spark's autoBroadcastJoinThreshold, so a dimension
+    that grows with SF (e.g. TPC-H ``part``) would OOM executors at cluster
+    scale. ``max_bytes`` guards against that: if Catalyst's optimized-plan size
+    estimate exceeds it, fall back to a plain join and let AQE choose the
+    strategy. Pass ``max_bytes=None`` to force the hint unconditionally (the
+    literal DistributedCache semantics — caller asserts the dim is bounded).
+    """
+    if max_bytes is not None:
+        try:
+            est = int(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # Spark Connect or stats unavailable — keep the hint
+            est = -1
+        if est > max_bytes:
+            return fact.join(dim, on, how)
     return fact.join(F.broadcast(dim), on, how)
 
 

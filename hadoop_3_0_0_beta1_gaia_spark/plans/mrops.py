@@ -478,7 +478,7 @@ def fixedlen_parse(spark, sf_dir):
     oracle="""
         SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                coalesce(o_orderstatus, 'ALL') AS status,
-               n, sum_price
+               n, CAST(sum_price AS DECIMAL(38,2)) AS sum_price
         FROM (
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n,
@@ -489,7 +489,8 @@ def fixedlen_parse(spark, sf_dir):
     """,
     ref="cube over (priority, status) — SURVEY §2.5 notes grouping sets/cube absent from "
     "the reference and free in Spark; exact DECIMAL(18,2) sums (no float drift), labels "
-    "coalesced OUTSIDE the grouped subquery (grouping-null rule)",
+    "coalesced OUTSIDE the grouped subquery (grouping-null rule); final sums "
+    "canonicalized to DECIMAL(38,2) on both engines so the value-hash sees one type",
 )
 def cube_orders_pricing(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -502,7 +503,7 @@ def cube_orders_pricing(spark, sf_dir):
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             "n",
-            "sum_price",
+            F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
         )
     )
 
@@ -538,11 +539,11 @@ def topk_events_per_type(spark, sf_dir):
     "running_total_supplier",
     oracle="""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_revenue
+               ) AS DECIMAL(38,2)) AS running_revenue
         FROM lineitem
     """,
     ref="running (cumulative) aggregate per key — the reference's answer is a stateful "
@@ -563,6 +564,7 @@ def running_total_supplier(spark, sf_dir):
         "l_linenumber",
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .over(w)
+        .cast("decimal(38,2)")
         .alias("running_revenue"),
     )
 
@@ -761,8 +763,9 @@ def doc_length_histogram(spark, sf_dir):
                    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
             FROM orders GROUP BY 1
         )
-        SELECT month, n_orders, revenue,
-               revenue - lag(revenue) OVER (ORDER BY month) AS revenue_delta
+        SELECT month, n_orders, CAST(revenue AS DECIMAL(38,2)) AS revenue,
+               CAST(revenue - lag(revenue) OVER (ORDER BY month)
+                    AS DECIMAL(38,2)) AS revenue_delta
         FROM m
     """,
     ref="time-series delta: monthly rollup + lag window (month-over-month revenue "
@@ -781,8 +784,10 @@ def orders_monthly_delta(spark, sf_dir):
     return m.select(
         "month",
         "n_orders",
-        "revenue",
-        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+        F.col("revenue").cast("decimal(38,2)").alias("revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w))
+        .cast("decimal(38,2)")
+        .alias("revenue_delta"),
     )
 
 

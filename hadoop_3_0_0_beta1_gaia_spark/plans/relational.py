@@ -157,8 +157,11 @@ def join_inner_nway(spark, sf_dir):
     )
     lineitem = T(spark, sf_dir, "lineitem")
     joined = (
+        # customer grows with SF (largest TPC-H dimension) — no forced hint;
+        # AQE/threshold picks broadcast at small SF and shuffle join at scale.
+        # region/nation are bounded (5/25 rows) so their hints are always safe.
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -599,10 +602,12 @@ def events_hour_rollup(spark, sf_dir):
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """,
-    ref="composite star-join workload (TPC-H Q3 shape): selective dim filter → broadcast "
-    "join chain → grouped DECIMAL-exact revenue → global top-k. The customer filter "
-    "broadcasts; only lineitem shuffles (for the final aggregate); top-10 via "
-    "orderBy.limit (TakeOrderedAndProject — no full sort materialization)",
+    ref="composite star-join workload (TPC-H Q3 shape): selective filters pushed to "
+    "every scan → shuffle join chain (no forced hints: orders and even the filtered "
+    "customer segment grow with SF, so a forced broadcast OOMs at cluster scale; AQE "
+    "still picks BroadcastHashJoin whenever a side lands under the threshold) → "
+    "grouped DECIMAL-exact revenue → top-10 via orderBy.limit (TakeOrderedAndProject "
+    "— no full sort materialization)",
 )
 def q3_shipping_priority(spark, sf_dir):
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -613,8 +618,8 @@ def q3_shipping_priority(spark, sf_dir):
         * (F.lit(1) - F.col("l_discount")).cast("decimal(12,10)")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))
         .select(

@@ -33,7 +33,16 @@ def test_q1_pushdown_and_pruning(spark, sf_dir):
 def test_nway_join_broadcasts_dimensions(spark, sf_dir):
     p = _plan(spark, sf_dir, "join_inner_nway")
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p  # every dim is broadcast-sized
+    assert "SortMergeJoin" not in p  # every dim is broadcast-sized at test SF
+
+
+def test_nway_join_hints_only_bounded_dims(spark, sf_dir):
+    """Only region/nation (bounded 5/25 rows) carry forced broadcast hints;
+    customer grows with SF, so its join strategy must be left to the
+    threshold/AQE (a forced hint would OOM at cluster scale)."""
+    df = QS["join_inner_nway"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2
 
 
 def test_broadcast_join_hint_respected(spark, sf_dir):
@@ -88,8 +97,26 @@ def test_tfidf_broadcasts_doc_count(spark, sf_dir):
 
 
 def test_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
-    """Q3: filtered dims broadcast (only lineitem shuffles) and the top-10
-    runs as TakeOrderedAndProject, never a full global sort."""
+    """Q3 at test SF: the threshold still picks broadcast for the tiny
+    filtered sides, and the top-10 runs as TakeOrderedAndProject, never a
+    full global sort."""
     p = _plan(spark, sf_dir, "q3_shipping_priority")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
+    """When both sides exceed the broadcast threshold (simulated by disabling
+    it), Q3 must fall back to shuffle joins — no forced hint may pin the
+    date-filtered orders (or customer) into a broadcast that would OOM at
+    100x SF."""
+    df = QS["q3_shipping_priority"](spark, sf_dir)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = _plan(spark, sf_dir, "q3_shipping_priority")
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
