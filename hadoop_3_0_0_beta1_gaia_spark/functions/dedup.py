@@ -257,7 +257,13 @@ def lsh_candidate_pairs(
     key, id). Bucket sizes are near-duplicate cluster sizes (small by
     construction); a degenerate hot bucket (e.g. boilerplate-heavy corpora)
     would blow up ANY LSH formulation quadratically — cap bucket size
-    upstream in that regime. Input: (id, sig array<long>)."""
+    upstream in that regime. Input: (id, sig array<long>).
+
+    The signature length must divide evenly into bands: the slice here keeps
+    only floor(size/rows_per_band) full bands while the DuckDB twin's
+    ``seed // rows_per_band`` would keep a partial final band — callers
+    (``minhash_lsh_pairs``/``duckdb_minhash_lsh``) enforce divisibility so
+    the twins cannot diverge."""
     bands = F.transform(
         F.sequence(
             F.lit(0), (F.size("sig") / rows_per_band).cast("int") - 1
@@ -327,8 +333,16 @@ def minhash_lsh_pairs(
     exchange Spark could reuse), so the frame is persisted — measured 2-3×
     faster than recomputing the tokenize+shingle scan per consumer. Cache
     volume ≈ tokenized corpus; MEMORY_AND_DISK spills at scale (at 100 TB,
-    checkpoint to a staging table instead).
+    checkpoint to a staging table instead). ``num_hashes`` must be a multiple
+    of ``rows_per_band`` (partial-band semantics differ between the Spark
+    slice and the DuckDB oracle, so uneven banding is rejected outright).
     """
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of rows_per_band "
+            f"({rows_per_band}): a partial final band would band differently "
+            "on the Spark and DuckDB sides"
+        )
     from pyspark import StorageLevel
 
     sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
@@ -371,6 +385,12 @@ def duckdb_minhash_lsh(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of rows_per_band "
+            f"({rows_per_band}): a partial final band would band differently "
+            "on the Spark and DuckDB sides"
+        )
     coeffs = _minhash_coeffs(num_hashes)
     perm_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
     return f"""

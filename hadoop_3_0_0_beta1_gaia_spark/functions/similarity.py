@@ -231,17 +231,23 @@ def cosine_topk_numpy(
     query_filter: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Vectorized brute-force top-k: the throughput variant of
-    :func:`cosine_topk` (same contract) for when the query batch is small.
+    :func:`cosine_topk` for when the query batch is small.
 
     Query vectors are collected to the driver (the re-rank batch — small by
     construction) and closed over into an Arrow-batched mapInPandas kernel
     that computes the cosine block with one BLAS matmul per batch, keeping a
     per-partition top-k before a tiny global window. ~5-10× faster than the
-    expression fold; last-ulp summation order differs from the JVM fold, so
-    the ORACLE-CHECKED path stays :func:`cosine_topk` — use this one inside
-    IVF buckets / re-rank stages.
+    expression fold. Output cosines are floor-rounded to ``round_digits``
+    BEFORE ranking (the same rounding contract as :func:`cosine_topk`), and
+    zero-norm vectors on either side are floored to avoid NaN columns — but
+    the BLAS matmul's summation order differs from the JVM fold at the last
+    ulp, so ranking can still flip on exact rounding boundaries: the
+    ORACLE-CHECKED path stays :func:`cosine_topk` / the bit-identical
+    :func:`cosine_topk_vectorized`. Use this one inside IVF buckets /
+    re-rank stages where throughput beats bit-reproducibility.
     """
     import numpy as np
     import pandas as pd
@@ -256,7 +262,8 @@ def cosine_topk_numpy(
     q_rows = q_df.select(id_col, vec_col).collect()  # small re-rank batch
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(Q, axis=1)
+    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+    scale = float(10**round_digits)
 
     schema = StructType(
         [
@@ -274,6 +281,7 @@ def cosine_topk_numpy(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             vn = np.linalg.norm(V, axis=1)
             cos = (V @ Q.T) / np.outer(np.maximum(vn, 1e-300), qn)  # b×q
+            cos = np.floor(cos * scale + 0.5) / scale  # rank on rounded cos
             out_q, out_n, out_c = [], [], []
             for j in range(len(q_ids)):
                 col = cos[:, j]
@@ -281,7 +289,9 @@ def cosine_topk_numpy(
                 cand = np.where(mask)[0]
                 if not len(cand):
                     continue
-                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                # prune under the FINAL total order (cos desc, n_id asc) so
+                # the partition-local top-k can never drop a global winner
+                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(ids[top])
                 out_c.extend(col[top])

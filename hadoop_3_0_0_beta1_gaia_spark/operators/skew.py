@@ -68,13 +68,24 @@ def salted_join(
     the BIG side across ``num_salts`` sub-partitions (salt = hash of
     ``salt_source``), replicates every SMALL-side row once per salt value
     (explode — ``num_salts``× the small side, which is the cheap side by
-    assumption), and joins on (key, salt). Results are IDENTICAL to the plain
-    equi-join — each big row still meets exactly one copy of its matching
-    small rows — only the shuffle layout changes, so salted queries keep
-    their plain-SQL oracles. AQE's skew-join split covers the same need
+    assumption), and joins on (key, salt). For inner/left-family joins the
+    results are IDENTICAL to the plain equi-join — each big row still meets
+    exactly one copy of its matching small rows — only the shuffle layout
+    changes, so salted queries keep their plain-SQL oracles. Right/full outer
+    joins are REJECTED: every unmatched small-side row would be emitted once
+    per salt replica (and matched-key/unmatched-salt combinations would add
+    spurious null-extended rows). AQE's skew-join split covers the same need
     adaptively; this is the explicit form that also works with AQE off or
     under broadcast-threshold pressure.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got {how!r}: "
+            "the exploded small side would duplicate unmatched right rows "
+            "num_salts times under right/full outer semantics"
+        )
     src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
     if src is None:
         raise ValueError("salt_source column required")

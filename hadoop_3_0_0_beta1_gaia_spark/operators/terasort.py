@@ -63,9 +63,18 @@ class TeraValidation:
 def teravalidate(
     sorted_df: DataFrame, checksum_in: int, key: str = "kv_key", value: str = "kv_value"
 ) -> TeraValidation:
-    """TeraValidate: per-partition order + boundary keys + checksum equality."""
-    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(key)
+    """TeraValidate: per-partition order + boundary keys + checksum equality.
+
+    The disorder window must order by PHYSICAL row position, not by the key:
+    a lag over (ORDER BY key) trivially satisfies prev <= key, so it could
+    never flag a range-partitioned-but-unsorted-within-partition frame.
+    ``monotonically_increasing_id`` is monotone in physical row order inside
+    each partition, which is exactly the order TeraValidate reads records in.
+    """
+    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__pos", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("__pos")
     stats = with_pid.withColumn("__prev", F.lag(key).over(w)).select(
         F.count("*").alias("n"),
         F.sum(

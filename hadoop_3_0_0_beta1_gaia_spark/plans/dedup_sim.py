@@ -23,7 +23,6 @@ from ..functions.dedup import (
 from ..functions.similarity import (
     cosine_near_dup,
     cosine_near_dup_lsh,
-    cosine_near_dup_vectorized,
     cosine_topk,
     cosine_topk_vectorized,
     duckdb_cosine_near_dup,
@@ -109,12 +108,16 @@ def dedup_components(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     oracle=duckdb_cosine_near_dup("embeddings", **_NEARDUP),
-    ref="embedding-cosine near-dup pairs (exact O(n²) baseline; IVF-bucketed variant is the scale path)",
+    ref="embedding-cosine near-dup pairs — exact O(n²) baseline, fully distributed: "
+    "broadcast-nested-loop pair generation + JVM expression fold, no driver collect "
+    "(cosine_near_dup_vectorized is the closure-kernel re-rank utility, bounded by "
+    "docstring to small batches; LSH/IVF entries are the 100 TB scale path)",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    # Vectorized kernel — bit-identical to the cosine_near_dup expression
-    # fold (equality asserted in tests/test_operators.py).
-    return cosine_near_dup_vectorized(T(spark, sf_dir, "embeddings"), **_NEARDUP)
+    # Distributed expression path: the pair matrix streams through executors
+    # (never the driver); cosine_near_dup_vectorized stays bit-identical to
+    # this fold (equality asserted in tests/test_operators.py).
+    return cosine_near_dup(T(spark, sf_dir, "embeddings"), **_NEARDUP)
 
 
 @register(

@@ -198,13 +198,27 @@ def dedup_exactly_once(
     return events.dropDuplicates(["event_id", "ts"])
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    spark: SparkSession,
+    output_mode: str | None = None,
+) -> DataFrame:
     """Drain a (bounded) stream into an in-memory sink with availableNow —
-    the batch-replay harness used by the tests."""
+    the batch-replay harness used by the tests.
+
+    ``output_mode`` defaults per Structured Streaming's rules: 'complete' for
+    aggregated streams, 'append' otherwise (Spark rejects 'complete' on a
+    non-aggregated query, so draining e.g. an exactly-once dedup stream needs
+    'append'). Pass explicitly to override — e.g. 'update' for watermarked
+    aggregations where late partials should surface."""
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in plan else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -140,6 +140,38 @@ def test_teravalidate_flags_disorder(spark):
     assert v.n_boundary_violations > 0  # but no total order
 
 
+def test_teravalidate_flags_in_partition_disorder(spark):
+    """Range-partitioned but UNSORTED within partitions: boundary min/max and
+    checksum both pass (they are order-insensitive), so only the physical-
+    order disorder scan can catch it — the check must order by row position,
+    not by the key itself."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.terasort import checksum, teravalidate
+    from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
+
+    gen = teragen(spark, 2000)
+    bad = gen.repartitionByRange(4, F.col("kv_key")).sortWithinPartitions(
+        F.col("kv_key").desc()  # reversed inside each range partition
+    )
+    v = teravalidate(bad, checksum(gen))
+    assert v.checksum_in == v.checksum_out
+    assert v.n_boundary_violations == 0  # ranges are still disjoint
+    assert v.n_disorder > 0  # ...but physical order is wrong
+    assert not v.ok
+
+
+def test_salted_join_rejects_outer_how(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "sk")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", "sk", salt_source="k", how="full")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", "sk", salt_source="k", how="right")
+
+
 # ----------------------------------------------------------------------- pipe
 
 

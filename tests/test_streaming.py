@@ -39,6 +39,26 @@ def test_stream_equals_batch_windowed_counts(spark, sf_dir):
     assert len(s) > 0
 
 
+def test_run_to_memory_drains_non_aggregate_stream(spark, sf_dir):
+    """A non-aggregated stream (exactly-once dedup) must drain through the
+    generic helper: output mode auto-selects 'append' (Structured Streaming
+    rejects 'complete' for non-aggregate queries)."""
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        dedup_exactly_once,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    out = run_to_memory(
+        dedup_exactly_once(read_events_stream(spark, sf_dir)),
+        "dedup_append_sink",
+        spark,
+    )
+    n_stream = out.count()
+    n_batch = dedup_exactly_once(_batch_events_instant(spark, sf_dir)).count()
+    assert n_stream == n_batch > 0
+
+
 def test_stream_sessionize_equals_batch(spark, sf_dir):
     """Session windows computed incrementally (availableNow drain) must match
     the batch session_window aggregation — closed-session parity."""
