@@ -519,31 +519,43 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     bit b of token-hash h (32-bit md5 prefix) is floor(h / 2^b) % 2 — exact in
     double arithmetic since h < 2^32 < 2^53, hence portable. Bit b of the
     simhash is set iff sum over tokens of (+1 if bit set else -1) > 0.
+
+    Entirely MAP-SIDE: the 32 bit contributions fold inside each document's
+    distinct-token array (aggregate + zip_with over a 32-long accumulator), so
+    the plan has zero exchanges — the earlier formulation exploded tokens × 32
+    bit-rows into a groupBy(id, b), a 32× pre-shuffle inflation that this
+    folds away. Documents whose token array is empty are omitted, matching
+    the explode-based formulation and the DuckDB unnest oracle.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).distinct()
-    hashed = toks.select("id", md5_int32(F.col("tok")).alias("h"))
-    bits = hashed.select(
-        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: md5_int32(t)
     )
-    contrib = bits.select(
-        "id",
-        "b",
-        F.when(
-            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) == 1,
-            1,
-        )
-        .otherwise(-1)
-        .alias("c"),
+    bit_range = F.sequence(F.lit(0), F.lit(31))
+    zero = F.lit(0).cast("long")
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(zero, 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_range,
+            lambda a, b: a
+            + F.when(
+                (F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
     )
-    per_bit = contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
-                0
-            )
-        ).alias("simhash")
+    simhash = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            bit_range,
+            lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(zero),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    return df.filter(F.size(tokens(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), simhash.alias("simhash")
     )
 
 

@@ -80,7 +80,7 @@ def value_aggregate(
 
 
 def value_histogram(
-    df: DataFrame, key: str, item: str, round_digits: int = 4
+    df: DataFrame, key: str, item: str, round_digits: int = 4, top_n: int = 5
 ) -> DataFrame:
     """ValueHistogram report per key (ValueHistogram.java:83-134).
 
@@ -90,29 +90,56 @@ def value_histogram(
 
     Output columns: key, unique_items, min_freq, median_freq, max_freq,
     mean_freq, stddev_freq (population stddev, as the reference computes over
-    the full list).
+    the full list), plus ``top_items`` — the raw item/count detail list of
+    ValueHistogram.getReportDetails (ValueHistogram.java:136-150), truncated
+    to the ``top_n`` heaviest items in deterministic (count DESC, item ASC)
+    order and rendered ``item=count,...``. The rank runs in the same key
+    partitioning as the stats aggregate (no extra shuffle), and only the
+    ≤ top_n surviving structs are collected per key (bounded state, unlike
+    the reference's whole in-memory TreeMap).
     """
+    from pyspark.sql import Window
+
     freq = df.groupBy(F.col(key).alias(key), F.col(item).alias("__item")).agg(
         F.count("*").alias("__freq")
     )
-    return freq.groupBy(key).agg(
+    w = Window.partitionBy(key).orderBy(F.col("__freq").desc(), F.col("__item"))
+    ranked = freq.withColumn("__rk", F.row_number().over(w))
+    top_struct = F.when(
+        F.col("__rk") <= top_n,
+        F.struct(
+            F.col("__rk").alias("rk"),
+            F.concat_ws(
+                "=", F.col("__item").cast("string"), F.col("__freq").cast("string")
+            ).alias("s"),
+        ),
+    )
+    return ranked.groupBy(key).agg(
         F.count("*").alias("unique_items"),
         F.min("__freq").alias("min_freq"),
         fround(F.median("__freq"), round_digits).alias("median_freq"),
         F.max("__freq").alias("max_freq"),
         fround(F.avg("__freq"), round_digits).alias("mean_freq"),
         F.round(F.stddev_pop("__freq"), round_digits).alias("stddev_freq"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(top_struct)), lambda x: x["s"]),
+            ",",
+        ).alias("top_items"),
     )
 
 
 def duckdb_value_histogram(
-    table: str, key: str, item: str, round_digits: int = 4
+    table: str, key: str, item: str, round_digits: int = 4, top_n: int = 5
 ) -> str:
     """DuckDB oracle equivalent of :func:`value_histogram`."""
     return f"""
         WITH freq AS (
             SELECT {key} AS k, {item} AS item, count(*) AS f
             FROM {table} GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY f DESC, item) AS rk
+            FROM freq
         )
         SELECT k AS {key},
                count(*) AS unique_items,
@@ -120,6 +147,10 @@ def duckdb_value_histogram(
                {duck_fround('median(f)', round_digits)} AS median_freq,
                max(f) AS max_freq,
                {duck_fround('avg(f)', round_digits)} AS mean_freq,
-               round(stddev_pop(f), {round_digits}) AS stddev_freq
-        FROM freq GROUP BY k
+               round(stddev_pop(f), {round_digits}) AS stddev_freq,
+               coalesce(string_agg(
+                   CASE WHEN rk <= {top_n}
+                        THEN item::VARCHAR || '=' || f::VARCHAR END,
+                   ',' ORDER BY rk), '') AS top_items
+        FROM ranked GROUP BY k
     """

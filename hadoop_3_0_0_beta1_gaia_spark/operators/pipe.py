@@ -10,6 +10,13 @@ Spark-first: ``rdd.pipe`` is exactly this boundary (one subprocess per
 partition, streamed I/O — not per record). Column-oriented callers can use
 ``pipe_df``; byte-oriented jobs can drop to ``pipe_rdd``.
 
+``io="typedbytes"`` selects hadoop-streaming's binary record mode
+(``-io typedbytes``, io/IdentifierResolver.java:36-37): records cross the
+pipe as typedbytes frames (TypedBytesInput.java framing) wrapped one-per-line
+in base64 (the line transport's analog of the reference's length-prefixed
+binary stream), so the child sees and emits TYPED keys/values instead of
+separator-joined text.
+
 Scale: subprocess-per-partition is the same process model as the reference
 (one pipe per map task); throughput is bounded by the child command, and
 partition sizing controls parallelism.
@@ -21,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from .typedbytes import dumps_b64, loads_b64
+
 
 def pipe_df(
     df: DataFrame,
@@ -28,15 +37,29 @@ def pipe_df(
     sep: str = "\t",
     num_key_fields: int = 1,
     env: dict[str, str] | None = None,
+    io: str = "text",
+    out_schema: str | StructType = "key string, value string",
 ) -> DataFrame:
     """Pipe a DataFrame through an external command.
 
-    Input lines = all columns cast to string, joined by ``sep`` (the
-    ``stream.map.output.field.separator`` default TAB). Output lines are split
-    on ``sep``: first ``num_key_fields`` fields → ``key`` (re-joined by sep),
-    rest → ``value`` (``stream.num.map.output.key.fields`` semantics,
-    PipeMapRed.java).
+    ``io="text"`` (default): input lines = all columns cast to string, joined
+    by ``sep`` (the ``stream.map.output.field.separator`` default TAB).
+    Output lines are split on ``sep``: first ``num_key_fields`` fields →
+    ``key`` (re-joined by sep), rest → ``value``
+    (``stream.num.map.output.key.fields`` semantics, PipeMapRed.java).
+
+    ``io="typedbytes"``: each record crosses as a typedbytes (key, value)
+    frame — key = the first ``num_key_fields`` columns (a single value, or a
+    tuple→typedbytes vector when several), value = the remaining columns
+    likewise. The child receives/emits base64-wrapped frames one per line
+    (see ``typedbytes_child.py`` for the reference child). Decoded output
+    rows are materialized under ``out_schema`` (default two strings; pass
+    e.g. ``"key bigint, value bigint"`` when the child emits numerics).
     """
+    if io == "typedbytes":
+        return _pipe_typedbytes(df, command, num_key_fields, env, out_schema)
+    if io != "text":
+        raise ValueError(f"unknown pipe io mode {io!r} (text|typedbytes)")
     spark = df.sparkSession
     line_df = df.select(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias(
@@ -58,6 +81,34 @@ def pipe_df(
         ]
     )
     return spark.createDataFrame(piped.map(split_line), schema)
+
+
+def _pipe_typedbytes(
+    df: DataFrame,
+    command: str,
+    num_key_fields: int,
+    env: dict[str, str] | None,
+    out_schema: str | StructType,
+) -> DataFrame:
+    spark = df.sparkSession
+    nk = num_key_fields
+
+    def encode(row) -> str:
+        vals = tuple(row)
+        key = vals[0] if nk == 1 else vals[:nk]
+        rest = vals[nk:]
+        value = rest[0] if len(rest) == 1 else rest
+        return dumps_b64(key, value)
+
+    piped = df.rdd.map(encode).pipe(command, env=env or {})
+
+    def decode(line: str) -> tuple:
+        key, value = loads_b64(line)
+        k = (key,) if not isinstance(key, tuple) else key
+        v = (value,) if not isinstance(value, tuple) else value
+        return k + v
+
+    return spark.createDataFrame(piped.map(decode), schema=out_schema)
 
 
 def pipe_rdd(df: DataFrame, command: str, sep: str = "\t"):

@@ -100,6 +100,59 @@ def pipe_identity_kv(spark, sf_dir):
 
 
 @register(
+    "pipe_typedbytes_sum",
+    oracle="""
+        SELECT l_suppkey AS key,
+               sum(CAST(l_quantity AS BIGINT) * 2) AS total
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    ref="hadoop-streaming '-io typedbytes' end-to-end (typedbytes/TypedBytesInput.java "
+    "framing, io/IdentifierResolver.java:36-37): typed (long, long) records pipe "
+    "through a python child that doubles each value, then Spark aggregates the "
+    "child's TYPED output — no string round-trip",
+)
+def pipe_typedbytes_sum(spark, sf_dir):
+    import sys
+
+    from ..operators import typedbytes_child
+
+    child = typedbytes_child.__file__
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long"), F.col("l_quantity").cast("long")
+    )
+    doubled = pipe_df(
+        li,
+        f"{sys.executable} {child} scale2",
+        io="typedbytes",
+        out_schema="key bigint, value bigint",
+    )
+    return doubled.groupBy("key").agg(F.sum("value").alias("total"))
+
+
+@register(
+    "seqfilter_percent",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey FROM r WHERE rid % 10 = 0
+    """,
+    ref="LIB/input/SequenceFileInputFilter.java:153 (PercentFilter) — keep every "
+    "f-th record in record-key order; the row index comes from the two-phase "
+    "global rank (range partition + offsets), never monotonically_increasing_id "
+    "(whose id jumps at partition boundaries made the kept set "
+    "partitioning-dependent)",
+)
+def seqfilter_percent(spark, sf_dir):
+    from ..sources.text import percent_filter
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return percent_filter(o, 10, order_by=["o_orderkey"])
+
+
+@register(
     "uniq_value_count",
     oracle="""
         SELECT event_type AS key,

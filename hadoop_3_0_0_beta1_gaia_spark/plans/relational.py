@@ -417,7 +417,43 @@ def keyfield_sorted_lines(spark, sf_dir):
         ).alias("line")
     )
     arr = F.split(F.col("line"), "\\|")
-    sort_cols = keyfield_sort_columns("-k2,2nr -k1,1", arr) + [F.col("line")]
+    sort_cols = keyfield_sort_columns("-k2,2nr -k1,1", arr, "|") + [F.col("line")]
+    return global_rank(lines, sort_cols, rank_name="rank").select("line", "rank")
+
+
+_KF_CHAR_SPEC = "-k2.1,2.2r -k1.10,1.18n"
+
+
+@register(
+    "keyfield_char_sort",
+    oracle=f"""
+        WITH lines AS (
+            SELECT concat_ws('|', s_name,
+                             CAST(round(s_acctbal * 100, 0) AS BIGINT),
+                             s_nationkey) AS line
+            FROM supplier
+        )
+        SELECT line,
+               row_number() OVER (ORDER BY {duckdb_order_by(_KF_CHAR_SPEC, "line", "|")}, line) AS rank
+        FROM lines
+    """,
+    ref="KeyFieldHelper.java:31-39,118-157 char-offset sub-addressing '-k f.c,f.c' "
+    "(TestKeyFieldHelper.java start/end-offset cases): key = raw joined-line slice; "
+    "here the 2-char balance prefix (text desc) then the numeric supplier id digits "
+    "(s_name chars 10-18)",
+)
+def keyfield_char_sort(spark, sf_dir):
+    sup = T(spark, sf_dir, "supplier")
+    lines = sup.select(
+        F.concat_ws(
+            "|",
+            F.col("s_name"),
+            F.round(F.col("s_acctbal") * 100, 0).cast("long"),
+            F.col("s_nationkey"),
+        ).alias("line")
+    )
+    arr = F.split(F.col("line"), "\\|")
+    sort_cols = keyfield_sort_columns(_KF_CHAR_SPEC, arr, "|") + [F.col("line")]
     return global_rank(lines, sort_cols, rank_name="rank").select("line", "rank")
 
 

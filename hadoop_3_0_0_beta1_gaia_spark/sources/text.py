@@ -117,11 +117,35 @@ def regex_filter(df: DataFrame, key_col: str, pattern: str) -> DataFrame:
     return df.filter(F.col(key_col).rlike(pattern))
 
 
-def percent_filter(df: DataFrame, frequency: int) -> DataFrame:
-    """PercentFilter (:153): keep every f-th record (by stable row id)."""
-    return df.withColumn("__rid", F.monotonically_increasing_id()).filter(
-        F.col("__rid") % frequency == 0
-    ).drop("__rid")
+def percent_filter(
+    df: DataFrame, frequency: int, order_by: list | None = None
+) -> DataFrame:
+    """PercentFilter (SequenceFileInputFilter.java:153): keep every f-th
+    record in a deterministic record order.
+
+    The reference counts records in scan order, which is well-defined for a
+    sequence file but NOT for a distributed DataFrame (a monotonic id jumps
+    at partition boundaries, so the kept set would depend on partitioning —
+    the exact nondeterminism this fix removes). Callers therefore pass
+    ``order_by`` — the total order standing in for scan order (typically the
+    record key). The row index is assigned by the two-phase ``global_rank``
+    (range partition + cumulative offsets), never a single-partition window.
+
+    With ``order_by=None`` the filter degrades to the partitioning-dependent
+    monotonic id (kept for parity experiments; do not use where determinism
+    matters).
+    """
+    if order_by is None:
+        return (
+            df.withColumn("__rid", F.monotonically_increasing_id())
+            .filter(F.col("__rid") % frequency == 0)
+            .drop("__rid")
+        )
+    from ..operators.sort import global_rank
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranked = global_rank(df, cols, rank_name="__rid")
+    return ranked.filter((F.col("__rid") - 1) % frequency == 0).drop("__rid")
 
 
 def md5_filter(df: DataFrame, key_col: str, frequency: int) -> DataFrame:

@@ -103,14 +103,71 @@ def test_parse_keyfield_spec():
     ks = parse_keyfield_spec("-k2,2n -k3r")
     assert [(k.first, k.last, k.numeric, k.reverse) for k in ks] == [
         (2, 2, True, False),
-        (3, 3, False, True),
+        (3, 0, False, True),  # omitted end = to end of line (KeyFieldHelper)
     ]
     ks2 = parse_keyfield_spec("-k1,3")
     assert (ks2[0].first, ks2[0].last) == (1, 3)
+    assert not ks2[0].is_slice
     with pytest.raises(ValueError):
         parse_keyfield_spec("-k0")
     with pytest.raises(ValueError):
         parse_keyfield_spec("bogus")
+
+
+def test_parse_keyfield_char_offsets():
+    """Char-offset sub-addressing parses per KeyFieldHelper.java:31-39:
+    -k2.3,4.2 = char 3 of field 2 through char 2 of field 4."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators.keyfield import parse_keyfield_spec
+
+    (k,) = parse_keyfield_spec("-k2.3,4.2n")
+    assert (k.first, k.first_char, k.last, k.last_char) == (2, 3, 4, 2)
+    assert k.numeric and not k.reverse and k.is_slice
+    (k2,) = parse_keyfield_spec("-k2.1")  # TestKeyFieldHelper's -k2.1 case
+    assert (k2.first, k2.first_char, k2.last, k2.last_char) == (2, 1, 0, 0)
+    (k3,) = parse_keyfield_spec("-k2.5,2")  # end field, end char = field end
+    assert (k3.first, k3.first_char, k3.last, k3.last_char) == (2, 5, 2, 0)
+    with pytest.raises(ValueError):
+        parse_keyfield_spec("-k2.0")  # char offsets are 1-based
+
+
+def test_keyfield_char_slice_semantics(spark):
+    """The char-offset key is the raw joined-line slice, including clamping
+    at the line end and bleeding across separators (KeyFieldHelper
+    getStartOffset/getEndOffset semantics)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.keyfield import (
+        keyfield_sort_columns,
+        parse_keyfield_spec,
+        _slice_key,
+    )
+
+    df = spark.createDataFrame([("hello\thow\tare\tyou",)], ["line"])
+    arr = F.split(F.col("line"), "\t")
+
+    def slice_of(spec):
+        (ks,) = parse_keyfield_spec(spec)
+        return df.select(_slice_key(arr, ks, "\t").alias("k")).collect()[0]["k"]
+
+    assert slice_of("-k2.1") == "how\tare\tyou"  # open end = to line end
+    assert slice_of("-k2.2,3") == "ow\tare"  # end char 0 = end of field 3
+    assert slice_of("-k1.2,2.2") == "ello\tho"  # mid-field to mid-field
+    assert slice_of("-k2,2") == "how"  # whole single field
+    assert slice_of("-k2.5,3") == "are"  # begin char past field bleeds on
+    assert slice_of("-k4.2,4.99") == "ou"  # end char clamps at line end
+    assert slice_of("-k1.99") == ""  # begin past line end = empty key
+
+    # sort behavior: field-2 slice to end of line, descending
+    rows = spark.createDataFrame(
+        [("a\tzz",), ("b\tmm",), ("c\taa",)], ["line"]
+    )
+    ordered = [
+        r["line"]
+        for r in rows.orderBy(
+            *keyfield_sort_columns("-k2r", F.split(F.col("line"), "\t"))
+        ).collect()
+    ]
+    assert ordered == ["a\tzz", "b\tmm", "c\taa"]
 
 
 def test_keyfield_sorted_numeric_vs_text(spark):

@@ -22,6 +22,23 @@ def _plan(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+def test_registry_window_covers_core_families():
+    """The driver verifies the FIRST 50 registry entries: the curated window
+    must be fully populated (every listed name registered, no typos) and must
+    be exactly the first 50 — covering all SURVEY §2 core families (joins,
+    sorts, set ops, transforms, aggregations, window/cube, text, dedup)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import _WINDOW, all_entries
+
+    entries = all_entries()
+    missing = [n for n in _WINDOW if n not in entries]
+    assert not missing, f"window names not registered: {missing}"
+    assert len(_WINDOW) == 50
+    assert list(entries)[:50] == _WINDOW
+    # every window entry must be oracle-checked (not rows-only)
+    no_oracle = [n for n in _WINDOW if entries[n].oracle is None]
+    assert not no_oracle, f"window entries without oracle: {no_oracle}"
+
+
 def test_q1_pushdown_and_pruning(spark, sf_dir):
     p = _plan(spark, sf_dir, "q1_pricing_summary")
     assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
@@ -76,6 +93,14 @@ def test_salted_join_no_broadcast_nested_loop(spark, sf_dir):
     never degrade to a nested-loop product."""
     p = _plan(spark, sf_dir, "join_salted_custsales")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_simhash_fully_map_side(spark, sf_dir):
+    """SimHash folds all 32 bit contributions inside each document's token
+    array: the plan must contain NO exchange (the old formulation exploded
+    tokens x 32 bit-rows into a groupBy — a 32x pre-shuffle inflation)."""
+    p = _plan(spark, sf_dir, "dedup_simhash")
+    assert "Exchange" not in p
 
 
 def test_winnow_fingerprints_single_shuffle(spark, sf_dir):

@@ -79,3 +79,51 @@ def test_list_containing_terminator_valued_int():
     the decoder must distinguish the terminator out-of-band."""
     for v in ([255], [255, 1], [[255]], [-1, 255, True]):
         assert tb.loads(tb.dumps(v)) == v
+
+
+def test_pipe_df_typedbytes_mode(spark):
+    """pipe_df(io='typedbytes') end-to-end with a python child: typed
+    records survive the pipe (no string round-trip), composite keys become
+    typedbytes vectors, and the child's ops apply to decoded values."""
+    import sys
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators import typedbytes_child
+    from hadoop_3_0_0_beta1_gaia_spark.operators.pipe import pipe_df
+
+    child = typedbytes_child.__file__
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+    ).repartition(2)
+
+    doubled = pipe_df(
+        df, f"{sys.executable} {child} scale2",
+        io="typedbytes", out_schema="key bigint, value bigint",
+    )
+    assert sorted(tuple(r) for r in doubled.collect()) == [(1, 20), (2, 40), (3, 60)]
+
+    swapped = pipe_df(
+        df, f"{sys.executable} {child} swap",
+        io="typedbytes", out_schema="key bigint, value bigint",
+    )
+    assert sorted(tuple(r) for r in swapped.collect()) == [(10, 1), (20, 2), (30, 3)]
+
+    # composite key: two key fields → vector key, scalar value
+    df3 = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7)], "k1 bigint, k2 string, v bigint"
+    )
+    ident = pipe_df(
+        df3, f"{sys.executable} {child} identity",
+        io="typedbytes", num_key_fields=2,
+        out_schema="k1 bigint, k2 string, value bigint",
+    )
+    assert sorted(tuple(r) for r in ident.collect()) == [(1, "a", 5), (2, "b", 7)]
+
+
+def test_pipe_df_rejects_unknown_io(spark):
+    import pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.pipe import pipe_df
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="io mode"):
+        pipe_df(df, "cat", io="rawbytes")
