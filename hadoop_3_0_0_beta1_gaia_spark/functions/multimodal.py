@@ -68,6 +68,25 @@ def _fake_features(seed: bytes, dim: int) -> list[float]:
     return out
 
 
+def duckdb_fake_feature_terms(text_sql: str, dim: int = FEATURE_DIM) -> list[str]:
+    """DuckDB codegen twin of :func:`_fake_features` over a TEXT blob: one
+    DOUBLE-typed term per feature, bit-identical to the Arrow float32 values
+    the fake kernel emits (md5(seed || counter_be32) → 4-byte big-endian
+    chunks / 2^32 → FLOAT4 → DOUBLE). NUL counter bytes ride in a
+    ``decode(blob)`` string — DuckDB strings are length-prefixed, so md5
+    hashes them fully."""
+    terms = []
+    for j in range(dim):
+        counter, k = divmod(j, 4)
+        cb = "".join(f"\\x{b:02x}" for b in counter.to_bytes(4, "big"))
+        terms.append(
+            f"CAST(CAST((('0x' || substr(md5(coalesce({text_sql}, '') || "
+            f"decode('{cb}'::BLOB)), {1 + 8 * k}, 8))::BIGINT) / 4294967296.0 "
+            "AS FLOAT4) AS DOUBLE)"
+        )
+    return terms
+
+
 def decode_features(
     df: DataFrame, decode: str = "fake", dim: int = FEATURE_DIM
 ) -> DataFrame:

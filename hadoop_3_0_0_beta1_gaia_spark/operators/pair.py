@@ -93,6 +93,35 @@ def group_sorted_values(
     )
 
 
+def group_by_comparator(
+    df: DataFrame,
+    group_expr: Column,
+    order: list[Column],
+    value_col: str = "value",
+) -> DataFrame:
+    """Grouping-comparator contract (JobConf.setOutputValueGroupingComparator;
+    the SecondarySort.java FirstGroupingComparator pattern — SURVEY §2.4):
+    reduce groups are formed by a COARSER comparator than the full sort key —
+    expressed here as the derived ``group_expr`` — while values still iterate
+    in full key-sort ``order``, and the reducer observes the FIRST full key of
+    each group (the reference hands it the first-arriving composite key).
+
+    Output: (group, first_key struct of the order columns, values array in
+    order). Group state is the group's own rows only — same memory posture as
+    the reference's reduce iterator.
+    """
+    packed = F.struct(*order, F.col(value_col).alias("__v"))
+    g = df.groupBy(group_expr.alias("group")).agg(
+        F.array_sort(F.collect_list(packed)).alias("__s")
+    )
+    first = F.element_at("__s", 1)
+    return g.select(
+        "group",
+        first.dropFields("__v").alias("first_key"),
+        F.transform("__s", lambda s: s["__v"]).alias("values"),
+    )
+
+
 def reduce_groups_pandas(
     df: DataFrame,
     fn: Callable,

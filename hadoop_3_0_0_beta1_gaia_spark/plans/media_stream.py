@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 import os
 
-from ..functions.multimodal import decode_features, frame_sample
+from ..functions.multimodal import (
+    FEATURE_DIM,
+    decode_features,
+    duckdb_fake_feature_terms,
+    frame_sample,
+)
 from ..session import table as T
 from ..streaming.events import (
     dedup_exactly_once,
@@ -57,11 +62,23 @@ def _media_df(spark, sf_dir):
     )
 
 
+_FEATURE_MEAN = "(" + " + ".join(duckdb_fake_feature_terms("text", FEATURE_DIM)) + f") / {FEATURE_DIM}"
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas kernel (hashlib-seeded) — not SQL-expressible
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST({FEATURE_DIM} AS BIGINT) AS dim,
+               round({_FEATURE_MEAN}, 6) AS mean_feature
+        FROM documents
+    """,
     ref="LLM-pipeline multimodal op: binary column + typed metadata → Arrow-batched "
-    "feature extraction via mapInPandas (decode stubbed, plumbing real)",
+    "feature extraction via mapInPandas (decode stubbed; the fake kernel is "
+    "md5-seeded and deterministic, so it has an exact SQL twin — "
+    "duckdb_fake_feature_terms — making even the stubbed path oracle-checked)",
 )
 def multimodal_features(spark, sf_dir):
     media = _media_df(spark, sf_dir)

@@ -130,6 +130,76 @@ def pipe_typedbytes_sum(spark, sf_dir):
 
 
 @register(
+    "nline_splits",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        )
+        SELECT rid // 100 AS split_id,
+               count(*) AS n_lines,
+               min(o_orderkey) AS first_key,
+               max(o_orderkey) AS last_key
+        FROM r GROUP BY 1
+    """,
+    ref="LIB/input/NLineInputFormat.java (SURVEY §2.1): each split holds exactly "
+    "N consecutive records (last may be short); split id from the two-phase "
+    "global rank over the record-key total order, then a per-split summary "
+    "verifies exact-N packing",
+)
+def nline_splits_orders(spark, sf_dir):
+    from ..sources.text import nline_splits
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey")
+    s = nline_splits(o, 100, order_by=["o_orderkey"])
+    return s.groupBy("split_id").agg(
+        F.count("*").alias("n_lines"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+
+
+@register(
+    "grouping_comparator_orders",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey AS grp, o_orderkey,
+                   CAST(o_totalprice AS VARCHAR) AS v,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS rk
+            FROM orders
+        )
+        SELECT grp AS "group",
+               min(o_orderkey) AS first_key,
+               count(*) AS n_values,
+               string_agg(CASE WHEN rk <= 5 THEN v END, ',' ORDER BY rk)
+                   AS head_values
+        FROM s GROUP BY 1
+    """,
+    ref="JobConf.setOutputValueGroupingComparator / SecondarySort.java "
+    "FirstGroupingComparator (SURVEY §2.4): reduce groups formed by the coarse "
+    "comparator (custkey) while values iterate in full-key order (orderkey) and "
+    "the reducer sees the group's first full key",
+)
+def grouping_comparator_orders(spark, sf_dir):
+    from ..operators.pair import group_by_comparator
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("value"),
+    )
+    g = group_by_comparator(o, F.col("o_custkey"), [F.col("o_orderkey")])
+    return g.select(
+        "group",
+        F.col("first_key.o_orderkey").alias("first_key"),
+        F.size("values").cast("long").alias("n_values"),
+        F.array_join(F.slice("values", 1, 5), ",").alias("head_values"),
+    )
+
+
+@register(
     "seqfilter_percent",
     oracle="""
         WITH r AS (

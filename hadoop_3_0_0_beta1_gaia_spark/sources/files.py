@@ -34,30 +34,50 @@ def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path_glob)
 
 
+def _list_tree(base: str) -> list[tuple[str, int]]:
+    """(rel_path, size) listing — the driver-side CopyListing."""
+    out: list[tuple[str, int]] = []
+    for root, _dirs, files in os.walk(base):
+        for name in files:
+            p = os.path.join(root, name)
+            out.append((os.path.relpath(p, base), os.path.getsize(p)))
+    return out
+
+
+def _file_md5(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def distcp(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
     update: bool = True,
     overwrite: bool = False,
+    checksum: bool = False,
     num_tasks: int | None = None,
 ) -> dict[str, int]:
     """Parallel directory copy. Returns counters {copied, skipped, bytes}
     (DistCp's COPY/SKIP/BYTESCOPIED counters).
 
     - ``update``: skip files whose destination exists with the same size
-      (CopyMapper.canSkip checksum-compare analog — size stands in for
-      checksum on local FS).
+      (CopyMapper.canSkip — DistCpUtils.checksumsAreEqual analog).
+    - ``checksum``: with ``update``, a same-sized destination must ALSO match
+      the source's md5 to be skipped (the reference's checksum compare;
+      size-only matches the reference's ``-skipcrccheck``). Checksums are
+      computed in the copy tasks, never on the driver.
     - ``overwrite``: copy unconditionally.
     Listing is driver-side (CopyListing); copies run per-partition.
     """
     src_dir = os.path.abspath(src_dir)
     dst_dir = os.path.abspath(dst_dir)
-    listing: list[tuple[str, int]] = []
-    for root, _dirs, files in os.walk(src_dir):
-        for name in files:
-            p = os.path.join(root, name)
-            listing.append((os.path.relpath(p, src_dir), os.path.getsize(p)))
+    listing = _list_tree(src_dir)
 
     sc = spark.sparkContext
     n = num_tasks or min(max(1, len(listing)), sc.defaultParallelism)
@@ -73,6 +93,7 @@ def distcp(
                 and update
                 and os.path.exists(d)
                 and os.path.getsize(d) == size
+                and (not checksum or _file_md5(s) == _file_md5(d))
             ):
                 skipped += 1
                 continue
@@ -87,6 +108,41 @@ def distcp(
     skipped = sum(t[1] for t in totals)
     nbytes = sum(t[2] for t in totals)
     return {"copied": copied, "skipped": skipped, "bytes": nbytes}
+
+
+def distcp_diff(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """DistCp ``-diff`` report: one row per path present in either tree with
+    status ``added`` (source only), ``removed`` (target only), ``changed``
+    (both, different size or md5), or ``same``. Listings are driver-side
+    (like CopyListing); the md5 comparisons run in executor tasks.
+    ``distcp(update=True, checksum=True)`` afterwards converges the target."""
+    src_dir = os.path.abspath(src_dir)
+    dst_dir = os.path.abspath(dst_dir)
+    src = dict(_list_tree(src_dir))
+    dst = dict(_list_tree(dst_dir))
+    rels = sorted(set(src) | set(dst))
+
+    sc = spark.sparkContext
+    n = num_tasks or min(max(1, len(rels)), sc.defaultParallelism)
+
+    def status(rel: str) -> tuple[str, str]:
+        in_src, in_dst = rel in src, rel in dst
+        if in_src and not in_dst:
+            return rel, "added"
+        if in_dst and not in_src:
+            return rel, "removed"
+        if src[rel] != dst[rel]:
+            return rel, "changed"
+        s, d = os.path.join(src_dir, rel), os.path.join(dst_dir, rel)
+        return rel, "changed" if _file_md5(s) != _file_md5(d) else "same"
+
+    rows = sc.parallelize(rels, n).map(status)
+    return spark.createDataFrame(rows, "path: string, status: string")
 
 
 def compact_small_files(

@@ -41,6 +41,36 @@ def read_text_lines(
     return df
 
 
+def nline_splits(
+    df: DataFrame,
+    n: int,
+    order_by: list,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NLineInputFormat (LIB/input/NLineInputFormat.java, SURVEY §2.1): assign
+    records to splits of EXACTLY N consecutive lines (the last split may be
+    short). "Consecutive" needs a total order standing in for file byte
+    order, so callers pass ``order_by`` (typically the record key).
+
+    Adds ``split_id`` (0-based) and ``line_in_split`` (0-based position
+    within the split). The index comes from the two-phase ``global_rank``
+    (range partition + cumulative offsets — never a single-partition window);
+    ``df.repartition(k, "split_id")`` afterwards gives each split its own
+    task, the reference's one-mapper-per-N-lines contract.
+    """
+    from ..operators.sort import global_rank
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranked = global_rank(df, cols, rank_name="__rid", num_partitions=num_partitions)
+    return (
+        ranked.withColumn(
+            "split_id", F.floor((F.col("__rid") - 1) / n).cast("long")
+        )
+        .withColumn("line_in_split", ((F.col("__rid") - 1) % n).cast("long"))
+        .drop("__rid")
+    )
+
+
 def parse_kv_lines(
     df: DataFrame,
     sep: str = "\t",

@@ -185,6 +185,89 @@ def test_distcp_update_and_overwrite(spark, tmp_path):
     assert c4["copied"] == 2
 
 
+def test_distcp_checksum_and_diff(spark, tmp_path):
+    """CopyMapper.canSkip checksum compare (-update without -skipcrccheck) and
+    the -diff listing: same-size-different-content files must be detected."""
+    from hadoop_3_0_0_beta1_gaia_spark.sources.files import distcp, distcp_diff
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.dat").write_bytes(b"a" * 64)
+    (src / "b.dat").write_bytes(b"b" * 64)
+    dst = tmp_path / "dst"
+    distcp(spark, str(src), str(dst))
+
+    # corrupt b at the target WITHOUT changing its size
+    (dst / "b.dat").write_bytes(b"B" * 64)
+    (dst / "stale.dat").write_bytes(b"s")  # target-only file
+    (src / "new.dat").write_bytes(b"n" * 8)  # source-only file
+
+    statuses = {
+        r["path"]: r["status"]
+        for r in distcp_diff(spark, str(src), str(dst)).collect()
+    }
+    assert statuses == {
+        "a.dat": "same",
+        "b.dat": "changed",
+        "new.dat": "added",
+        "stale.dat": "removed",
+    }
+
+    # size-only update misses the corruption; checksum mode repairs it
+    c_size = distcp(spark, str(src), str(dst))
+    assert c_size["skipped"] == 2 and (dst / "b.dat").read_bytes() == b"B" * 64
+    c_sum = distcp(spark, str(src), str(dst), checksum=True)
+    assert c_sum["copied"] == 1 and (dst / "b.dat").read_bytes() == b"b" * 64
+
+
+def test_nline_splits_exact_packing(spark):
+    """NLineInputFormat contract: every split has exactly N lines except the
+    last, lines are consecutive in the given order, split ids are dense."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.sources.text import nline_splits
+
+    df = spark.range(0, 1003).select(F.col("id").alias("k"))
+    s = nline_splits(df, 100, order_by=["k"])
+    per = (
+        s.groupBy("split_id")
+        .agg(F.count("*").alias("n"), F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .orderBy("split_id")
+        .collect()
+    )
+    assert [r["split_id"] for r in per] == list(range(11))
+    assert [r["n"] for r in per] == [100] * 10 + [3]
+    for r in per:  # consecutive: the range exactly fills the split
+        assert r["hi"] - r["lo"] + 1 == r["n"]
+    # position within split is 0..n-1
+    pos = s.filter(F.col("split_id") == 0).agg(
+        F.min("line_in_split"), F.max("line_in_split")
+    ).collect()[0]
+    assert (pos[0], pos[1]) == (0, 99)
+
+
+def test_group_by_comparator_first_key_and_order(spark):
+    """The reducer sees the group's FIRST full key and values in full-key
+    order (SecondarySort FirstGroupingComparator semantics)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.pair import group_by_comparator
+
+    df = spark.createDataFrame(
+        [(1, 30, "c"), (1, 10, "a"), (1, 20, "b"), (2, 5, "z")],
+        ["g", "sub", "value"],
+    )
+    out = {
+        r["group"]: r
+        for r in group_by_comparator(
+            df, F.col("g"), [F.col("sub")]
+        ).collect()
+    }
+    assert out[1]["first_key"]["sub"] == 10
+    assert out[1]["values"] == ["a", "b", "c"]
+    assert out[2]["values"] == ["z"]
+
+
 def test_compact_small_files(spark, tmp_path):
     from hadoop_3_0_0_beta1_gaia_spark.sources.files import compact_small_files
 
