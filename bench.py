@@ -47,13 +47,14 @@ def main() -> None:
     # not first-touch JIT/IO.
     qs["q1_pricing_summary"](spark, SF_DIR).count()
 
-    # Two measured passes per query, report the min: measures the plan's
+    # Three measured passes per query, report the min: measures the plan's
     # steady-state cost rather than first-touch page-cache/JIT noise
-    # (single-run variance on this host is ±20%).
+    # (single-run variance on this host is ±20%, with co-tenant spikes to
+    # +50% — the min of three is the stable plan-cost estimate).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _rep in range(2):
+        for _rep in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.count()  # full materialization of the query result

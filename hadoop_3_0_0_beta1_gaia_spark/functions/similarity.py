@@ -521,17 +521,19 @@ def duckdb_cosine_near_dup_lsh(
     """
 
 
-def ivf_assign(
+def ivf_probes(
     df: DataFrame,
     num_centroids: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """IVF coarse quantizer, deterministic seeding: the first
-    ``num_centroids`` vectors (by id) are the centroids; every vector is
-    assigned to its max-cosine centroid (rounded, centroid-id tie-break).
-    The centroid side is broadcast — the scan side streams, no shuffle."""
+    """Top-``nprobe`` centroid assignments per vector — the IVF probe list.
+    Deterministic seeding: the first ``num_centroids`` vectors (by id) are the
+    centroids; assignments rank by rounded cosine (centroid-id tie-break).
+    The centroid side is broadcast — the scan side streams, no shuffle.
+    Output: (vec_id, centroid_id, cos, probe) with probe = 1..nprobe."""
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
     cents = (
         base.orderBy("id").limit(num_centroids).select(
@@ -546,10 +548,24 @@ def ivf_assign(
     scored = pairs.select("id", "c_id", cos.alias("cos"))
     pick = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
-        scored.withColumn("r", F.row_number().over(pick))
-        .filter(F.col("r") == 1)
+        scored.withColumn("probe", F.row_number().over(pick))
+        .filter(F.col("probe") <= nprobe)
         .select(F.col("id").alias("vec_id"), F.col("c_id").alias("centroid_id"),
-                F.col("cos").alias("cos"))
+                F.col("cos").alias("cos"), F.col("probe"))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantizer: each vector's single max-cosine centroid
+    (:func:`ivf_probes` with nprobe=1)."""
+    return ivf_probes(df, num_centroids, 1, id_col, vec_col, round_digits).select(
+        "vec_id", "centroid_id", "cos"
     )
 
 
@@ -561,22 +577,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
     """End-to-end IVF ANN search: assign every vector to its coarse centroid
     (:func:`ivf_assign`), then compute exact cosine top-k for each query
-    AMONG ITS OWN BUCKET only — the candidate set shrinks ~num_centroids×,
-    which is the whole point at scale (recall < 1 vs brute force when true
-    neighbors fall in other buckets; raise nprobe by unioning more buckets).
+    among the vectors in its ``nprobe`` closest buckets — the candidate set
+    shrinks ~(num_centroids/nprobe)×, which is the whole point at scale.
+    ``nprobe`` is the standard IVF recall dial: 1 = fastest (misses true
+    neighbors that fall just across a bucket boundary), ``num_centroids`` =
+    exact brute force (every bucket probed — asserted in tests). Each
+    neighbor lives in exactly one bucket, so multi-probe candidates never
+    duplicate and need no dedup.
     """
     from pyspark import StorageLevel
 
-    assign = ivf_assign(df, num_centroids, id_col, vec_col, round_digits).select(
-        F.col("vec_id").alias("id"), "centroid_id"
-    )
+    probes = ivf_probes(df, num_centroids, nprobe, id_col, vec_col, round_digits)
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
-    # keyed feeds BOTH sides of the bucket join; the assign chain (broadcast
+    # keyed feeds BOTH sides of the bucket join; the probe chain (broadcast
     # cross + window) would otherwise recompute once per side.
-    keyed = base.join(assign, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = base.join(
+        probes.select(F.col("vec_id").alias("id"), "centroid_id", "probe"), "id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = keyed.filter(query_filter) if query_filter is not None else keyed
     q = q.select(
         F.col("id").alias("q_id"),
@@ -584,7 +605,9 @@ def ivf_topk(
         F.col("__v").alias("qv"),
         F.col("__n2").alias("qn"),
     )
-    n = keyed.select(
+    # neighbors index under their PRIMARY bucket only; queries fan out to
+    # their nprobe probe buckets.
+    n = keyed.filter(F.col("probe") == 1).select(
         F.col("id").alias("n_id"),
         F.col("centroid_id").alias("bucket"),
         F.col("__v").alias("nv"),
@@ -612,6 +635,7 @@ def duckdb_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    nprobe: int = 1,
 ) -> str:
     v = f"list_transform({vec_col}, x -> x::DOUBLE)"
     return f"""
@@ -622,21 +646,22 @@ def duckdb_ivf_topk(
         cents AS (
             SELECT id AS c_id, v AS cv, n2 AS cn FROM base ORDER BY id LIMIT {num_centroids}
         ),
-        assign AS (
-            SELECT id, c_id AS bucket FROM (
+        probes AS (
+            SELECT id, c_id AS bucket, r AS probe FROM (
                 SELECT base.id, c_id,
                        row_number() OVER (
                            PARTITION BY base.id
                            ORDER BY {duck_fround('list_dot_product(v, cv) / sqrt(n2 * cn)', round_digits)} DESC, c_id
                        ) AS r
                 FROM base CROSS JOIN cents
-            ) WHERE r = 1
+            ) WHERE r <= {nprobe}
         ),
-        keyed AS (SELECT base.*, bucket FROM base JOIN assign USING (id)),
+        keyed AS (SELECT base.*, bucket, probe FROM base JOIN probes USING (id)),
         scored AS (
             SELECT q.id AS q_id, n.id AS n_id,
                    {duck_fround('list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2)', round_digits)} AS cos
-            FROM keyed q JOIN keyed n ON q.bucket = n.bucket AND q.id <> n.id
+            FROM keyed q JOIN keyed n
+              ON q.bucket = n.bucket AND n.probe = 1 AND q.id <> n.id
             WHERE {query_where.replace(id_col, 'q.id')}
         )
         SELECT q_id, n_id, cos, rank FROM (

@@ -146,6 +146,25 @@ def ivf_topk_search(spark, sf_dir):
 
 
 @register(
+    "ivf_topk_multiprobe",
+    oracle=duckdb_ivf_topk("embeddings", query_where="vec_id < 100", **_IVF, k=5, nprobe=3),
+    ref="multi-probe IVF search (the standard recall dial): each query scans its "
+    "nprobe=3 closest buckets, neighbors index under their primary bucket only — "
+    "recall approaches brute force as nprobe → num_centroids (asserted exact at "
+    "nprobe=num_centroids in tests) while candidates stay (num_centroids/nprobe)× "
+    "smaller than all-pairs",
+)
+def ivf_topk_multiprobe(spark, sf_dir):
+    return ivf_topk(
+        T(spark, sf_dir, "embeddings"),
+        k=5,
+        query_filter=F.col("id") < 100,
+        nprobe=3,
+        **_IVF,
+    )
+
+
+@register(
     "ivf_assign_buckets",
     oracle=duckdb_ivf_assign("embeddings", **_IVF),
     ref="IVF coarse-quantizer bucket assignment (broadcast centroids) — ANN scale path",

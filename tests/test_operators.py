@@ -400,6 +400,46 @@ def test_lsh_near_dup_subset_of_bruteforce(spark, sf_dir):
         assert cos == exact[pair]  # identical cosine on shared pairs
 
 
+def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark, sf_dir):
+    """nprobe is the IVF recall dial: results at nprobe=1 ⊆ candidates of
+    higher nprobe (recall monotone), and nprobe=num_centroids probes every
+    bucket — identical to brute-force top-k (same rounding contract)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 20
+
+    def run(nprobe):
+        return {
+            (r["q_id"], r["rank"]): (r["n_id"], r["cos"])
+            for r in ivf_topk(
+                emb, k=5, num_centroids=4, query_filter=F.col("id") < 20, nprobe=nprobe
+            ).collect()
+        }
+
+    full = run(4)
+    brute = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cos"])
+        for r in cosine_topk(emb, k=5, query_filter=qf).collect()
+    }
+    assert full == brute  # full probe = exact search
+
+    # recall is monotone in nprobe: the candidate pool only grows, so each
+    # query's best-found cosine is non-decreasing, and never beats exact
+    one, two = run(1), run(2)
+    for q in {q for q, _ in full}:
+        b1 = max((c for (qq, _), (_n, c) in one.items() if qq == q), default=-2.0)
+        b2 = max((c for (qq, _), (_n, c) in two.items() if qq == q), default=-2.0)
+        bx = max(c for (qq, _), (_n, c) in brute.items() if qq == q)
+        assert b1 <= b2 <= bx
+
+
 # ----------------------------------------------------------------- multimodal
 
 
