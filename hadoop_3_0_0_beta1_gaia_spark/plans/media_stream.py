@@ -24,6 +24,7 @@ from ..functions.multimodal import (
 )
 from ..session import table as T
 from ..streaming.events import (
+    attribution_join,
     dedup_exactly_once,
     read_events_stream,
     run_to_memory,
@@ -179,6 +180,33 @@ def stream_dedup_counts(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_to_memory(counted, "stream_dedup_counts_sink", spark)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               date_diff('microsecond', c.ts, p.ts) // 1000000 AS delay_s,
+               p.value AS purchase_value
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    ref="stream-stream interval join (clicks→purchases attribution): both sides "
+    "watermarked + time-range join condition so per-key join state is evicted past "
+    "watermark+window; availableNow drain must equal the batch interval join "
+    "(reference has no streaming — SURVEY §2.11 engine extension)",
+)
+def stream_interval_join(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = attribution_join(clicks, purchases, window="30 minutes")
+    return run_to_memory(joined, "stream_interval_join_sink", spark)
 
 
 @register(

@@ -198,6 +198,54 @@ def dedup_exactly_once(
     return events.dropDuplicates(["event_id", "ts"])
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click by
+    the same user within the preceding ``window`` (last-touch attribution's
+    candidate set). On streams BOTH sides carry event-time watermarks and the
+    join condition bounds the time range — that pair is what lets Spark evict
+    per-key join state older than watermark+window, the thing that makes a
+    stream-stream join viable on an unbounded source. On batch frames it is
+    the identical plain interval equi-join.
+
+    ``ts`` must be instant (TIMESTAMP) on both inputs; ``delay_s`` is exact
+    integer seconds via unix_micros arithmetic (tz-independent).
+    """
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", watermark)
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000").alias(
+            "delay_s"
+        ),
+        "purchase_value",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,

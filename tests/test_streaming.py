@@ -122,3 +122,35 @@ def test_watermark_bounds_state(spark, sf_dir):
     plan = windowed_counts(read_events_stream(spark, sf_dir))
     assert plan.isStreaming
     assert "EventTimeWatermark" in plan._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (clicks→purchases attribution) drained with
+    availableNow must equal the identical batch interval join, and every match
+    must respect the [0, 30 min] attribution window."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        attribution_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream_out = run_to_memory(
+        attribution_join(*split(read_events_stream(spark, sf_dir))),
+        "interval_join_sink",
+        spark,
+    )
+    batch_out = attribution_join(*split(_batch_events_instant(spark, sf_dir)))
+
+    key = lambda r: (r["click_id"], r["purchase_id"])  # noqa: E731
+    s = {key(r): (r["user_id"], r["delay_s"], r["purchase_value"]) for r in stream_out.collect()}
+    b = {key(r): (r["user_id"], r["delay_s"], r["purchase_value"]) for r in batch_out.collect()}
+    assert s == b and len(s) > 0
+    assert all(0 <= d <= 1800 for (_u, d, _v) in s.values())
