@@ -14,9 +14,13 @@ Re-expresses the reference's global-sort surface (SURVEY §2.4/§2.7):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.dedup import md5_long
 
 
 def total_order_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
@@ -42,6 +46,91 @@ def binary_partition(
     else:
         sl = F.substring(k.cast("string"), left_offset + 1, right_offset - left_offset + 1)
     return df.repartition(num_partitions, sl)
+
+
+def record_stats(df: DataFrame, key: str = "kv_key", value: str = "kv_value") -> DataFrame:
+    """SortValidator record-stats triple (MR-JC .../mapred/SortValidator.java:54-357
+    RecordStatsChecker): (record count, byte count, xor of per-record hashes).
+
+    Order-insensitive multiset summary — equal stats on a sort's input and
+    output prove the output is byte-identical content-wise (permutation
+    check a), b), d) of the reference). One partial-aggregated pass, no
+    shuffle beyond the 1-row final combine.
+    """
+    pair = F.concat(F.col(key), F.lit("\x00"), F.col(value))
+    return df.select(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(F.octet_length(F.col(key)) + F.octet_length(F.col(value)))
+        .cast("long")
+        .alias("n_bytes"),
+        F.bit_xor(md5_long(pair)).alias("xor_checksum"),
+    )
+
+
+@dataclass(frozen=True)
+class SortValidationReport:
+    """SortValidator verdict: record-stats parity + output order checks."""
+
+    records_in: int
+    records_out: int
+    bytes_in: int
+    bytes_out: int
+    checksum_in: int
+    checksum_out: int
+    n_disorder: int
+    n_boundary_violations: int
+    deep_mismatches: int | None = None  # None unless deep=True
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.records_in == self.records_out
+            and self.bytes_in == self.bytes_out
+            and self.checksum_in == self.checksum_out
+            and self.n_disorder == 0
+            and self.n_boundary_violations == 0
+            and not self.deep_mismatches
+        )
+
+
+def sort_validator(
+    input_df: DataFrame,
+    sorted_df: DataFrame,
+    key: str = "kv_key",
+    value: str = "kv_value",
+    deep: bool = False,
+) -> SortValidationReport:
+    """Validate a total-order sort the SortValidator way (SortValidator.java:54-357):
+
+    a) input and output have the same record and byte counts;
+    b) xor'd per-record hashes match (content permutation proof);
+    c) output is globally ordered (in-partition physical order + partition
+       boundary keys — the TeraValidate scan);
+    d) ``deep=True`` = the reference's ``-deep`` mode: prove every individual
+       record appears in both sides with equal multiplicity — two distributed
+       ``exceptAll`` passes instead of the reference's record-by-record job.
+    """
+    from .terasort import teravalidate
+
+    si = record_stats(input_df, key, value).collect()[0]
+    so = record_stats(sorted_df, key, value).collect()[0]
+    order = teravalidate(sorted_df, checksum_in=0, key=key, value=value)
+    deep_mismatches = None
+    if deep:
+        a = input_df.select(key, value)
+        b = sorted_df.select(key, value)
+        deep_mismatches = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return SortValidationReport(
+        records_in=int(si["n_records"]),
+        records_out=int(so["n_records"]),
+        bytes_in=int(si["n_bytes"] or 0),
+        bytes_out=int(so["n_bytes"] or 0),
+        checksum_in=int(si["xor_checksum"] or 0),
+        checksum_out=int(so["xor_checksum"] or 0),
+        n_disorder=order.n_disorder,
+        n_boundary_violations=order.n_boundary_violations,
+        deep_mismatches=deep_mismatches,
+    )
 
 
 def global_rank(

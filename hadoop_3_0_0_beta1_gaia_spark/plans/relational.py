@@ -16,7 +16,8 @@ from ..operators.aggregate import duckdb_value_histogram, value_aggregate, value
 from ..operators.fieldsel import duckdb_field_select, field_select
 from ..operators.join import broadcast_join, datajoin_theta, override_join
 from ..operators.keyfield import duckdb_order_by, keyfield_sort_columns
-from ..operators.sort import global_rank
+from ..functions.dedup import duck_md5_long
+from ..operators.sort import global_rank, record_stats, total_order_sort
 from ..session import table as T
 from .registry import register
 
@@ -370,6 +371,40 @@ def global_sort_rank(spark, sf_dir):
         rank_name="rank",
     )
     return ranked.select("l_orderkey", "l_linenumber", "rank")
+
+
+@register(
+    "sort_validator_stats",
+    oracle=f"""
+        WITH kv AS (
+            SELECT concat(l_orderkey, '#', l_linenumber) AS kv_key,
+                   concat_ws('|', l_returnflag, l_linestatus, l_suppkey, l_partkey) AS kv_value
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(sum(strlen(kv_key) + strlen(kv_value)) AS BIGINT) AS n_bytes,
+                   bit_xor({duck_md5_long("kv_key || chr(0) || kv_value")}) AS xor_checksum
+            FROM kv
+        )
+        SELECT side, n_records, n_bytes, xor_checksum
+        FROM stats, (VALUES ('input'), ('output')) sides(side)
+    """,
+    ref="SortValidator RecordStatsChecker MR-JC .../mapred/SortValidator.java:54-357 — "
+    "records/bytes/xor-of-hashes equal on sort input and output (permutation proof); "
+    "the Spark side really runs the total-order sort, the oracle asserts stats invariance",
+)
+def sort_validator_stats(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    kv = li.select(
+        F.concat_ws("#", "l_orderkey", "l_linenumber").alias("kv_key"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus", "l_suppkey", "l_partkey").alias(
+            "kv_value"
+        ),
+    )
+    s_in = record_stats(kv).withColumn("side", F.lit("input"))
+    s_out = record_stats(total_order_sort(kv, "kv_key")).withColumn("side", F.lit("output"))
+    return s_in.unionByName(s_out).select("side", "n_records", "n_bytes", "xor_checksum")
 
 
 @register(

@@ -161,6 +161,63 @@ def test_teravalidate_flags_in_partition_disorder(spark):
     assert not v.ok
 
 
+def test_sort_validator_passes_on_real_sort(spark):
+    from hadoop_3_0_0_beta1_gaia_spark.operators.sort import sort_validator
+    from hadoop_3_0_0_beta1_gaia_spark.operators.terasort import terasort
+    from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
+
+    gen = teragen(spark, 3000, num_partitions=6)
+    report = sort_validator(gen, terasort(gen, num_partitions=6), deep=True)
+    assert report.ok, report
+    assert report.records_in == 3000
+    assert report.deep_mismatches == 0
+
+
+def test_sort_validator_flags_lost_record(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.sort import sort_validator
+    from hadoop_3_0_0_beta1_gaia_spark.operators.terasort import terasort
+    from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
+
+    gen = teragen(spark, 1000, num_partitions=4)
+    first_key = gen.agg(F.min("kv_key")).collect()[0][0]
+    lossy = terasort(gen.filter(F.col("kv_key") != first_key), num_partitions=4)
+    report = sort_validator(gen, lossy)
+    assert report.records_out == report.records_in - 1
+    assert report.checksum_in != report.checksum_out
+    assert not report.ok
+
+
+def test_sort_validator_xor_catches_same_length_corruption(spark):
+    """A record mutated in place (same byte count) passes the count/byte
+    checks — only the xor-of-hashes (and -deep) can catch it, exactly the
+    scenario SortValidator's checksum exists for."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.sort import sort_validator
+    from hadoop_3_0_0_beta1_gaia_spark.operators.terasort import terasort
+    from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
+
+    gen = teragen(spark, 1000, num_partitions=4)
+    first_key = gen.agg(F.min("kv_key")).collect()[0][0]
+    corrupt = terasort(
+        gen.withColumn(
+            "kv_value",
+            F.when(F.col("kv_key") == first_key, F.reverse(F.col("kv_value"))).otherwise(
+                F.col("kv_value")
+            ),
+        ),
+        num_partitions=4,
+    )
+    report = sort_validator(gen, corrupt, deep=True)
+    assert report.records_in == report.records_out
+    assert report.bytes_in == report.bytes_out
+    assert report.checksum_in != report.checksum_out
+    assert report.deep_mismatches == 2  # one record differs on each side
+    assert not report.ok
+
+
 def test_salted_join_rejects_outer_how(spark):
     from hadoop_3_0_0_beta1_gaia_spark.operators.skew import salted_join
 
