@@ -10,6 +10,10 @@ Spark-first: ``rdd.pipe`` is exactly this boundary (one subprocess per
 partition, streamed I/O — not per record). Column-oriented callers can use
 ``pipe_df``; byte-oriented jobs can drop to ``pipe_rdd``.
 
+``io="rawbytes"`` is hadoop-streaming's untyped binary mode (length-prefixed
+key/value byte blobs, RawBytes{Input,Output}Reader) — byte-clean transport
+with no separator or type semantics.
+
 ``io="typedbytes"`` selects hadoop-streaming's binary record mode
 (``-io typedbytes``, io/IdentifierResolver.java:36-37): records cross the
 pipe as typedbytes frames (TypedBytesInput.java framing) wrapped one-per-line
@@ -23,6 +27,9 @@ partition sizing controls parallelism.
 """
 
 from __future__ import annotations
+
+import base64
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,8 +65,10 @@ def pipe_df(
     """
     if io == "typedbytes":
         return _pipe_typedbytes(df, command, num_key_fields, env, out_schema)
+    if io == "rawbytes":
+        return _pipe_rawbytes(df, command, sep, num_key_fields, env)
     if io != "text":
-        raise ValueError(f"unknown pipe io mode {io!r} (text|typedbytes)")
+        raise ValueError(f"unknown pipe io mode {io!r} (text|rawbytes|typedbytes)")
     spark = df.sparkSession
     line_df = df.select(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias(
@@ -109,6 +118,51 @@ def _pipe_typedbytes(
         return k + v
 
     return spark.createDataFrame(piped.map(decode), schema=out_schema)
+
+
+def rawbytes_dumps(key: bytes, value: bytes) -> str:
+    """One ``-io rawbytes`` record (io/RawBytesOutputReader framing): each of
+    key and value as <4-byte big-endian length><raw bytes>, the pair wrapped
+    in base64 for the line transport."""
+    payload = struct.pack(">i", len(key)) + key + struct.pack(">i", len(value)) + value
+    return base64.b64encode(payload).decode("ascii")
+
+
+def rawbytes_loads(line: str) -> tuple[bytes, bytes]:
+    raw = base64.b64decode(line)
+    (klen,) = struct.unpack_from(">i", raw, 0)
+    key = raw[4 : 4 + klen]
+    (vlen,) = struct.unpack_from(">i", raw, 4 + klen)
+    value = raw[8 + klen : 8 + klen + vlen]
+    return key, value
+
+
+def _pipe_rawbytes(
+    df: DataFrame,
+    command: str,
+    sep: str,
+    num_key_fields: int,
+    env: dict[str, str] | None,
+) -> DataFrame:
+    """``-io rawbytes`` (io/IdentifierResolver.java:36-37, RawBytes{Input,
+    Output}Reader): keys/values cross the pipe as length-prefixed raw byte
+    blobs — no separator parsing, no typed decoding. Key = the first
+    ``num_key_fields`` columns joined by ``sep`` as UTF-8 bytes, value =
+    the remaining columns likewise; output frames come back as ``binary``
+    columns (the child may emit arbitrary bytes)."""
+    spark = df.sparkSession
+    nk = num_key_fields
+
+    def encode(row) -> str:
+        vals = [("" if v is None else str(v)) for v in row]
+        key = sep.join(vals[:nk]).encode("utf-8")
+        value = sep.join(vals[nk:]).encode("utf-8")
+        return rawbytes_dumps(key, value)
+
+    piped = df.rdd.map(encode).pipe(command, env=env or {})
+    return spark.createDataFrame(
+        piped.map(rawbytes_loads), schema="key binary, value binary"
+    )
 
 
 def pipe_rdd(df: DataFrame, command: str, sep: str = "\t"):
