@@ -1,0 +1,239 @@
+"""LLM training-data quality ops: PII scrubbing, repetition metrics, and
+embedding quantization.
+
+These extend the reference's per-record transform surface (arbitrary logic in
+``Mapper.map`` — MR-CORE .../mapreduce/Mapper.java:123) with the cleaning
+stages a 100 TB text/embedding corpus actually runs. Every op here is pure
+map-side built-in expressions — zero shuffles, embarrassingly parallel, no
+Python in the hot path — so the plan is a single WholeStageCodegen scan at
+any scale.
+
+The documents testdata carries no natural PII, so ``doc_pii_scrub`` derives a
+deterministic PII-bearing column first (same derivation in the DuckDB oracle)
+and scrubs THAT — the regexes and replacement plumbing are what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_fround, fround
+from ..functions.text_metrics import duck_tokens, tokens
+from ..session import table as T
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Character classes only — no \d / \w / \b, which differ in corner semantics
+# across regex dialects (Java vs RE2). Both patterns are valid and equivalent
+# in Spark (Java regex) and DuckDB (RE2).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{3}-[0-9]{4}"
+
+# Deterministic injected PII: doc_id % 3 emails and doc_id % 2 phone numbers
+# appended to the text, so per-doc match counts vary and the scrub is
+# genuinely exercised (the raw testdata text is word-soup with no PII).
+_DUCK_PII_TEXT = (
+    "text || repeat(' user' || doc_id::VARCHAR || '@mail' || (doc_id % 7)::VARCHAR"
+    " || '.org', CAST(doc_id % 3 AS INT))"
+    " || repeat(' +1-555-' || lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0')"
+    " || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'), CAST(doc_id % 2 AS INT))"
+)
+
+
+def _pii_text() -> F.Column:
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" user"), did.cast("string"), F.lit("@mail"),
+        (did % 7).cast("string"), F.lit(".org"),
+    )
+    phone = F.concat(
+        F.lit(" +1-555-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.repeat(email, (did % 3).cast("int")),
+        F.repeat(phone, (did % 2).cast("int")),
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+        WITH src AS (SELECT doc_id, {_DUCK_PII_TEXT} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_fp
+        FROM src
+    """,
+    ref="PII redaction (emails/phones -> placeholder tokens) — the scrub stage of a "
+    "training-data pipeline. Map-side regexp_replace only (Mapper.map surface, "
+    "Mapper.java:123); counts + scrubbed-text md5 prove both the match and the "
+    "replacement agree across engines",
+)
+def doc_pii_scrub(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").withColumn("t", _pii_text())
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+_TOKS = duck_tokens("text")
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ex AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM d WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, n_tokens, bigram, count(*) AS c
+               FROM ex GROUP BY doc_id, n_tokens, bigram),
+        tb AS (SELECT doc_id, any_value(n_tokens) AS n_tokens, max(c) AS top_bigram
+               FROM bc GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               {duck_fround('len(list_distinct(d.toks)) * 1.0 / greatest(len(d.toks), 1)', 4)}
+                   AS distinct_ratio,
+               CAST(coalesce(tb.top_bigram, 0) AS BIGINT) AS top_bigram_count,
+               {duck_fround('coalesce(tb.top_bigram, 0) * 2.0 / greatest(len(d.toks), 1)', 4)}
+                   AS top_bigram_frac
+        FROM d LEFT JOIN tb ON d.doc_id = tb.doc_id
+    """,
+    ref="repetition quality rules (distinct-token ratio + most-frequent-bigram mass, the "
+    "Gopher-style repetition filters). Spark side is FULLY map-side: the per-doc top "
+    "bigram count is a run-length scan over the sorted bigram array (sort_array + "
+    "aggregate fold) — no explode, no shuffle, one codegen stage; the oracle uses the "
+    "equivalent unnest+groupBy formulation, so the fold itself is what's verified",
+)
+def doc_repetition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    # Max run length over the SORTED bigram array == max per-doc bigram count.
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.when(n >= 2, F.sort_array(bigrams)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        acc0,
+        step,
+        lambda acc: acc["best"],
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        fround(
+            F.size(F.array_distinct("toks")) / F.greatest(n, F.lit(1)), 4
+        ).alias("distinct_ratio"),
+        top.alias("top_bigram_count"),
+        fround(top * 2.0 / F.greatest(n, F.lit(1)), 4).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_quantize_int8",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                            1e-30) / 127 AS scale
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               CAST(len(qv) AS BIGINT) AS dim,
+               {duck_fround('scale', 9)} AS scale,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
+               CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_saturated
+        FROM q
+    """,
+    ref="int8 symmetric quantization of the embedding column (amax/127 scale, half-up "
+    "rounding) — the compression step before ANN serving at corpus scale. Pure "
+    "map-side array expressions; the quantized-vector checksum is integer-exact so "
+    "the oracle match proves every element, not just the stats. Division and floor "
+    "are the identical IEEE ops in both engines (floor-round portability contract, "
+    "functions/rounding.py)",
+)
+def embed_quantize_int8(spark, sf_dir):
+    from ..functions.similarity import as_double
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    amax = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = F.greatest(amax, F.lit(1e-30)) / 127
+    s = e.select("vec_id", "e", scale.alias("scale"))
+    qv = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")
+    )
+    q = s.select("vec_id", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.size("qv").cast("long").alias("dim"),
+        fround(F.col("scale"), 9).alias("scale"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_checksum"),
+        F.size(F.filter("qv", lambda x: F.abs(x) >= 127)).cast("long").alias(
+            "n_saturated"
+        ),
+    )

@@ -22,6 +22,7 @@ from ..functions.multimodal import (
     duckdb_fake_feature_terms,
     frame_sample,
 )
+from ..session import instant_ts
 from ..session import table as T
 from ..streaming.events import (
     attribution_join,
@@ -36,10 +37,10 @@ from .registry import register
 
 def _events_instant(spark, sf_dir):
     """Batch events with instant (TIMESTAMP) semantics — same convention as
-    read_events_stream: stored naive nanos taken as UTC wall-clock."""
+    read_events_stream: stored naive wall-clock taken as UTC."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return instant_ts(df, "ts")
 
 _FRAME_EVERY_MS = 250
 

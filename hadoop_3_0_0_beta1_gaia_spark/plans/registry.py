@@ -106,7 +106,14 @@ _WINDOW: list[str] = [
 
 def all_entries() -> dict[str, InventoryEntry]:
     # Import query modules lazily so registration happens on first use.
-    from . import dedup_sim, media_stream, mrops, relational, textops  # noqa: F401
+    from . import (  # noqa: F401
+        dedup_sim,
+        llm_quality,
+        media_stream,
+        mrops,
+        relational,
+        textops,
+    )
 
     ordered: dict[str, InventoryEntry] = {}
     for name in _WINDOW:

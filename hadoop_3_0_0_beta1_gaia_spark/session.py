@@ -88,6 +88,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def instant_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Rebuild ``col`` as an instant TIMESTAMP from either stored shape.
+
+    Parquet TIMESTAMP(NANOS) arrives as bigint nanos under the legacy
+    nanosAsLong conf (pyspark <= 4.0) or as TIMESTAMP_NTZ natively
+    (pyspark 4.1+, which ignores that conf). Either way the stored wall-clock
+    is taken as UTC and converted through exact integer micros — never via an
+    NTZ->LTZ cast, which would silently depend on the session timezone.
+    """
+    kind = df.schema[col].dataType.simpleString()
+    if kind == "bigint":
+        micros = F.expr(f"`{col}` DIV 1000")
+    elif kind == "timestamp_ntz":
+        micros = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    elif kind == "timestamp":
+        return df
+    else:  # pragma: no cover - testdata regression guard
+        raise TypeError(f"unexpected stored timestamp type {kind!r} for {col!r}")
+    return df.withColumn(col, F.timestamp_micros(micros))
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; return the frames."""
     out = {}

@@ -22,15 +22,19 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# Raw schema as stored (ts is parquet TIMESTAMP(NANOS) → read as long under
-# the nanosAsLong conf; converted to TIMESTAMP_NTZ below, same as the batch
-# path in session.table).
+# Raw schema as stored. ts is parquet TIMESTAMP(NANOS): requested as
+# TIMESTAMP_NTZ (read natively, nanos truncated to Spark's micro precision —
+# the same truncation DuckDB applies), then converted to an instant below.
+# NOTE: do NOT request LongType here — pyspark 4.1+ silently converts the
+# nanos column to MICROS when a long is requested (the pre-4.1 nanosAsLong
+# behavior delivered raw nanos), so a raw-long read is version-ambiguous.
 _EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -44,9 +48,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``ts`` becomes a TIMESTAMP (instant) via exact integer micros — watermarks
     demand instant semantics (TIMESTAMP_NTZ is rejected). The stored naive
-    nanos are taken as UTC wall-clock, matching the batch/DuckDB view.
+    wall-clock is taken as UTC, matching the batch/DuckDB view; the
+    conversion is session-timezone-independent (session.instant_ts).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import instant_ts
+
     # The file-stream source requires a DIRECTORY to watch; the testdata table
     # is a single parquet file. Stage a symlink dir (local-mode shim — in a
     # real deployment readStream points at the directory files arrive in).
@@ -59,7 +65,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     stream = spark.readStream.schema(_EVENTS_RAW).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return instant_ts(stream, "ts")
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:

@@ -145,3 +145,15 @@ def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_pii_scrub", "doc_repetition", "embed_quantize_int8"]
+)
+def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
+    """The cleaning/quantization stages are pure per-row map work — their
+    plans must contain NO Exchange at any scale (the whole point of the
+    map-side fold in doc_repetition: per-doc bigram counting without an
+    explode+groupBy shuffle)."""
+    p = _plan(spark, sf_dir, name)
+    assert "Exchange" not in p

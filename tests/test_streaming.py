@@ -13,9 +13,11 @@ def _batch_events_instant(spark, sf_dir):
     read_events_stream: naive stored nanos taken as UTC wall-clock."""
     import os
 
+    from hadoop_3_0_0_beta1_gaia_spark.session import instant_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return instant_ts(df, "ts")
 
 
 def test_stream_equals_batch_windowed_counts(spark, sf_dir):
@@ -154,3 +156,34 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     b = {key(r): (r["user_id"], r["delay_s"], r["purchase_value"]) for r in batch_out.collect()}
     assert s == b and len(s) > 0
     assert all(0 <= d <= 1800 for (_u, d, _v) in s.values())
+
+
+def test_instant_ts_handles_both_stored_shapes(spark):
+    """pyspark <=4.0 reads parquet TIMESTAMP(NANOS) as bigint under the
+    legacy nanosAsLong conf; 4.1+ ignores that conf and yields TIMESTAMP_NTZ.
+    instant_ts must produce the identical instant from either shape, without
+    consulting the session timezone."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.session import instant_ts
+
+    nanos = 1704067207179575123  # 2024-01-01 00:00:07.179575123 UTC
+    as_long = spark.range(1).select(F.lit(nanos).alias("ts"))
+    as_ntz = spark.range(1).select(
+        F.expr(
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+            f"CAST({nanos} DIV 1000 AS DECIMAL(20,0)) / 1000000)"
+        ).alias("ts")
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {
+            kind: instant_ts(df).select(F.unix_micros("ts")).collect()[0][0]
+            for kind, df in [("long", as_long), ("ntz", as_ntz)]
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert got["long"] == got["ntz"] == nanos // 1000
+    passthrough = instant_ts(as_long).select(F.col("ts"))
+    assert instant_ts(passthrough).schema["ts"].dataType.simpleString() == "timestamp"
