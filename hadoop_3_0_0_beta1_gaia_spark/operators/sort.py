@@ -179,3 +179,48 @@ def global_rank(
         )
         .drop("__pid")
     )
+
+
+def global_running_total(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    total_name: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` under a total order, at
+    scale — the prefix-sum sibling of :func:`global_rank`.
+
+    Same two-phase shape: range-partition on the sort key, per-partition sums
+    become a tiny offsets map (one row per partition on the driver), and the
+    in-partition window sum plus the partition offset is the global prefix
+    sum. A single-partition ``sum() OVER (ORDER BY …)`` would serialize the
+    whole dataset through one task at 100 TB.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sums = dict(
+        part.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
+    )  # ≤ n entries — scale-safe
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    off_expr = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn(
+            total_name,
+            (F.sum(value_col).over(w) + off_expr[F.col("__pid")]).cast("long"),
+        )
+        .drop("__pid")
+    )

@@ -237,3 +237,178 @@ def embed_quantize_int8(spark, sf_dir):
             "n_saturated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking, sequence packing, temperature resampling
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64  # tokens per chunk
+_STRIDE = 48  # chunk stride (overlap = _CHUNK - _STRIDE)
+
+
+@register(
+    "doc_chunk_tokens",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE len({_TOKS}) >= 1),
+        s AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks), {_STRIDE})) AS start
+              FROM d)
+        SELECT doc_id,
+               CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, start, start + {_CHUNK - 1})) AS BIGINT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, start, start + {_CHUNK - 1}), ' '))
+                   AS chunk_fp
+        FROM s
+    """,
+    ref=f"sliding-window token chunking (chunk={_CHUNK}, stride={_STRIDE}) — the "
+    "context-window splitter of a training/RAG pipeline. Map-side sequence+slice "
+    "expressions, no shuffle; chunk md5 proves the exact token content of every "
+    "chunk across engines",
+)
+def doc_chunk_tokens(spark, sf_dir):
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+    s = d.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice("toks", F.col("start"), _CHUNK)
+    return s.select(
+        "doc_id",
+        F.expr(f"(start - 1) DIV {_STRIDE}").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+_MAX_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, len({_TOKS}) AS n FROM documents
+                   WHERE len({_TOKS}) >= 1),
+        c AS (SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum
+              FROM d),
+        spans AS (
+            SELECT doc_id, n, cum - n AS s, cum AS e,
+                   unnest(generate_series((cum - n) // {_MAX_LEN},
+                                          (cum - 1) // {_MAX_LEN})) AS pack_id
+            FROM c
+        )
+        SELECT CAST(pack_id AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(e, (pack_id + 1) * {_MAX_LEN})
+                        - greatest(s, pack_id * {_MAX_LEN})) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM spans GROUP BY pack_id
+    """,
+    ref=f"sequence packing for pretraining (documents concatenated in doc_id order, "
+    f"split into {_MAX_LEN}-token sequences; a document may span packs — the GPT-style "
+    "pack-then-split layout). The global token prefix sum uses the two-phase "
+    "range-partition scan (operators/sort.py global_running_total), NEVER a "
+    "single-partition window — the oracle's sum() OVER (ORDER BY) is the semantic "
+    "twin, not the plan",
+)
+def pack_training_sequences(spark, sf_dir):
+    from ..operators.sort import global_running_total
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    c = global_running_total(d, [F.col("doc_id")], "n", total_name="cum")
+    spans = c.select(
+        "doc_id",
+        "n",
+        (F.col("cum") - F.col("n")).alias("s"),
+        F.col("cum").alias("e"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(cum - n) DIV {_MAX_LEN}"),
+                F.expr(f"(cum - 1) DIV {_MAX_LEN}"),
+            )
+        ).alias("pack_id"),
+    )
+    tok_in_pack = F.least(
+        F.col("e"), (F.col("pack_id") + 1) * _MAX_LEN
+    ) - F.greatest(F.col("s"), F.col("pack_id") * _MAX_LEN)
+    return spans.groupBy(F.col("pack_id").cast("long").alias("pack_id")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(tok_in_pack).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_TEMP_C = 0.5  # base keep rate multiplier
+
+
+@register(
+    "corpus_temperature_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   count(*) OVER (PARTITION BY lang) AS n_l,
+                   count(*) OVER () AS n_total
+            FROM documents
+        ),
+        k AS (
+            SELECT lang, n_chars,
+                   least(1.0, {_TEMP_C} * sqrt(n_total::DOUBLE / n_l)) AS rate,
+                   ('0x' || substr(md5('tsample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       / {float(2**60)} AS frac
+            FROM t
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {duck_fround('any_value(rate)', 6)} AS rate,
+               CAST(sum(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN frac < rate THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM k GROUP BY lang
+    """,
+    ref="temperature-based language rebalancing (keep rate ∝ 1/sqrt(language share), "
+    "capped at 1 — the multilingual-corpus resampling rule): rare languages keep "
+    "everything, dominant languages are downsampled. Keep decisions are md5-derived "
+    "fractions (deterministic, engine-portable — never rand()); sqrt is IEEE "
+    "correctly-rounded so the rates are bit-identical without any cross-language "
+    "normalization sum",
+)
+def corpus_temperature_sample(spark, sf_dir):
+    from ..functions.dedup import md5_long
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lang_counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    total = d.agg(F.count("*").alias("n_total"))
+    rates = lang_counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), _TEMP_C * F.sqrt(F.col("n_total").cast("double") / F.col("n_l"))
+        ).alias("rate"),
+    )
+    frac = md5_long(F.concat(F.lit("tsample:"), F.col("doc_id").cast("string"))) / float(
+        2**60
+    )
+    keep = frac < F.col("rate")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            fround(F.first("rate"), 6).alias("rate"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("long").alias(
+                "kept_chars"
+            ),
+        )
+    )

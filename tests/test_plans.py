@@ -157,3 +157,35 @@ def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     explode+groupBy shuffle)."""
     p = _plan(spark, sf_dir, name)
     assert "Exchange" not in p
+
+
+def test_chunking_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking is explode+slice map work — no Exchange."""
+    p = _plan(spark, sf_dir, "doc_chunk_tokens")
+    assert "Exchange" not in p
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_dir):
+    """The per-language rate frame (|langs| rows) must broadcast back onto
+    the corpus — a shuffle join keyed on lang would put every document of one
+    language in one partition (maximal skew) at 100 TB."""
+    p = _plan(spark, sf_dir, "corpus_temperature_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sequence_packing_uses_range_partitioned_prefix_sum(spark, sf_dir):
+    """The global token prefix sum must run two-phase over a range
+    partitioning — a bare sum() OVER (ORDER BY doc_id) would serialize the
+    corpus through ONE task. The plan must show RangePartitioning and every
+    Window must be keyed (partitioned), never global."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries as _qs
+
+    df = _qs()["pack_training_sequences"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", analyzed.lower()):
+        assert "__pid" in m.group(1)
