@@ -202,3 +202,62 @@ def dedup_kept_corpus(spark, sf_dir):
     return joined.select(
         "doc_id", component.alias("component"), kept.alias("kept")
     )
+
+
+_RECALL_K = 5
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+        WITH exact_topk AS ({duckdb_cosine_topk("embeddings", query_where="vec_id < 100", k=_RECALL_K, round_digits=6)}),
+        approx_topk AS ({duckdb_ivf_topk("embeddings", query_where="vec_id < 100", num_centroids=8, round_digits=6, k=_RECALL_K, nprobe=3)}),
+        hits AS (
+            SELECT e.q_id, count(a.n_id) AS n_hit
+            FROM exact_topk e LEFT JOIN approx_topk a
+              ON a.q_id = e.q_id AND a.n_id = e.n_id
+            GROUP BY e.q_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(n_hit) AS BIGINT) AS n_hits,
+               (floor(sum(n_hit) * 1.0 / (count(*) * _RECALL_K_PLACEHOLDER) * 1000000 + 0.5)
+                    / 1000000) AS recall_at_k,
+               CAST(sum(CASE WHEN n_hit = _RECALL_K_PLACEHOLDER THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_perfect
+        FROM hits
+    """.replace("_RECALL_K_PLACEHOLDER", str(_RECALL_K)),
+    ref="ANN quality gate: recall@k of multi-probe IVF (nprobe=3) against the exact "
+    "brute-force top-k on the same query batch — the evaluation every ANN deployment "
+    "runs before trading exactness for the bucketed scan. Hit counting is a join on "
+    "(q_id, n_id) and recall is a ratio of exact integers (bit-portable); both "
+    "pipelines reuse the registered operators unchanged",
+)
+def ann_recall_at_k(spark, sf_dir):
+    from ..functions.rounding import fround
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = cosine_topk_vectorized(
+        emb, query_filter=F.col("id") < 100, k=_RECALL_K, round_digits=6
+    ).select("q_id", "n_id")
+    approx = ivf_topk(
+        emb, k=_RECALL_K, query_filter=F.col("id") < 100, nprobe=3, **_IVF
+    ).select(F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n"))
+    hits = (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_q")) & (F.col("n_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("a_n").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        fround(
+            F.sum("n_hit") / (F.count("*") * F.lit(_RECALL_K)), 6
+        ).alias("recall_at_k"),
+        F.sum((F.col("n_hit") == _RECALL_K).cast("long")).cast("long").alias(
+            "n_perfect"
+        ),
+    )
