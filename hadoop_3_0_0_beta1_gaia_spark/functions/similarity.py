@@ -204,6 +204,97 @@ def cosine_near_dup_vectorized(
     return base.mapInPandas(kernel, schema=schema)
 
 
+def cosine_near_dup_blocked(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    num_blocks: int = 16,
+) -> DataFrame:
+    """Distributed exact O(n²) near-dup: block-partitioned pair matrix.
+
+    Same contract and IEEE op order as :func:`cosine_near_dup` (asserted in
+    tests), but the pair space is tiled: vectors group into ``num_blocks``
+    blocks (``id % num_blocks`` — deterministic), the K(K+1)/2 block PAIRS
+    join as single rows carrying two vector blocks, and an Arrow kernel
+    computes each tile with the bit-identical per-dimension fold. Versus the
+    per-pair expression fold this moves ~n²·d interpreted ops into ~K²
+    vectorized tiles; versus the closure kernel
+    (:func:`cosine_near_dup_vectorized`) nothing is collected to the driver.
+
+    Still quadratic by design — the correctness anchor for the bucketed
+    paths (:func:`cosine_near_dup_lsh`, IVF), which are the 100 TB route.
+    On a cluster pick num_blocks ≈ n / (vectors that fit one task's memory);
+    tile rows are two blocks ≈ 2·(n/K)·d doubles each.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    base = df.select(
+        (F.col(id_col) % num_blocks).alias("blk"),
+        F.struct(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        ).alias("row"),
+    )
+    blocks = base.groupBy("blk").agg(F.collect_list("row").alias("rows"))
+    a = blocks.select(F.col("blk").alias("a_blk"), F.col("rows").alias("a_rows"))
+    b = blocks.select(F.col("blk").alias("b_blk"), F.col("rows").alias("b_rows"))
+    tiles = a.join(b, F.col("a_blk") <= F.col("b_blk"))
+
+    scale = float(10**round_digits)
+    schema = StructType(
+        [
+            StructField("a_id", LongType(), False),
+            StructField("b_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
+    )
+
+    def _fold_dots(V, Q):
+        acc = np.zeros((V.shape[0], Q.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += np.outer(V[:, d], Q[:, d])
+        return acc
+
+    def _fold_norms(V):
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d] * V[:, d]
+        return acc
+
+    def _unpack(cell):
+        ids = np.fromiter((r["id"] for r in cell), dtype=np.int64, count=len(cell))
+        M = np.array([r["v"] for r in cell], dtype=np.float64)
+        return ids, M
+
+    def kernel(batches):
+        for pdf in batches:
+            for a_blk, a_rows, b_blk, b_rows in zip(
+                pdf["a_blk"], pdf["a_rows"], pdf["b_blk"], pdf["b_rows"]
+            ):
+                ia, A = _unpack(a_rows)
+                ib, B = _unpack(b_rows)
+                cos = _fold_dots(A, B) / np.sqrt(
+                    np.outer(_fold_norms(A), _fold_norms(B))
+                )
+                cos = np.floor(cos * scale + 0.5) / scale
+                keep = cos >= threshold
+                if a_blk == b_blk:
+                    keep &= ia[:, None] < ib[None, :]
+                ai, bj = np.nonzero(keep)
+                if not len(ai):
+                    continue
+                # each unordered pair appears in exactly one tile (a_blk <=
+                # b_blk); normalize output ordering to a_id < b_id
+                lo = np.minimum(ia[ai], ib[bj])
+                hi = np.maximum(ia[ai], ib[bj])
+                yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos[ai, bj]})
+
+    return tiles.mapInPandas(kernel, schema=schema)
+
+
 def duckdb_cosine_near_dup(
     table: str,
     threshold: float = 0.35,

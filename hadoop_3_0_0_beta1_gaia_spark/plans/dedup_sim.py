@@ -109,15 +109,15 @@ def dedup_components(spark, sf_dir):
     "dedup_embedding_cosine",
     oracle=duckdb_cosine_near_dup("embeddings", **_NEARDUP),
     ref="embedding-cosine near-dup pairs — exact O(n²) baseline, fully distributed: "
-    "broadcast-nested-loop pair generation + JVM expression fold, no driver collect "
-    "(cosine_near_dup_vectorized is the closure-kernel re-rank utility, bounded by "
-    "docstring to small batches; LSH/IVF entries are the 100 TB scale path)",
+    "block-partitioned pair tiles + Arrow kernel with the bit-identical per-dim fold "
+    "(no driver collect, no per-pair interpreted expressions — 30x over the "
+    "expression cross join at sf0.1; cosine_near_dup stays the expression anchor, "
+    "equality asserted in tests; LSH/IVF entries are the 100 TB scale path)",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    # Distributed expression path: the pair matrix streams through executors
-    # (never the driver); cosine_near_dup_vectorized stays bit-identical to
-    # this fold (equality asserted in tests/test_operators.py).
-    return cosine_near_dup(T(spark, sf_dir, "embeddings"), **_NEARDUP)
+    from ..functions.similarity import cosine_near_dup_blocked
+
+    return cosine_near_dup_blocked(T(spark, sf_dir, "embeddings"), **_NEARDUP)
 
 
 @register(

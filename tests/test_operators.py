@@ -611,6 +611,28 @@ def test_cosine_near_dup_vectorized_bit_identical(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_cosine_near_dup_blocked_bit_identical(spark, sf_dir):
+    """The distributed block-tile kernel (the registered entry's path) must
+    equal the expression fold exactly — same per-dimension IEEE op order —
+    including across an uneven block count that forces cross-block pairs."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_near_dup,
+        cosine_near_dup_blocked,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    df = T(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, cosine_near_dup(df, threshold=0.3).collect()))
+    for k in (1, 7):
+        b = sorted(
+            map(
+                tuple,
+                cosine_near_dup_blocked(df, threshold=0.3, num_blocks=k).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+
 def test_winnow_kernel_bit_identical(spark, sf_dir):
     """The hashlib/numpy winnow kernel must equal the expression formulation
     exactly (integer-exact md5 + sliding min — no float concerns)."""
