@@ -101,10 +101,9 @@ def doc_pii_scrub(spark, sf_dir):
 
 _TOKS = duck_tokens("text")
 
-
-@register(
-    "doc_repetition",
-    oracle=f"""
+# Shared oracle body: per-doc repetition metrics (reused by the composite
+# filter pipeline below so the two entries cannot drift).
+_REPETITION_ORACLE = f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         ex AS (
             SELECT doc_id, len(toks) AS n_tokens,
@@ -124,7 +123,12 @@ _TOKS = duck_tokens("text")
                {duck_fround('coalesce(tb.top_bigram, 0) * 2.0 / greatest(len(d.toks), 1)', 4)}
                    AS top_bigram_frac
         FROM d LEFT JOIN tb ON d.doc_id = tb.doc_id
-    """,
+"""
+
+
+@register(
+    "doc_repetition",
+    oracle=_REPETITION_ORACLE,
     ref="repetition quality rules (distinct-token ratio + most-frequent-bigram mass, the "
     "Gopher-style repetition filters). Spark side is FULLY map-side: the per-doc top "
     "bigram count is a run-length scan over the sorted bigram array (sort_array + "
@@ -411,4 +415,120 @@ def corpus_temperature_sample(spark, sf_dir):
                 "kept_chars"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite keep/drop filter + bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS, _MAX_TOKENS = 20, 2000
+_MIN_DISTINCT, _MAX_TOPBG = 0.30, 0.20
+
+
+@register(
+    "corpus_filter_pipeline",
+    oracle=f"""
+        WITH rep AS ({_REPETITION_ORACLE})
+        SELECT CASE
+                 WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short'
+                 WHEN n_tokens > {_MAX_TOKENS} THEN 'too_long'
+                 WHEN distinct_ratio < {_MIN_DISTINCT} THEN 'low_diversity'
+                 WHEN top_bigram_frac > {_MAX_TOPBG} THEN 'repetitive'
+                 ELSE 'keep' END AS reason,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        FROM rep GROUP BY 1
+    """,
+    ref="end-to-end cleaning verdict: every document gets a keep/drop reason from the "
+    "prioritized Gopher-style rule chain (length bounds, token diversity, top-bigram "
+    "mass) — the report a pipeline operator reads before shipping a corpus. Reuses "
+    "the doc_repetition metrics verbatim (shared oracle CTE / shared Spark frame), "
+    "so rule inputs cannot drift from the audited metrics entry",
+)
+def corpus_filter_pipeline(spark, sf_dir):
+    rep = doc_repetition(spark, sf_dir)
+    reason = (
+        F.when(F.col("n_tokens") < _MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > _MAX_TOKENS, "too_long")
+        .when(F.col("distinct_ratio") < _MIN_DISTINCT, "low_diversity")
+        .when(F.col("top_bigram_frac") > _MAX_TOPBG, "repetitive")
+        .otherwise("keep")
+    )
+    return rep.groupBy(reason.alias("reason")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+    )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE len({_TOKS}) >= 2),
+        ex AS (
+            SELECT doc_id,
+                   unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks))) AS w2
+            FROM d
+        ),
+        uni AS (
+            SELECT w, count(*) AS u FROM
+                (SELECT unnest({_TOKS}) AS w FROM documents)
+            GROUP BY w
+        ),
+        bg AS (SELECT w1, w2, count(*) AS c2 FROM ex GROUP BY w1, w2),
+        scored AS (
+            SELECT ex.doc_id, ln(bg.c2 * 1.0 / uni.u) AS lnp
+            FROM ex JOIN bg USING (w1, w2) JOIN uni ON uni.w = ex.w1
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   list_reduce(list(lnp ORDER BY lnp), (a, b) -> a + b) AS s
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               {duck_fround('s / n_bigrams', 4)} AS avg_logprob
+        FROM per_doc
+    """,
+    ref="bigram-LM corpus fit score (the CCNet-style perplexity filter, with the LM "
+    "trained on the corpus itself): avg ln P(w2|w1) per document under MLE counts. "
+    "The per-doc float sum folds over the VALUE-SORTED logprob list on both engines "
+    "(sorted left-fold — identical IEEE op order), never an unordered SUM, so the "
+    "order-dependent accumulation cannot diverge",
+)
+def doc_bigram_logprob(spark, sf_dir):
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    n = F.size("toks")
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, n - 1).alias("w1"), F.slice("toks", 2, n - 1).alias("w2")
+    )
+    ex = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    bg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        ex.join(bg, ["w1", "w2"])
+        .join(uni, ex.w1 == uni.w)
+        .select("doc_id", F.log(F.col("c2") * 1.0 / F.col("u")).alias("lnp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list("lnp")), F.lit(0.0), lambda a, x: a + x
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", fround(F.col("s") / F.col("n_bigrams"), 4).alias("avg_logprob")
     )
