@@ -644,3 +644,87 @@ def test_winnow_kernel_bit_identical(spark, sf_dir):
     a = sorted(map(tuple, _winnow_frame_expr(spark, sf_dir).collect()))
     b = sorted(map(tuple, _winnow_frame(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_global_running_total_matches_single_partition_window(spark):
+    """Two-phase prefix sum == the naive single-partition window result."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.sort import global_running_total
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = {
+        r["id"]: r["cum"]
+        for r in global_running_total(
+            df, [F.col("id")], "n", total_name="cum", num_partitions=7
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, n in rows:
+        acc += n
+        want[i] = acc
+    assert got == want
+
+
+def test_pack_training_sequences_invariants(spark, sf_dir):
+    """Token conservation + pack geometry: every pack except the last holds
+    exactly MAX_LEN tokens, pack ids are contiguous from 0, and the total
+    packed token count equals the corpus token count."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _MAX_LEN,
+        pack_training_sequences,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.text_metrics import tokens
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    packs = sorted(
+        (r["pack_id"], r["n_tokens"])
+        for r in pack_training_sequences(spark, sf_dir).collect()
+    )
+    ids = [p for p, _ in packs]
+    assert ids == list(range(len(ids)))
+    assert all(n == _MAX_LEN for _, n in packs[:-1])
+    assert 0 < packs[-1][1] <= _MAX_LEN
+    total = (
+        T(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(n for _, n in packs) == total
+
+
+def test_doc_chunk_tokens_covers_every_token(spark, sf_dir):
+    """Chunk geometry: chunk 0 starts at token 1, consecutive chunk ids step
+    by the stride, every chunk holds <= CHUNK tokens, and the final chunk of
+    each doc reaches the doc's last token (full coverage)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _CHUNK,
+        _STRIDE,
+        doc_chunk_tokens,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.text_metrics import tokens
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    chunks = {}
+    for r in doc_chunk_tokens(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_chunk_tokens"]))
+    doc_len = {
+        r["doc_id"]: r["n"]
+        for r in T(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+        if r["n"] >= 1
+    }
+    assert set(chunks) == set(doc_len)
+    for doc_id, cl in chunks.items():
+        cl.sort()
+        assert [c for c, _ in cl] == list(range(len(cl)))
+        assert all(1 <= n <= _CHUNK for _, n in cl)
+        last_id, last_n = cl[-1]
+        assert last_id * _STRIDE + last_n == doc_len[doc_id]
