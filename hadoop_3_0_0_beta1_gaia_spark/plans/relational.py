@@ -701,3 +701,41 @@ def q3_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "xml_records_parse",
+    oracle="""
+        SELECT event_id AS rec_id, event_type AS rec_type FROM events
+    """,
+    ref="StreamXmlRecordReader (hadoop-streaming StreamXmlRecordReader.java, SURVEY "
+    "§2.1) round trip: events are written as XML-tag-delimited text (distributed "
+    "df.write.text — never collected to the driver), read back through the "
+    "end-tag-split scan (a record cannot span splits, the reference's guarantee), "
+    "and field-extracted. The oracle is the original table, proving write + "
+    "tag-split read + extraction are lossless",
+)
+def xml_records_parse(spark, sf_dir):
+    import os as _os
+
+    from ..sources.text import read_xml_records
+
+    ev = T(spark, sf_dir, "events")
+    stage = _os.path.join(
+        "/tmp/gaia_spark_xml", sf_dir.strip("/").replace("/", "_"), "events"
+    )
+    xml = ev.select(
+        F.concat(
+            F.lit("<record><id>"),
+            F.col("event_id").cast("string"),
+            F.lit("</id><type>"),
+            F.col("event_type"),
+            F.lit("</type></record>"),
+        ).alias("value")
+    )
+    xml.write.mode("overwrite").text(stage)
+    recs = read_xml_records(spark, stage, "<record>", "</record>")
+    return recs.select(
+        F.regexp_extract("record", r"<id>([0-9]+)</id>", 1).cast("long").alias("rec_id"),
+        F.regexp_extract("record", r"<type>([^<]*)</type>", 1).alias("rec_type"),
+    )
