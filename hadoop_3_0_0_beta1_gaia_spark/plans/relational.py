@@ -739,3 +739,32 @@ def xml_records_parse(spark, sf_dir):
         F.regexp_extract("record", r"<id>([0-9]+)</id>", 1).cast("long").alias("rec_id"),
         F.regexp_extract("record", r"<type>([^<]*)</type>", 1).alias("rec_type"),
     )
+
+
+_MAPFILE_LOOKUP_KEYS = (100, 2500, 7777, 11000, 14999)
+
+
+@register(
+    "mapfile_point_lookup",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey IN {_MAPFILE_LOOKUP_KEYS}
+    """,
+    ref="MapFileOutputFormat.getEntry point lookup (LIB/output/MapFileOutputFormat.java:"
+    "127 + BloomMapFile): orders are written range-partitioned and sorted on the key "
+    "with a parquet bloom filter (the MapFile index + bloom analog), then looked up "
+    "by key — min/max row-group pruning + bloom skip serve the read, asserted via "
+    "PushedFilters in the plan tests",
+)
+def mapfile_point_lookup(spark, sf_dir):
+    import os as _os
+
+    from ..sources.writers import write_sorted
+
+    stage = _os.path.join(
+        "/tmp/gaia_spark_mapfile", sf_dir.strip("/").replace("/", "_"), "orders"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    write_sorted(o, stage, key="o_orderkey", bloom_cols=["o_orderkey"])
+    stored = spark.read.parquet(stage)
+    return stored.filter(F.col("o_orderkey").isin(*_MAPFILE_LOOKUP_KEYS))

@@ -189,3 +189,12 @@ def test_sequence_packing_uses_range_partitioned_prefix_sum(spark, sf_dir):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", analyzed.lower()):
         assert "__pid" in m.group(1)
+
+
+def test_mapfile_lookup_pushes_key_filter(spark, sf_dir):
+    """The point lookup must reach the parquet scan as a pushed filter (the
+    MapFile index/bloom analog) — a post-scan Filter over a full read would
+    be a table scan per lookup at 100 TB."""
+    p = _plan(spark, sf_dir, "mapfile_point_lookup")
+    pushed = p.split("PushedFilters", 1)[1][:300]
+    assert "o_orderkey" in pushed and "In(" in pushed
