@@ -1,12 +1,14 @@
-"""LLM training-data quality ops: PII scrubbing, repetition metrics, and
-embedding quantization.
+"""LLM corpus-preparation ops: PII scrubbing, repetition metrics, chunking,
+sequence packing, temperature resampling, quantization, filtering, LM scoring.
 
 These extend the reference's per-record transform surface (arbitrary logic in
 ``Mapper.map`` — MR-CORE .../mapreduce/Mapper.java:123) with the cleaning
-stages a 100 TB text/embedding corpus actually runs. Every op here is pure
-map-side built-in expressions — zero shuffles, embarrassingly parallel, no
-Python in the hot path — so the plan is a single WholeStageCodegen scan at
-any scale.
+stages a 100 TB text/embedding corpus actually runs. The per-document ops
+(scrub, repetition, chunking, quantization) are pure map-side built-in
+expressions — zero shuffles, plan-asserted; the corpus-level ops shuffle
+exactly where the semantics demand it (packing's two-phase prefix sum,
+temperature sampling's broadcast rate table, the LM's count joins) — see
+SCALE.md for the per-op posture.
 
 The documents testdata carries no natural PII, so ``doc_pii_scrub`` derives a
 deterministic PII-bearing column first (same derivation in the DuckDB oracle)
