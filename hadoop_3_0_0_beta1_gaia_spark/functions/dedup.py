@@ -55,14 +55,27 @@ def duck_md5_int32(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def normalized_fp(text_col: str = "text") -> Column:
+    """md5 fingerprint of whitespace-normalized lowercase text — THE exact-
+    dedup identity. Single definition; every consumer (exact dedup,
+    incremental dedup) must build on this so fingerprints cannot drift."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+
+
+def duck_normalized_fp(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`normalized_fp`."""
+    return f"md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct normalized text with the
     kept (minimum) id and the duplicate count. Single shuffle on fp."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return (
-        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        df.select(normalized_fp(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )
@@ -70,7 +83,7 @@ def exact_dedup_groups(
 
 def duckdb_exact_dedup(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""
-        SELECT md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS fp,
+        SELECT {duck_normalized_fp(text_col)} AS fp,
                min({id_col}) AS keep_id, count(*) AS n_copies
         FROM {table} GROUP BY 1
     """

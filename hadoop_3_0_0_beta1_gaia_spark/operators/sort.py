@@ -196,7 +196,17 @@ def global_running_total(
     in-partition window sum plus the partition offset is the global prefix
     sum. A single-partition ``sum() OVER (ORDER BY …)`` would serialize the
     whole dataset through one task at 100 TB.
+
+    ``value_col`` must be an integral column: integer prefix sums are exact
+    and association-order-free, so the two-phase result is deterministic.
+    A float column would silently truncate through the offsets map — rejected
+    instead.
     """
+    kind = df.schema[value_col].dataType.simpleString()
+    if kind not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_running_total needs an integral value_col; got {kind!r}"
+        )
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     connected_components,
+    duck_normalized_fp,
     duckdb_connected_components,
     duckdb_exact_dedup,
     duckdb_minhash_lsh,
@@ -270,8 +271,7 @@ _INCR_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
     "dedup_incremental_exact",
     oracle=f"""
         WITH fp AS (
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            SELECT doc_id, {duck_normalized_fp("text")} AS fp
             FROM documents
         ),
         existing AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {_INCR_SPLIT}),
@@ -279,34 +279,31 @@ _INCR_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
         fresh AS (
             SELECT b.doc_id, b.fp FROM batch b
             WHERE b.fp NOT IN (SELECT fp FROM existing)
-        ),
-        kept AS (
-            SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
-            FROM fresh GROUP BY fp
         )
         SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM batch) AS batch_docs,
             (SELECT CAST(count(*) AS BIGINT) FROM fresh) AS novel_docs,
-            (SELECT CAST(count(*) AS BIGINT) FROM kept) AS admitted_docs
+            (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM fresh) AS admitted_docs
     """,
     ref="incremental dedup — the steady-state shape of a corpus pipeline: a NEW batch "
-    "is admitted only where its normalized-text fingerprint is unseen in the existing "
+    "is admitted only where its normalized-text fingerprint (functions/dedup.py "
+    "normalized_fp — the same identity exact_dedup uses) is unseen in the existing "
     "corpus (left_anti join on fp — one shuffle keyed on the fingerprint, identical "
     "at 100 TB where 'existing' is the fingerprint store), then deduped within "
-    "itself (the exact_dedup groupBy). Reports batch/novel/admitted counts",
+    "itself. Reports batch/novel/admitted counts; the anti-joined frame is persisted "
+    "so the summary aggregates share one pass",
 )
 def dedup_incremental_exact(spark, sf_dir):
+    from ..functions.dedup import normalized_fp
+
     d = T(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    fp = d.select("doc_id", F.md5(norm).alias("fp"))
+    fp = d.select("doc_id", normalized_fp("text").alias("fp"))
     existing = fp.filter(F.col("doc_id") < _INCR_SPLIT).select("fp").distinct()
     batch = fp.filter(F.col("doc_id") >= _INCR_SPLIT)
-    fresh = batch.join(existing, "fp", "left_anti")
-    kept = fresh.groupBy("fp").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    )
-    return (
-        batch.agg(F.count("*").cast("long").alias("batch_docs"))
-        .crossJoin(fresh.agg(F.count("*").cast("long").alias("novel_docs")))
-        .crossJoin(kept.agg(F.count("*").cast("long").alias("admitted_docs")))
+    fresh = batch.join(existing, "fp", "left_anti").persist()
+    return batch.agg(F.count("*").cast("long").alias("batch_docs")).crossJoin(
+        fresh.agg(
+            F.count("*").cast("long").alias("novel_docs"),
+            F.countDistinct("fp").cast("long").alias("admitted_docs"),
+        )
     )

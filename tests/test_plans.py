@@ -148,7 +148,8 @@ def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["doc_pii_scrub", "doc_repetition", "embed_quantize_int8"]
+    "name",
+    ["doc_pii_scrub", "doc_repetition", "embed_quantize_int8", "doc_chunk_tokens"],
 )
 def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     """The cleaning/quantization stages are pure per-row map work — their
@@ -156,12 +157,6 @@ def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     map-side fold in doc_repetition: per-doc bigram counting without an
     explode+groupBy shuffle)."""
     p = _plan(spark, sf_dir, name)
-    assert "Exchange" not in p
-
-
-def test_chunking_shuffle_free(spark, sf_dir):
-    """Sliding-window chunking is explode+slice map work — no Exchange."""
-    p = _plan(spark, sf_dir, "doc_chunk_tokens")
     assert "Exchange" not in p
 
 
