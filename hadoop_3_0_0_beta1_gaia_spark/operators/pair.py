@@ -135,6 +135,20 @@ def reduce_groups_pandas(
     return df.groupBy(key_col).applyInPandas(fn, schema=schema)
 
 
+def reduce_groups_arrow(
+    df: DataFrame,
+    fn: Callable,
+    schema: str,
+    key_col: str = "key",
+) -> DataFrame:
+    """Procedural Reducer on the low-overhead Arrow surface: per-group Python
+    via applyInArrow — the fn receives a ``pyarrow.Table`` and skips the
+    pandas conversion applyInPandas pays per group (~6x faster on many small
+    groups; same per-group call semantics). Sort inside fn if iteration
+    order matters."""
+    return df.groupBy(key_col).applyInArrow(fn, schema=schema)
+
+
 def with_counter(
     df: DataFrame, name: str, *exprs: Column
 ) -> tuple[DataFrame, Observation]:
