@@ -1053,3 +1053,52 @@ def events_funnel(spark, sf_dir):
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "cogroup_order_fill",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(l.l_quantity), 0) AS BIGINT) AS total_qty,
+               coalesce(round(sum(l.l_extendedprice), 2), 0.0) AS items_price
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    """,
+    ref="two-sided procedural reducer: the datajoin TaggedMapOutput/cross-product "
+    "surface (hadoop-datajoin DataJoinReducerBase.java:47) expressed as "
+    "cogroup().applyInPandas — both sides of a key arrive together as pandas "
+    "frames, the general form when per-key logic is not an equi-join expression. "
+    "Here: per-order lineitem rollup incl. orders with no lineitems (the "
+    "outer-join case the reference's combine() handles via unwritten tuple slots)",
+)
+def cogroup_order_fill(spark, sf_dir):
+    import pandas as pd
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+    def fn(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if not len(odf):  # lineitems with no order row: not emitted (LEFT join)
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_items", "total_qty", "items_price"]
+            )
+        price = float(ldf["l_extendedprice"].sum()) if len(ldf) else 0.0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_items": [len(ldf)],
+                "total_qty": [int(ldf["l_quantity"].sum()) if len(ldf) else 0],
+                "items_price": [round(price, 2)],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            fn, "o_orderkey long, n_items long, total_qty long, items_price double"
+        )
+    )
