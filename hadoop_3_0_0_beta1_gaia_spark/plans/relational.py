@@ -768,3 +768,66 @@ def mapfile_point_lookup(spark, sf_dir):
     write_sorted(o, stage, key="o_orderkey", bloom_cols=["o_orderkey"])
     stored = spark.read.parquet(stage)
     return stored.filter(F.col("o_orderkey").isin(*_MAPFILE_LOOKUP_KEYS))
+
+
+@register(
+    "codec_roundtrip_gzip",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    """,
+    ref="compression codec surface (COMMON/io/compress/GzipCodec.java, SURVEY §1.3): "
+    "orders written as gzip csv and read back must reproduce the table — the "
+    "splittability caveat (gzip = 1 task per file, like the reference) is why the "
+    "write goes through multiple part files",
+)
+def codec_roundtrip_gzip(spark, sf_dir):
+    import os as _os
+
+    stage = _os.path.join(
+        "/tmp/gaia_spark_codec", sf_dir.strip("/").replace("/", "_"), "orders_gz"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    (
+        o.repartition(8)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", "true")
+        .csv(stage)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .schema("o_orderkey long, o_orderpriority string, price decimal(18,2)")
+        .csv(stage)
+    )
+    return back
+
+
+@register(
+    "partitioned_output_lookup",
+    oracle="""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    """,
+    ref="MultipleOutputs / MultipleOutputFormat per-key routing (LIB/output/"
+    "MultipleOutputs.java:311, mapred/lib/MultipleOutputFormat.java:90,144) as a "
+    "partitioned sink: events written partitionBy(event_type), then two named "
+    "outputs read back through partition PRUNING (the scan lists only the two "
+    "matching directories — asserted via PartitionFilters in the plan tests)",
+)
+def partitioned_output_lookup(spark, sf_dir):
+    import os as _os
+
+    stage = _os.path.join(
+        "/tmp/gaia_spark_partout", sf_dir.strip("/").replace("/", "_"), "events_by_type"
+    )
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    back = spark.read.parquet(stage)
+    return back.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type"
+    )

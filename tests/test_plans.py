@@ -207,3 +207,13 @@ def test_readme_lists_every_inventory_entry():
     ).read()
     missing = [n for n in all_entries() if f"`{n}`" not in readme]
     assert not missing, f"README coverage map missing: {missing}"
+
+
+def test_partitioned_output_lookup_prunes_partitions(spark, sf_dir):
+    """The per-key routed read must prune to the two matching partition
+    directories — PartitionFilters on event_type, and the value columns'
+    scan must not read the partition column as data."""
+    p = _plan(spark, sf_dir, "partitioned_output_lookup")
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters", 1)[1][:200]
+    assert "event_type" in pf
