@@ -18,6 +18,7 @@ from ..operators.join import broadcast_join, datajoin_theta, override_join
 from ..operators.keyfield import duckdb_order_by, keyfield_sort_columns
 from ..functions.dedup import duck_md5_long
 from ..operators.sort import global_rank, record_stats, total_order_sort
+from ..session import stage_dir
 from ..session import table as T
 from .registry import register
 
@@ -716,14 +717,10 @@ def q3_shipping_priority(spark, sf_dir):
     "tag-split read + extraction are lossless",
 )
 def xml_records_parse(spark, sf_dir):
-    import os as _os
-
     from ..sources.text import read_xml_records
 
     ev = T(spark, sf_dir, "events")
-    stage = _os.path.join(
-        "/tmp/gaia_spark_xml", sf_dir.strip("/").replace("/", "_"), "events"
-    )
+    stage = stage_dir("/tmp/gaia_spark_xml", sf_dir, "events")
     xml = ev.select(
         F.concat(
             F.lit("<record><id>"),
@@ -757,13 +754,9 @@ _MAPFILE_LOOKUP_KEYS = (100, 2500, 7777, 11000, 14999)
     "PushedFilters in the plan tests",
 )
 def mapfile_point_lookup(spark, sf_dir):
-    import os as _os
-
     from ..sources.writers import write_sorted
 
-    stage = _os.path.join(
-        "/tmp/gaia_spark_mapfile", sf_dir.strip("/").replace("/", "_"), "orders"
-    )
+    stage = stage_dir("/tmp/gaia_spark_mapfile", sf_dir, "orders")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     write_sorted(o, stage, key="o_orderkey", bloom_cols=["o_orderkey"])
     stored = spark.read.parquet(stage)
@@ -782,11 +775,7 @@ def mapfile_point_lookup(spark, sf_dir):
     "write goes through multiple part files",
 )
 def codec_roundtrip_gzip(spark, sf_dir):
-    import os as _os
-
-    stage = _os.path.join(
-        "/tmp/gaia_spark_codec", sf_dir.strip("/").replace("/", "_"), "orders_gz"
-    )
+    stage = stage_dir("/tmp/gaia_spark_codec", sf_dir, "orders_gz")
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -820,11 +809,7 @@ def codec_roundtrip_gzip(spark, sf_dir):
     "matching directories — asserted via PartitionFilters in the plan tests)",
 )
 def partitioned_output_lookup(spark, sf_dir):
-    import os as _os
-
-    stage = _os.path.join(
-        "/tmp/gaia_spark_partout", sf_dir.strip("/").replace("/", "_"), "events_by_type"
-    )
+    stage = stage_dir("/tmp/gaia_spark_partout", sf_dir, "events_by_type")
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
     back = spark.read.parquet(stage)

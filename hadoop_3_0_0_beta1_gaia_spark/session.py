@@ -111,6 +111,14 @@ def instant_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df.withColumn(col, F.timestamp_micros(micros))
 
 
+def stage_dir(prefix: str, sf_dir: str, name: str) -> str:
+    """Local staging path for queries that exercise a write+read round trip
+    (xml/mapfile/codec/partitioned sinks, streaming source dirs): one
+    sanitization rule for every stage so concurrent SFs cannot collide.
+    Local-mode shim — on a cluster these would be real warehouse paths."""
+    return os.path.join(prefix, sf_dir.strip("/").replace("/", "_"), name)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; return the frames."""
     out = {}

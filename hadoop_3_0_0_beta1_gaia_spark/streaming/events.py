@@ -51,15 +51,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall-clock is taken as UTC, matching the batch/DuckDB view; the
     conversion is session-timezone-independent (session.instant_ts).
     """
-    from ..session import instant_ts
+    from ..session import instant_ts, stage_dir
 
     # The file-stream source requires a DIRECTORY to watch; the testdata table
     # is a single parquet file. Stage a symlink dir (local-mode shim — in a
     # real deployment readStream points at the directory files arrive in).
     src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-    stage = os.path.join(
-        "/tmp/gaia_spark_stream", sf_dir.strip("/").replace("/", "_"), "events"
-    )
+    stage = stage_dir("/tmp/gaia_spark_stream", sf_dir, "events")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):

@@ -202,18 +202,25 @@ def test_readme_lists_every_inventory_entry():
 
     from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
 
-    readme = open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
-    ).read()
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md"
+    )
+    with open(path, encoding="utf-8") as f:
+        readme = f.read()
     missing = [n for n in all_entries() if f"`{n}`" not in readme]
     assert not missing, f"README coverage map missing: {missing}"
 
 
 def test_partitioned_output_lookup_prunes_partitions(spark, sf_dir):
     """The per-key routed read must prune to the two matching partition
-    directories — PartitionFilters on event_type, and the value columns'
-    scan must not read the partition column as data."""
+    directories — a NON-EMPTY PartitionFilters on event_type — and the value
+    scan must not read the partition column as data (it comes from the
+    directory layout, so ReadSchema excludes it)."""
     p = _plan(spark, sf_dir, "partitioned_output_lookup")
-    assert "PartitionFilters" in p
-    pf = p.split("PartitionFilters", 1)[1][:200]
-    assert "event_type" in pf
+    pf = p.split("PartitionFilters", 1)[1]
+    # the filter list itself (inside the first [...]) must mention the column
+    assert "event_type" in pf.split("]", 1)[0]
+    # the data schema line alone — the partition column must come from the
+    # directory layout, never the file scan
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "event_type" not in read_schema
