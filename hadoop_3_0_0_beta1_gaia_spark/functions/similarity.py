@@ -790,3 +790,127 @@ def duckdb_ivf_assign(
             FROM scored
         ) WHERE r = 1
     """
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product quantization encode: split each d-dim vector into ``m``
+    subvectors and replace each with the index of its nearest codeword —
+    the compression layer ANN deployments pair with IVF (vectors shrink from
+    d floats to m bytes; distances are then table lookups).
+
+    Deterministic seeding (no k-means in either engine): codebook j = the
+    j-th subvectors of the first ``k`` vectors by id, the same
+    sample-as-centroid rule :func:`ivf_probes` uses. Codeword choice ranks
+    by floor-rounded squared L2 (ordered per-dim fold) with codeword-id
+    tie-break, so both engines pick identical codes. Codebooks broadcast;
+    the scan side streams — one groupBy(id) shuffle to reassemble codes.
+
+    Output: (vec_id, codes 'c0-c1-...', recon_err = rounded sum of the m
+    subspace distances in subspace order).
+    """
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # codebooks are bounded (m*k*sub doubles, k rows collected) — embedded
+    # as literals, the hyperplane-constant rule (never recompute per row)
+    cents = [
+        list(r["v"]) for r in base.orderBy("id").limit(k).select("v").collect()
+    ]
+
+    subspaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    ex = base.select("id", "v", subspaces)
+    subvec = F.slice("v", F.col("j") * sub + 1, sub)
+    ex = ex.select("id", "j", subvec.alias("sv"))
+
+    # distance to codeword c in subspace j: fold over sub dims in order
+    d_cols = []
+    for c_idx, vec in enumerate(cents):
+        cw_by_j = F.array(*[
+            F.array(*[F.lit(float(vec[j * sub + t])) for t in range(sub)])
+            for j in range(m)
+        ])
+        cw = F.element_at(cw_by_j, F.col("j") + 1)
+        diff = F.zip_with(F.col("sv"), cw, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+        d_cols.append(fround(d, round_digits).alias(f"d{c_idx}"))
+    scored = ex.select("id", "j", *d_cols)
+    # argmin with codeword-id tie-break via least over structs
+    best = F.least(*[
+        F.struct(F.col(f"d{c}").alias("d"), F.lit(c).alias("c")) for c in range(k)
+    ])
+    per = scored.select(
+        "id", "j", best["d"].alias("dist"), best["c"].alias("code")
+    )
+    codes = (
+        per.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "code", "dist"))).alias("s"))
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(F.transform("s", lambda x: x["code"].cast("string")), "-").alias(
+                "codes"
+            ),
+            fround(
+                F.aggregate(
+                    F.transform("s", lambda x: x["dist"]),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                round_digits,
+            ).alias("recon_err"),
+        )
+    )
+    return codes
+
+
+def duckdb_pq_encode(
+    table: str,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    dist = (
+        "list_reduce(list_transform(range(1, {sub} + 1), "
+        "t -> (sv[t] - cw[t]) * (sv[t] - cw[t])), (a, b) -> a + b)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v FROM {table}
+        ),
+        dims AS (SELECT len(v) // {m} AS sub FROM base LIMIT 1),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv
+            FROM (SELECT id, v FROM base ORDER BY id LIMIT {k})
+        ),
+        ex AS (
+            SELECT id, j, list_slice(v, j * sub + 1, (j + 1) * sub) AS sv, sub
+            FROM base, dims, range(0, {m}) t(j)
+        ),
+        scored AS (
+            SELECT ex.id, ex.j, cents.c,
+                   {duck_fround(dist.format(sub="ex.sub").replace("cw", "list_slice(cents.cv, ex.j * ex.sub + 1, (ex.j + 1) * ex.sub)"), round_digits)} AS d
+            FROM ex CROSS JOIN cents
+        ),
+        best AS (
+            SELECT id, j, d, c,
+                   row_number() OVER (PARTITION BY id, j ORDER BY d, c) AS rk
+            FROM scored
+        ),
+        per AS (SELECT id, j, d, c FROM best WHERE rk = 1)
+        SELECT id AS {id_col},
+               string_agg(c::VARCHAR, '-' ORDER BY j) AS codes,
+               {duck_fround("list_reduce(list(d ORDER BY j), (a, b) -> a + b)", round_digits)} AS recon_err
+        FROM per GROUP BY id
+    """

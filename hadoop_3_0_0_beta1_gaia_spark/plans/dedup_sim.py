@@ -307,3 +307,21 @@ def dedup_incremental_exact(spark, sf_dir):
             F.countDistinct("fp").cast("long").alias("admitted_docs"),
         )
     )
+
+
+@register(
+    "pq_encode_vectors",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.similarity", fromlist=["duckdb_pq_encode"]
+    ).duckdb_pq_encode("embeddings", m=8, k=16),
+    ref="product quantization encode (m=8 subspaces, k=16 codewords) — the ANN "
+    "compression layer: vectors shrink to m codes; codebooks are the deterministic "
+    "sample-as-centroid rule ivf_probes uses, broadcast as literals; codeword choice "
+    "ranks by floor-rounded squared L2 (ordered per-dim fold) with id tie-break so "
+    "both engines pick identical codes; recon_err folds the m subspace distances in "
+    "subspace order",
+)
+def pq_encode_vectors(spark, sf_dir):
+    from ..functions.similarity import pq_encode
+
+    return pq_encode(T(spark, sf_dir, "embeddings"), m=8, k=16)
