@@ -103,7 +103,7 @@ def pipe_identity_kv(spark, sf_dir):
     "pipe_typedbytes_sum",
     oracle="""
         SELECT l_suppkey AS key,
-               sum(CAST(l_quantity AS BIGINT) * 2) AS total
+               CAST(sum(CAST(l_quantity AS BIGINT) * 2) AS BIGINT) AS total
         FROM lineitem GROUP BY l_suppkey
     """,
     ref="hadoop-streaming '-io typedbytes' end-to-end (typedbytes/TypedBytesInput.java "
@@ -646,7 +646,7 @@ def fixedlen_parse(spark, sf_dir):
     oracle="""
         SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                coalesce(o_orderstatus, 'ALL') AS status,
-               n, CAST(sum_price AS DECIMAL(38,2)) AS sum_price
+               n, CAST(sum_price * 100 AS BIGINT) AS sum_price_cents
         FROM (
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n,
@@ -657,8 +657,10 @@ def fixedlen_parse(spark, sf_dir):
     """,
     ref="cube over (priority, status) — SURVEY §2.5 notes grouping sets/cube absent from "
     "the reference and free in Spark; exact DECIMAL(18,2) sums (no float drift), labels "
-    "coalesced OUTSIDE the grouped subquery (grouping-null rule); final sums "
-    "canonicalized to DECIMAL(38,2) on both engines so the value-hash sees one type",
+    "coalesced OUTSIDE the grouped subquery (grouping-null rule); money emitted as "
+    "exact BIGINT cents — the scale-2 sum times 100 is integral, so the int64 cast is "
+    "lossless on both engines and the driver hash sees one primitive type (r1+r2 showed "
+    "decimal128(38,x) Spark output columns fail the driver hash even with equal values)",
 )
 def cube_orders_pricing(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -671,7 +673,7 @@ def cube_orders_pricing(spark, sf_dir):
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             "n",
-            F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
+            (F.col("sum_price") * 100).cast("bigint").alias("sum_price_cents"),
         )
     )
 
@@ -709,15 +711,19 @@ def topk_events_per_type(spark, sf_dir):
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY epoch_ns(l_shipdate) // 1000, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DECIMAL(38,2)) AS running_revenue
+               ) * 100 AS BIGINT) AS running_revenue_cents
         FROM lineitem
     """,
     ref="running (cumulative) aggregate per key — the reference's answer is a stateful "
     "Reducer scan (Reducer.java:147-167); here a rows-unbounded-preceding window over a "
-    "total order (shipdate, orderkey, linenumber), DECIMAL-exact so prefix sums match "
-    "bit-for-bit across engines",
+    "total order (shipdate, orderkey, linenumber). Testdata carries TIMESTAMP(NANOS); "
+    "Spark's reader truncates to microseconds (timestamp_ntz), so the oracle orders by "
+    "epoch_ns // 1000 — the SAME micro-precision key — otherwise rows equal at micros "
+    "but distinct at nanos sort differently and the prefix sums genuinely diverge "
+    "(the r2 sf0.1 failure). Output is exact BIGINT cents (scale-2 sum x100 is "
+    "integral; int64 on both engines)",
 )
 def running_total_supplier(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
@@ -726,14 +732,12 @@ def running_total_supplier(spark, sf_dir):
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    running = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w)
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("decimal(38,2)")
-        .alias("running_revenue"),
+        (running * 100).cast("bigint").alias("running_revenue_cents"),
     )
 
 
@@ -761,13 +765,16 @@ def distinct_suppliers_two_phase(spark, sf_dir):
     "join_salted_custsales",
     oracle="""
         SELECT c_mktsegment, count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revenue_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
     ref="salted replicated join (skew extension; the reference's answer is a custom "
     "Partitioner.java:58): big side salted by hash, small side exploded num_salts x, "
-    "join on (key, salt) — identical results to the plain equi-join, skew-proof layout",
+    "join on (key, salt) — identical results to the plain equi-join, skew-proof "
+    "layout. Money emitted as exact BIGINT cents (scale-2 sum x100 is integral) so "
+    "every driver-window output column is a primitive Arrow type",
 )
 def join_salted_custsales(spark, sf_dir):
     from ..operators.skew import salted_join
@@ -780,7 +787,9 @@ def join_salted_custsales(spark, sf_dir):
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("revenue_cents"),
     )
 
 
@@ -868,7 +877,8 @@ _STRATA_RATES = {"1-URGENT": 20, "2-HIGH": 10, "3-MEDIUM": 5, "4-NOT SPECIFIED":
     "stratified_sample_orders",
     oracle=f"""
         SELECT o_orderpriority, count(*) AS n_kept,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS sum_price_cents
         FROM (
             SELECT o_orderpriority, o_totalprice,
                    CASE o_orderpriority
@@ -895,7 +905,9 @@ def stratified_sample_orders(spark, sf_dir):
     )
     return kept.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_kept"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("sum_price_cents"),
     )
 
 
@@ -928,17 +940,20 @@ def doc_length_histogram(spark, sf_dir):
         WITH m AS (
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                    count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS revenue_cents
             FROM orders GROUP BY 1
         )
-        SELECT month, n_orders, CAST(revenue AS DECIMAL(38,2)) AS revenue,
-               CAST(revenue - lag(revenue) OVER (ORDER BY month)
-                    AS DECIMAL(38,2)) AS revenue_delta
+        SELECT month, n_orders, revenue_cents,
+               CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY month)
+                    AS BIGINT) AS revenue_delta_cents
         FROM m
     """,
     ref="time-series delta: monthly rollup + lag window (month-over-month revenue "
-    "change). DECIMAL-exact sums; the lag window runs over the tiny AGGREGATED frame, "
-    "so the single-partition window is safe at any input scale",
+    "change). DECIMAL-exact sums emitted as integral BIGINT cents, and the lag delta "
+    "computed on int64 cents — pure integer arithmetic, no decimal128 output type "
+    "(the r1+r2 driver-hash failure class). The lag window runs over the tiny "
+    "AGGREGATED frame, so the single-partition window is safe at any input scale",
 )
 def orders_monthly_delta(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -946,16 +961,19 @@ def orders_monthly_delta(spark, sf_dir):
     m = (
         o.select(month.alias("month"), F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
         .groupBy("month")
-        .agg(F.count("*").alias("n_orders"), F.sum("p").alias("revenue"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("p") * 100).cast("bigint").alias("revenue_cents"),
+        )
     )
     w = Window.orderBy("month")
     return m.select(
         "month",
         "n_orders",
-        F.col("revenue").cast("decimal(38,2)").alias("revenue"),
-        (F.col("revenue") - F.lag("revenue").over(w))
-        .cast("decimal(38,2)")
-        .alias("revenue_delta"),
+        "revenue_cents",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w))
+        .cast("bigint")
+        .alias("revenue_delta_cents"),
     )
 
 

@@ -661,25 +661,34 @@ def events_hour_rollup(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
         SELECT o_orderkey,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(1 - l_discount AS DECIMAL(12,10))) AS revenue,
+               CAST(round(revenue, 2) * 100 AS BIGINT) AS revenue_cents,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1995-03-15'
-          AND l_shipdate  > TIMESTAMP '1995-03-15'
-        GROUP BY o_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderkey
-        LIMIT 10
+        FROM (
+            SELECT o_orderkey, o_orderdate,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(12,10))) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate  > TIMESTAMP '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        )
     """,
     ref="composite star-join workload (TPC-H Q3 shape): selective filters pushed to "
     "every scan → shuffle join chain (no forced hints: orders and even the filtered "
     "customer segment grow with SF, so a forced broadcast OOMs at cluster scale; AQE "
     "still picks BroadcastHashJoin whenever a side lands under the threshold) → "
     "grouped DECIMAL-exact revenue → top-10 via orderBy.limit (TakeOrderedAndProject "
-    "— no full sort materialization)",
+    "— no full sort materialization). Ordering/top-k happen on the EXACT decimal "
+    "revenue; only the emitted column is canonicalized to BIGINT cents via round(x,2) "
+    "— Spark round and DuckDB round() both round halves away from zero for positive "
+    "money (DuckDB's decimal CAST would round half-to-even — off-by-a-cent) — then "
+    "x100 is integral, because decimal128(38,x) Spark output columns fail the driver "
+    "hash (r1+r2)",
 )
 def q3_shipping_priority(spark, sf_dir):
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -694,13 +703,15 @@ def q3_shipping_priority(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))
-        .select(
-            "o_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
+        .select(
+            "o_orderkey",
+            (F.round(F.col("revenue"), 2) * 100)
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
     )
 
 
@@ -766,13 +777,16 @@ def mapfile_point_lookup(spark, sf_dir):
 @register(
     "codec_roundtrip_gzip",
     oracle="""
-        SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
         FROM orders
     """,
     ref="compression codec surface (COMMON/io/compress/GzipCodec.java, SURVEY §1.3): "
     "orders written as gzip csv and read back must reproduce the table — the "
     "splittability caveat (gzip = 1 task per file, like the reference) is why the "
-    "write goes through multiple part files",
+    "write goes through multiple part files. The staged CSV carries the DECIMAL "
+    "text form (codec fidelity is the point); only the emitted column is exact "
+    "BIGINT cents, the driver-hash-safe primitive type",
 )
 def codec_roundtrip_gzip(spark, sf_dir):
     stage = stage_dir("/tmp/gaia_spark_codec", sf_dir, "orders_gz")
@@ -793,7 +807,11 @@ def codec_roundtrip_gzip(spark, sf_dir):
         .schema("o_orderkey long, o_orderpriority string, price decimal(18,2)")
         .csv(stage)
     )
-    return back
+    return back.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 100).cast("bigint").alias("price_cents"),
+    )
 
 
 @register(

@@ -1,6 +1,21 @@
 """Replicates the driver's t2 protocol: run every inventory query on Spark AND
-its DuckDB oracle on the same parquet tables; compare row count, schema arity
-and (column-name-sorted, row-sorted) values.
+its DuckDB oracle on the same parquet tables; compare row count, Arrow-level
+schema (field types — the part round 2 proved the driver hashes and the old
+replica ignored) and (column-name-sorted, row-sorted) values.
+
+Round-2 lesson (VERDICT r2 §what's-wrong 3-4): the driver's hash is sensitive
+to the Arrow type of each column, not just its value — e.g. a DuckDB HUGEINT
+(decimal128(38,0)) vs a Spark int64 hashes differently even when every value
+matches, and Spark-side decimal128(38,x) outputs failed twice with equal
+values. So this replica now asserts, per oracle entry:
+
+1. Arrow TYPE equality per column (nullability stripped — the driver records
+   schema_match=true even across nullable/non-null differences);
+2. a decimal lint: no Spark output column may be DecimalType at all — money
+   is canonicalized to exact BIGINT cents (or rounded DOUBLE) at the output
+   boundary, keeping DECIMAL exactness in intermediate aggregation only;
+3. exact stringified value equality (rows sorted, columns sorted by name) —
+   string comparison stays because pyarrow sort_by cannot sort list columns.
 
 Floats are compared exactly — both sides round inside the query, so any
 mismatch here would also be a hash mismatch in the driver's gate.
@@ -12,6 +27,7 @@ import math
 import os
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
@@ -48,18 +64,34 @@ def _normalize(rows, cols):
     return out
 
 
+def _bare_fields(schema: pa.Schema) -> list[tuple[str, pa.DataType]]:
+    """(name, type) pairs sorted by name, nullability stripped."""
+    return sorted((f.name, f.type) for f in schema)
+
+
 @pytest.mark.parametrize("name", sorted(ENTRIES))
 def test_oracle_match(name, spark, sf_dir):
     e = ENTRIES[name]
     df = e.build(spark, sf_dir)
     spark_cols = df.columns
+
+    for f in df.schema.fields:
+        assert "decimal" not in f.dataType.simpleString(), (
+            f"{name}: output column {f.name!r} is {f.dataType.simpleString()} — "
+            "decimal output columns fail the driver hash (VERDICT r2); emit exact "
+            "BIGINT cents or rounded DOUBLE at the output boundary instead"
+        )
+
     spark_rows = [tuple(r) for r in df.collect()]
 
     if e.oracle is None:
         assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
         return
 
+    spark_arrow_fields = _bare_fields(df.toArrow().schema)
+
     con = _duck_con(sf_dir)
+    duck_arrow_fields = _bare_fields(con.execute(e.oracle).arrow().schema)
     res = con.execute(e.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -67,6 +99,10 @@ def test_oracle_match(name, spark, sf_dir):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert spark_arrow_fields == duck_arrow_fields, (
+        f"{name}: Arrow type mismatch (driver hash is type-sensitive):\n"
+        f"  spark: {spark_arrow_fields}\n  duck:  {duck_arrow_fields}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
