@@ -61,6 +61,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # drop persisted frames (LSH keyed buckets, two-phase rank frames)
+        # so a long bench session can't accumulate executor-memory cache
+        # across queries; within a query's reps caching behaves as in prod
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

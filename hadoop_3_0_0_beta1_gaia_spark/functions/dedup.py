@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.pair import with_counter
 from .rounding import duck_fround, fround
 from .text_metrics import duck_tokens, tokens
 
@@ -257,7 +258,9 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, rows_per_band: int = 4
+    sig: DataFrame,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the per-doc signature array and bucket on (band, banded signature
     string). Banding is a map-side array slice; buckets are formed by ONE
@@ -269,8 +272,14 @@ def lsh_candidate_pairs(
     reuse) — the groupBy shape computes it once and shuffles only (bucket
     key, id). Bucket sizes are near-duplicate cluster sizes (small by
     construction); a degenerate hot bucket (e.g. boilerplate-heavy corpora)
-    would blow up ANY LSH formulation quadratically — cap bucket size
-    upstream in that regime. Input: (id, sig array<long>).
+    would blow up ANY LSH formulation quadratically — ``max_bucket_size``
+    caps that: buckets with more than that many co-bucketed ids are DROPPED
+    (their members are boilerplate-identical; pair expansion over them is
+    k² noise, and they still surface through the remaining bands or the
+    exact-dedup pass). Dropped buckets are counted via a named observation
+    (``lsh_dropped_buckets`` / ``lsh_dropped_ids``, read with
+    :func:`lsh_drop_counter` — the reference's defensive-scan-guard posture,
+    SequenceFileInputFilter-style). Input: (id, sig array<long>).
 
     The signature length must divide evenly into bands: the slice here keeps
     only floor(size/rows_per_band) full bands while the DuckDB twin's
@@ -300,7 +309,33 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        buckets, _LAST_DROP_OBS[0] = with_counter(
+            buckets,
+            "lsh_bucket_cap",
+            F.sum((F.size("ids") > max_bucket_size).cast("long")).alias(
+                "lsh_dropped_buckets"
+            ),
+            F.sum(
+                F.when(F.size("ids") > max_bucket_size, F.size("ids")).otherwise(0)
+            ).alias("lsh_dropped_ids"),
+        )
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return expand_bucket_pairs(buckets).distinct()
+
+
+# Most-recent bucket-cap observation (set when lsh_candidate_pairs runs with
+# max_bucket_size); read AFTER an action on the returned frame.
+_LAST_DROP_OBS: list = [None]
+
+
+def lsh_drop_counter() -> dict:
+    """Metrics of the last capped lsh_candidate_pairs action:
+    {'lsh_dropped_buckets': n, 'lsh_dropped_ids': m}."""
+    obs = _LAST_DROP_OBS[0]
+    return dict(obs.get) if obs is not None else {}
 
 
 def expand_bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
@@ -333,6 +368,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact-Jaccard verify on candidates only.
@@ -367,7 +403,11 @@ def minhash_lsh_pairs(
     sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidate_pairs(minhash_signatures(sh_arr, num_hashes), rows_per_band)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh_arr, num_hashes),
+        rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
     a = sh_arr.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh_arr.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -5,12 +5,22 @@ The reference has no media operators; this is the LLM-pipeline extension
 metadata struct, and run decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The actual codecs (Pillow/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBBED: ``decode=fake`` produces a deterministic
-md5-seeded byte/feature tensor of the right shape (so the Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is fully real
-and testable); ``decode=real`` raises NotImplementedError at the exact point
-a codec would plug in.
+Decode paths:
+
+- ``decode=real`` — a REAL decoder for PNG, implemented on the standard
+  library alone (zlib inflate + scanline unfilter; 8-bit gray/RGB/RGBA/
+  palette, the common subset). Features are actual image statistics
+  (dimensions, per-channel means, a luminance histogram) and resize is a
+  genuine nearest-neighbor resample re-encoded as PNG. Non-PNG bytes still
+  raise NotImplementedError at the exact point a jpeg/ffmpeg codec would
+  plug in (those codecs are not in this container).
+- ``decode=fake`` — deterministic md5-seeded features with a DuckDB codegen
+  twin; this remains the ORACLE-CHECKED path (the registry entry), since the
+  driver testdata has no real media bytes.
+
+The pure-Python unfilter loop is fine for test-sized images; at production
+scale you would swap the body of ``png_decode`` for a C codec — every
+schema/batching/partitioning contract around it stays identical.
 
 Scale notes: media blobs dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at 128 MB so a partition holds a
@@ -23,6 +33,8 @@ batches, so one task never materializes more than
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -51,6 +63,147 @@ MEDIA_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 16
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (the `decode=real` path)
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # PNG color type → samples
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, interleaved pixels)``.
+
+    Standard-library-only: chunk walk + zlib inflate + per-scanline
+    unfilter (all five filter types: None/Sub/Up/Average/Paeth). Supports
+    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA,
+    non-interlaced (Adam7 rejected). Palette images are expanded to RGB.
+    """
+    if not data.startswith(PNG_MAGIC):
+        raise NotImplementedError(
+            "real decode implemented for PNG only; plug a jpeg/ffmpeg codec "
+            "here — the batching/schema contract is final"
+        )
+    pos, ihdr, plte, idat = len(PNG_MAGIC), None, None, []
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + payload + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _COLOR_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, color={color}, "
+            f"interlace={interlace}): 8-bit non-interlaced only"
+        )
+    ch = _COLOR_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _row in range(h):
+        ft = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                line[i] = (
+                    line[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += line
+        prev = line
+    if color == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        rgb = bytearray(len(out) * 3)
+        for j, idx in enumerate(out):
+            rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        out, ch = rgb, 3
+    return w, h, ch, bytes(out)
+
+
+def png_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+    """Encode interleaved 8-bit pixels as a minimal valid PNG (filter 0,
+    one IDAT). channels ∈ {1: gray, 3: RGB, 4: RGBA}."""
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    if len(pixels) != stride * h:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(h)
+    )
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_features(data: bytes, dim: int) -> list[float]:
+    """Actual image statistics from a decoded PNG: [w/4096, h/4096, ch/4,
+    per-channel mean/255 (4 slots, zero-padded), 9-bin luminance histogram
+    (normalized)] — deterministic, resolution-independent, and genuinely a
+    function of the pixels."""
+    w, h, ch, px = png_decode(data)
+    n = w * h
+    feats = [w / 4096.0, h / 4096.0, ch / 4.0]
+    for c in range(4):
+        if c < ch:
+            feats.append(sum(px[c::ch]) / n / 255.0)
+        else:
+            feats.append(0.0)
+    # luminance = mean over channels (gray: identity)
+    hist = [0] * 9
+    for j in range(n):
+        s = 0
+        for c in range(ch):
+            s += px[j * ch + c]
+        hist[min((s // ch) * 9 // 256, 8)] += 1
+    feats.extend(b / n for b in hist)
+    feats = feats[:dim]
+    feats.extend(0.0 for _ in range(dim - len(feats)))
+    return feats
 
 
 def _fake_features(seed: bytes, dim: int) -> list[float]:
@@ -110,15 +263,18 @@ def decode_features(
 
         for pdf in batches:
             if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires an image/audio codec "
-                    "(Pillow/ffmpeg) not present in this environment; "
-                    "plug it in here — the batching/schema contract is final"
-                )
-            feats = [
-                _fake_features(bytes(b) if b is not None else b"", dim)
-                for b in pdf["media"]
-            ]
+                # genuine decode: PNG via the stdlib codec above; other
+                # formats raise NotImplementedError inside png_decode at the
+                # exact point a jpeg/ffmpeg codec would plug in
+                feats = [
+                    _real_features(bytes(b), dim) if b is not None else None
+                    for b in pdf["media"]
+                ]
+            else:
+                feats = [
+                    _fake_features(bytes(b) if b is not None else b"", dim)
+                    for b in pdf["media"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -130,21 +286,43 @@ def decode_features(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def png_resize_nn(data: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor PNG resize, decode → resample → re-encode (stdlib
+    only). Palette inputs come back as RGB (png_decode expands them)."""
+    w, h, ch, px = png_decode(data)
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        sy = y * h // height
+        row = sy * w * ch
+        dst = y * width * ch
+        for x in range(width):
+            sx = x * w // width
+            out[dst + x * ch : dst + (x + 1) * ch] = px[
+                row + sx * ch : row + (sx + 1) * ch
+            ]
+    return png_encode(width, height, ch, bytes(out))
+
+
 def resize_stub(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
     """Image resize: metadata is updated for real (the Spark-side part); the
-    pixel transform is the stubbed kernel (md5-rehash of bytes when fake)."""
+    pixel transform is a genuine nearest-neighbor resample for PNG bytes
+    (``decode=real``) or an md5-rehash stand-in (``decode=fake``)."""
 
     schema = MEDIA_SCHEMA
 
     def kernel(batches: Iterator) -> Iterator:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError("plug a real resize codec here")
             pdf = pdf.copy()
-            pdf["media"] = [
-                hashlib.md5(bytes(b) + b"resize").digest() if b is not None else None
-                for b in pdf["media"]
-            ]
+            if decode == "real":
+                pdf["media"] = [
+                    png_resize_nn(bytes(b), width, height) if b is not None else None
+                    for b in pdf["media"]
+                ]
+            else:
+                pdf["media"] = [
+                    hashlib.md5(bytes(b) + b"resize").digest() if b is not None else None
+                    for b in pdf["media"]
+                ]
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

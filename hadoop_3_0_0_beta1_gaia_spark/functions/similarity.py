@@ -124,8 +124,13 @@ def cosine_near_dup(
         F.col("id").alias("b_id"), F.col("__v").alias("bv"), F.col("__n2").alias("bn")
     )
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    # norm product floored at 1e-300 (matching the numpy kernels and the
+    # DuckDB oracle): zero-norm vectors give cos=0 — excluded — everywhere,
+    # instead of 0/0=NaN, which Spark/SQL comparison treats as greater than
+    # any number (pair included) but numpy treats as not >= (pair dropped)
     cos = fround(
-        dot(F.col("av"), F.col("bv")) / F.sqrt(F.col("an") * F.col("bn")),
+        dot(F.col("av"), F.col("bv"))
+        / F.sqrt(F.greatest(F.col("an") * F.col("bn"), F.lit(1e-300))),
         round_digits,
     )
     return (
@@ -192,7 +197,13 @@ def cosine_near_dup_vectorized(
             V = np.array(list(pdf["__vec"]), dtype=np.float64)
             ids = pdf["id"].to_numpy(dtype=np.int64)
             nn = _fold_norms(V)
-            cos = _fold_dots(V, M) / np.sqrt(np.outer(nn, all_n2))
+            # norm floored at 1e-300 (same contract as cosine_topk_numpy and
+            # the DuckDB oracle): a zero-norm vector yields cos=0 — excluded —
+            # on BOTH engines, instead of numpy NaN (excluded) vs SQL NaN
+            # (sorts greater-than-everything: included)
+            cos = _fold_dots(V, M) / np.sqrt(
+                np.maximum(np.outer(nn, all_n2), 1e-300)
+            )
             cos = np.floor(cos * scale + 0.5) / scale
             # emit each unordered pair once: partition row id < global id
             keep = (ids[:, None] < all_ids[None, :]) & (cos >= threshold)
@@ -276,8 +287,10 @@ def cosine_near_dup_blocked(
             ):
                 ia, A = _unpack(a_rows)
                 ib, B = _unpack(b_rows)
+                # norm floored at 1e-300 — zero-norm rows give cos=0 (excluded)
+                # on both engines; see the note in cosine_near_dup_vectorized
                 cos = _fold_dots(A, B) / np.sqrt(
-                    np.outer(_fold_norms(A), _fold_norms(B))
+                    np.maximum(np.outer(_fold_norms(A), _fold_norms(B)), 1e-300)
                 )
                 cos = np.floor(cos * scale + 0.5) / scale
                 keep = cos >= threshold
@@ -310,7 +323,7 @@ def duckdb_cosine_near_dup(
         )
         SELECT a_id, b_id, cos FROM (
             SELECT a.id AS a_id, b.id AS b_id,
-                   {duck_fround('list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)', round_digits)} AS cos
+                   {duck_fround('list_dot_product(a.v, b.v) / sqrt(greatest(a.n2 * b.n2, 1e-300))', round_digits)} AS cos
             FROM base a JOIN base b ON a.id < b.id
         ) WHERE cos >= {threshold}
     """
@@ -564,8 +577,10 @@ def cosine_near_dup_lsh(
         F.col("bucket"), F.col("id").alias("b_id"), F.col("__v").alias("bv"), F.col("__n2").alias("bn")
     )
     pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    # same zero-norm epsilon floor as cosine_near_dup / the numpy kernels
     cos = fround(
-        dot(F.col("av"), F.col("bv")) / F.sqrt(F.col("an") * F.col("bn")),
+        dot(F.col("av"), F.col("bv"))
+        / F.sqrt(F.greatest(F.col("an") * F.col("bn"), F.lit(1e-300))),
         round_digits,
     )
     return (
@@ -602,7 +617,7 @@ def duckdb_cosine_near_dup_lsh(
         )
         SELECT a_id, b_id, cos FROM (
             SELECT a.id AS a_id, b.id AS b_id,
-                   {duck_fround('list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)', round_digits)} AS cos
+                   {duck_fround('list_dot_product(a.v, b.v) / sqrt(greatest(a.n2 * b.n2, 1e-300))', round_digits)} AS cos
             FROM base a
             JOIN buckets ba ON ba.id = a.id
             JOIN buckets bb ON TRUE

@@ -13,8 +13,9 @@ Supported aggregator names (reference semantics, incl. the quirky ones):
 - LongValueMax / LongValueMin              → max/min over numeric
 - StringValueMax / StringValueMin          → lexicographic max/min
 - UniqValueCount[:cap]                     → EXACT distinct count; the cap
-  TRUNCATES the set (UniqValueCount.java:63-75), i.e. least(count, cap) —
-  it is not an approximation.
+  TRUNCATES the set (UniqValueCount.java:63-75) — not an approximation —
+  and the reference's insert-then-check loop retains cap + 1 items before
+  stopping, so the capped report is least(count, cap + 1).
 - ValueHistogram                           → stats over the *frequency
   distribution* of values (ValueHistogram.java:38-169): unique item count,
   min/median/max/mean/stddev of per-item frequencies.
@@ -44,7 +45,12 @@ def _agg_expr(agg_type: str, value: Column, cap: int | None = None) -> Column:
         return F.min(value.cast("string"))
     if t == "UniqValueCount":
         c = F.countDistinct(value)
-        return F.least(c, F.lit(cap)) if cap is not None else c
+        # Byte-exact cap fidelity: UniqValueCount.java:87-92 checks the set
+        # size AFTER inserting (`numItems <= maxNumItems` where numItems is
+        # the size from the PREVIOUS put), so the retained set grows to
+        # maxNumItems + 1 before truncation kicks in — the report for a
+        # stream with more than `cap` distinct values is cap + 1, not cap.
+        return F.least(c, F.lit(cap + 1)) if cap is not None else c
     raise ValueError(f"unknown aggregator type {agg_type!r}")
 
 

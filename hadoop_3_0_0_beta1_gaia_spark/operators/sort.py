@@ -201,6 +201,13 @@ def global_running_total(
     and association-order-free, so the two-phase result is deterministic.
     A float column would silently truncate through the offsets map — rejected
     instead.
+
+    The range-partitioned frame stays persisted after return (the returned
+    DataFrame is lazy — unpersisting here would recompute it under the
+    caller's action, losing the guarantee that both phases saw identical
+    partitioning). Loop drivers (bench/soak) call
+    ``spark.catalog.clearCache()`` between iterations; one-shot callers can
+    do the same after their final action.
     """
     kind = df.schema[value_col].dataType.simpleString()
     if kind not in ("tinyint", "smallint", "int", "bigint"):

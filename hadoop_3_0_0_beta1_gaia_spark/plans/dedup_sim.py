@@ -277,8 +277,12 @@ _INCR_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
         existing AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {_INCR_SPLIT}),
         batch AS (SELECT doc_id, fp FROM fp WHERE doc_id >= {_INCR_SPLIT}),
         fresh AS (
+            -- NOT EXISTS, not NOT IN: NOT IN is three-valued under NULLs (a
+            -- NULL fp in `existing` would empty `fresh`; NULL-fp batch rows
+            -- would be dropped) while Spark's left_anti keeps them — NOT
+            -- EXISTS has exactly the anti-join's NULL semantics
             SELECT b.doc_id, b.fp FROM batch b
-            WHERE b.fp NOT IN (SELECT fp FROM existing)
+            WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = b.fp)
         )
         SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM batch) AS batch_docs,

@@ -117,12 +117,19 @@ def frame_sample_grid(spark, sf_dir):
 @register(
     "sessionize_events",
     oracle="""
-        WITH m AS (
+        WITH e AS (
+            -- micro-truncated working timestamp: Spark's TIMESTAMP(NANOS)
+            -- parquet read is micro precision, so gap/ordering comparisons
+            -- must happen at micros on both engines (see test_nanos_ties)
+            SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+            FROM events
+        ),
+        m AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_s
-            FROM events
+            FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
         s AS (

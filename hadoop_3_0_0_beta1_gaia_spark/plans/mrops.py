@@ -226,17 +226,23 @@ def seqfilter_percent(spark, sf_dir):
     "uniq_value_count",
     oracle="""
         SELECT event_type AS key,
-               least(count(DISTINCT user_id), 50) AS uniq_capped,
+               least(count(DISTINCT user_id), 51) AS uniq_capped,
                count(*) AS n
         FROM events GROUP BY event_type
     """,
-    ref="LIB/aggregate/UniqValueCount.java:35-75 — EXACT distinct count with a cap "
-    "(truncation, not approximation): least(countDistinct, cap)",
+    ref="LIB/aggregate/UniqValueCount.java:35-92 — EXACT distinct count with a cap "
+    "(truncation, not approximation). Byte-exact fidelity: the reference's "
+    "addNextValue checks the set size AFTER the put, so the retained set reaches "
+    "cap + 1 before truncation — capped report = least(countDistinct, cap + 1)",
 )
 def uniq_value_count(spark, sf_dir):
+    from ..operators.aggregate import _agg_expr
+
     ev = T(spark, sf_dir, "events")
     return ev.groupBy(F.col("event_type").alias("key")).agg(
-        F.least(F.countDistinct("user_id"), F.lit(50)).cast("long").alias("uniq_capped"),
+        _agg_expr("UniqValueCount", F.col("user_id"), cap=50)
+        .cast("long")
+        .alias("uniq_capped"),
         F.count("*").alias("n"),
     )
 
@@ -363,7 +369,8 @@ def salted_event_counts(spark, sf_dir):
         ),
         m AS (
             SELECT *, last_value(rv IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY ts, side, rv
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts) // 1000, side, rv
                        ROWS UNBOUNDED PRECEDING) AS asof_value
             FROM u
         )
@@ -371,7 +378,11 @@ def salted_event_counts(spark, sf_dir):
     """,
     ref="as-of join extension (operator Spark lacks; union + last_value-ignore-nulls window "
     "— one shuffle on the key, no range self-join): for each click, the user's most "
-    "recent prior-or-equal purchase value",
+    "recent prior-or-equal purchase value. The oracle orders by epoch_ns // 1000: "
+    "Spark's parquet reader truncates TIMESTAMP(NANOS) to micros, so the as-of "
+    "comparison must happen at MICRO precision on both engines — a purchase "
+    "nano-later but micro-equal to a click counts as prior-or-equal on both sides "
+    "(tests/test_nanos_ties.py pins this)",
 )
 def asof_purchase_value(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
@@ -397,11 +408,17 @@ def asof_purchase_value(spark, sf_dir):
               WHERE {_duck_md5_60("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 64 = 0) l
         JOIN (SELECT * FROM orders
               WHERE {_duck_md5_60("o_orderkey::VARCHAR")} % 16 = 0) o
-          ON l.l_shipdate >= o.o_orderdate
-         AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+          ON date_trunc('microseconds', l.l_shipdate)
+             >= date_trunc('microseconds', o.o_orderdate)
+         AND date_trunc('microseconds', l.l_shipdate)
+             <  date_trunc('microseconds', o.o_orderdate) + INTERVAL 7 DAY
     """,
     ref="range (interval) join extension — bucketed equi-join + refine predicate instead "
-    "of a quadratic non-equi join: lineitem ship events ∈ sampled 7-day order windows",
+    "of a quadratic non-equi join: lineitem ship events ∈ sampled 7-day order windows. "
+    "Window-membership compares at MICRO precision on both engines (date_trunc in the "
+    "oracle; Spark's nanos parquet read is micro-truncated already) — otherwise a "
+    "shipdate micro-equal but nano-before a window edge joins on one engine only "
+    "(tests/test_nanos_ties.py pins this)",
 )
 def range_join_ship_windows(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
@@ -524,12 +541,18 @@ def order_price_deciles(spark, sf_dir):
 
 
 _ORDER_GAPS_ORACLE = """
-        WITH g AS (
+        WITH o AS (
+            -- micro-truncated: Spark reads TIMESTAMP(NANOS) at micro
+            -- precision, so lag ordering/gaps must match at micros
+            SELECT o_custkey, date_trunc('microseconds', o_orderdate) AS o_orderdate
+            FROM orders
+        ),
+        g AS (
             SELECT o_custkey,
                    date_diff('second',
                              lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
                              o_orderdate) / 86400.0 AS gap
-            FROM orders
+            FROM o
         )
         SELECT o_custkey,
                count(*) AS n_orders,
@@ -1079,7 +1102,8 @@ def events_funnel(spark, sf_dir):
         SELECT o.o_orderkey,
                CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
                CAST(coalesce(sum(l.l_quantity), 0) AS BIGINT) AS total_qty,
-               coalesce(round(sum(l.l_extendedprice), 2), 0.0) AS items_price
+               CAST(coalesce(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100), 0)
+                    AS BIGINT) AS items_price_cents
         FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderkey
     """,
@@ -1088,7 +1112,10 @@ def events_funnel(spark, sf_dir):
     "cogroup().applyInPandas — both sides of a key arrive together as pandas "
     "frames, the general form when per-key logic is not an equi-join expression. "
     "Here: per-order lineitem rollup incl. orders with no lineitems (the "
-    "outer-join case the reference's combine() handles via unwritten tuple slots)",
+    "outer-join case the reference's combine() handles via unwritten tuple slots). "
+    "Money summed as exact integer cents on both sides — a float sum + round() "
+    "was a latent half-rule flake (Python banker's vs DuckDB half-away) and "
+    "summation-order-sensitive at the last ulp",
 )
 def cogroup_order_fill(spark, sf_dir):
     import pandas as pd
@@ -1101,15 +1128,21 @@ def cogroup_order_fill(spark, sf_dir):
     def fn(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         if not len(odf):  # lineitems with no order row: not emitted (LEFT join)
             return pd.DataFrame(
-                columns=["o_orderkey", "n_items", "total_qty", "items_price"]
+                columns=["o_orderkey", "n_items", "total_qty", "items_price_cents"]
             )
-        price = float(ldf["l_extendedprice"].sum()) if len(ldf) else 0.0
+        # per-row cents are exact in float64 (price < 1e7 ⇒ cents < 1e9 < 2^53
+        # with a fractional error ≪ 0.5), so round-then-sum is an exact integer
+        # fold — order-insensitive, unlike summing raw doubles
+        if len(ldf):
+            cents = int((ldf["l_extendedprice"] * 100).round().astype("int64").sum())
+        else:
+            cents = 0
         return pd.DataFrame(
             {
                 "o_orderkey": [key[0]],
                 "n_items": [len(ldf)],
                 "total_qty": [int(ldf["l_quantity"].sum()) if len(ldf) else 0],
-                "items_price": [round(price, 2)],
+                "items_price_cents": [cents],
             }
         )
 
@@ -1117,6 +1150,7 @@ def cogroup_order_fill(spark, sf_dir):
         o.groupBy("o_orderkey")
         .cogroup(li.groupBy("l_orderkey"))
         .applyInPandas(
-            fn, "o_orderkey long, n_items long, total_qty long, items_price double"
+            fn,
+            "o_orderkey long, n_items long, total_qty long, items_price_cents long",
         )
     )

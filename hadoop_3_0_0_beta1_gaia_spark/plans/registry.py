@@ -42,14 +42,20 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 
 
 # The driver's CORRECTNESS check covers the FIRST 50 registry entries, so the
-# window below is curated: one entry per SURVEY §2 operator family first (all
-# composite joins, sorts, set ops, field/keyfield/grep/pipe transforms, word
-# stats, aggregation framework, window/cube, sampling/filter, custom as-of and
-# range joins), then the LLM-pipeline essentials (dedup, LSH/IVF similarity,
-# text analysis) — redundant same-family variants and round-1-verified stable
-# entries (pipe_identity_kv, gen_text_wordcount: both driver-green in r1)
-# follow after position 50 and stay covered by the repo's own sf0.01
-# oracle gate (tests/test_inventory_oracle.py runs EVERY entry, not just 50).
+# window below is curated. Round-3 rotation (VERDICT r2 next-round item 3):
+# ~10 slots that were driver-green in r1+r2 and have a same-family green
+# representative still in-window rotate OUT (join_anti->join_semi,
+# set_except->set_intersect, keyfield_char_sort->keyfield_sorted_lines,
+# word_stats->word_count, map_inverse/kv_text_parse/nline_splits/
+# grep_regex_count->fieldsel_project+keyfield entries cover per-record
+# transforms and text parsing, doc_top_bigrams/doc_fingerprint->
+# doc_token_count+doc_winnow_near_dup). IN: the never-driver-validated
+# staging-dir sinks (mapfile/partitioned/codec/xml round trips — the most
+# environment-sensitive queries) and the corpus-prep + ANN-compression
+# headliners (pii scrub, sequence packing, temperature resample, bigram LM,
+# PQ encode, recall eval). Rotated-out entries stay covered by the repo's
+# own oracle gate (tests/test_inventory_oracle.py runs EVERY entry, with
+# Arrow-type equality since r3).
 _WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -57,7 +63,6 @@ _WINDOW: list[str] = [
     "join_outer_full",
     "join_override",
     "join_semi",
-    "join_anti",
     "join_theta_datajoin",
     "join_broadcast_parts",
     "join_salted_custsales",
@@ -70,29 +75,30 @@ _WINDOW: list[str] = [
     "union_multi_input",
     "distinct_segments",
     "set_intersect",
-    "set_except",
-    "map_inverse",
     "fieldsel_project",
     "keyfield_sorted_lines",
-    "keyfield_char_sort",
-    "kv_text_parse",
-    "grep_regex_count",
     "pipe_typedbytes_sum",
-    "nline_splits",
     "grouping_comparator_orders",
     "word_count",
-    "word_stats",
     "value_histogram_events",
     "seqfilter_percent",
     "cube_orders_pricing",
     "running_total_supplier",
     "orders_monthly_delta",
     "events_hour_rollup",
+    "mapfile_point_lookup",
+    "partitioned_output_lookup",
+    "codec_roundtrip_gzip",
+    "xml_records_parse",
+    "doc_pii_scrub",
+    "pack_training_sequences",
+    "corpus_temperature_sample",
+    "doc_bigram_logprob",
+    "pq_encode_vectors",
+    "ann_recall_at_k",
     "doc_token_count",
     "doc_quality",
     "doc_lang_id",
-    "doc_top_bigrams",
-    "doc_fingerprint",
     "doc_winnow_near_dup",
     "doc_tfidf_top_terms",
     "dedup_minhash_lsh",

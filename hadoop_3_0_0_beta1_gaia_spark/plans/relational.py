@@ -68,7 +68,7 @@ def q1_pricing_summary(spark, sf_dir):
                max(value)                              AS max_value,
                min(value)                              AS min_value,
                count(DISTINCT user_id)                 AS uniq_users,
-               least(count(DISTINCT user_id), 25)      AS uniq_users_cap25,
+               least(count(DISTINCT user_id), 26)      AS uniq_users_cap25,
                count(*)                                AS n_events
         FROM events GROUP BY event_type
     """,

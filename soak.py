@@ -56,6 +56,14 @@ def main() -> None:
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(T(spark, SF_DIR, "documents")).count()
     results["dedup"] = {"pairs": pairs, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()  # drop stage-persisted frames between stages
+
+    t0 = time.perf_counter()
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries as _qs
+
+    winnow = _qs()["doc_winnow_near_dup"](spark, SF_DIR).count()
+    results["winnow"] = {"rows": winnow, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
 
     t0 = time.perf_counter()
     li = T(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")

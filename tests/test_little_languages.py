@@ -237,11 +237,44 @@ def test_value_aggregate_descriptor_compiler(spark):
             "vmax": ("LongValueMax", "v"),
             "smin": ("StringValueMin", "u"),
             "uniq": ("UniqValueCount", "u"),
-            "uniq2": ("UniqValueCount:2", "u"),  # cap TRUNCATES (not approx)
+            # cap TRUNCATES (not approx); insert-then-check retains cap+1
+            # items (UniqValueCount.java:87-92), so 3 distinct under cap=2
+            # still reports 3
+            "uniq2": ("UniqValueCount:2", "u"),
         },
     ).collect()
     got = {r["k"]: (r["total"], r["vmax"], r["smin"], r["uniq"], r["uniq2"]) for r in out}
-    assert got == {"a": (45, 9, "u0", 3, 2), "b": (5, 5, "u9", 1, 1)}
+    assert got == {"a": (45, 9, "u0", 3, 3), "b": (5, 5, "u9", 1, 1)}
+
+
+def test_uniq_value_count_cap_fidelity(spark):
+    """Pin the reference's cap semantics on an adversarial stream: far more
+    distinct values than the cap. UniqValueCount.java:87-92 checks the set
+    size AFTER the put, so the retained set reaches cap + 1 before the guard
+    trips — the report is min(distinct, cap + 1), independent of arrival
+    order (duplicates never grow the TreeMap)."""
+    from hadoop_3_0_0_beta1_gaia_spark.operators.aggregate import value_aggregate
+
+    # 20 distinct values, shuffled arrival with interleaved duplicates
+    vals = [f"v{i:02d}" for i in range(20)]
+    rows = [("k", v) for v in vals + vals[::-1] + vals[5:15]]
+    df = spark.createDataFrame(rows, ["k", "u"])
+    out = value_aggregate(
+        df,
+        "k",
+        {
+            "cap3": ("UniqValueCount:3", "u"),
+            "cap19": ("UniqValueCount:19", "u"),
+            "cap20": ("UniqValueCount:20", "u"),
+            "cap99": ("UniqValueCount:99", "u"),
+            "uncapped": ("UniqValueCount", "u"),
+        },
+    ).collect()[0]
+    assert out["cap3"] == 4  # truncated at cap+1, NOT cap, NOT approximate
+    assert out["cap19"] == 20  # cap+1 == distinct: indistinguishable from full
+    assert out["cap20"] == 20  # cap >= distinct: exact count
+    assert out["cap99"] == 20
+    assert out["uncapped"] == 20
 
 
 def test_parse_descriptor():

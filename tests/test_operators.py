@@ -728,3 +728,165 @@ def test_doc_chunk_tokens_covers_every_token(spark, sf_dir):
         assert all(1 <= n <= _CHUNK for _, n in cl)
         last_id, last_n = cl[-1]
         assert last_id * _STRIDE + last_n == doc_len[doc_id]
+
+
+def test_lsh_bucket_cap_on_boilerplate_corpus(spark):
+    """A boilerplate-heavy corpus (hundreds of near-identical docs) lands in
+    one mega-bucket per band; without a cap the in-row pair expansion builds
+    k^2 pairs from a single giant collect_set row. With max_bucket_size the
+    mega-buckets are DROPPED (counted via the lsh_bucket_cap observation)
+    while distinct small clusters still pair up."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        lsh_drop_counter,
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    boiler = [(i, "the quick brown fox jumps over the lazy dog again and again")
+              for i in range(300)]
+    # one small genuine near-dup cluster with distinct shingles
+    cluster = [
+        (1000, "completely different legal disclaimer text block version one"),
+        (1001, "completely different legal disclaimer text block version one"),
+    ]
+    singles = [(2000 + i, f"unique document number {i} with its own words {i*7}")
+               for i in range(5)]
+    df = spark.createDataFrame(boiler + cluster + singles, ["doc_id", "text"])
+    sig = minhash_signatures(
+        shingle_arrays(df, n=3, id_col="doc_id", text_col="text"), num_hashes=16
+    )
+
+    uncapped = lsh_candidate_pairs(sig, rows_per_band=4)
+    assert uncapped.count() >= 300 * 299 // 2  # quadratic blowup is real
+
+    capped = lsh_candidate_pairs(sig, rows_per_band=4, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1000, 1001) in pairs  # small clusters survive the cap
+    assert not any(a < 300 and b < 300 for a, b in pairs)  # mega-bucket gone
+    metrics = lsh_drop_counter()
+    assert metrics["lsh_dropped_buckets"] >= 1
+    assert metrics["lsh_dropped_ids"] >= 300
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encode→decode round trip, plus hand-filtered
+    scanlines (Sub/Up/Average/Paeth) decoded against hand-computed pixels."""
+    import struct
+    import zlib
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        PNG_MAGIC,
+        png_decode,
+        png_encode,
+    )
+
+    # round trip: 3x2 RGB gradient
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90,
+                15, 25, 35, 45, 55, 65, 75, 85, 95])
+    data = png_encode(3, 2, 3, px)
+    assert data.startswith(PNG_MAGIC)
+    assert png_decode(data) == (3, 2, 3, px)
+
+    # gray + alpha and RGBA round trips
+    ga = bytes(range(8))
+    assert png_decode(png_encode(2, 2, 1, bytes([0, 128, 255, 7])))[3] == bytes(
+        [0, 128, 255, 7]
+    )
+    assert png_decode(png_encode(1, 2, 4, ga))[3] == ga
+
+    # hand-filtered grayscale 3x4, one row per filter type:
+    # row0 Sub:   raw 5, +3, +3      → 5, 8, 11
+    # row1 Up:    raw +1,+1,+1       → 6, 9, 12
+    # row2 Avg:   raw 2, 2, 2        → 2+(0+6)//2=5, 2+(5+9)//2=9, 2+(9+12)//2=12
+    # row3 Paeth: raw 1, 1, 1        → predictors: a=0,b=5,c=0→b; then
+    #             a=6,b=9,c=5: p=10 → pa=4,pb=1,pc=5 → b=9+1=10;
+    #             a=10,b=12,c=9: p=13 → pa=3,pb=1,pc=4 → b=12+1=13
+    scanlines = (
+        bytes([1, 5, 3, 3])
+        + bytes([2, 1, 1, 1])
+        + bytes([3, 2, 2, 2])
+        + bytes([4, 1, 1, 1])
+    )
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    handmade = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, got = png_decode(handmade)
+    assert (w, h, ch) == (3, 4, 1)
+    assert got == bytes([5, 8, 11, 6, 9, 12, 5, 9, 12, 6, 10, 13])
+
+    # palette expansion
+    plte = bytes([255, 0, 0, 0, 255, 0])  # idx0=red idx1=green
+    pal = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1, 0])))
+        + chunk(b"IEND", b"")
+    )
+    # scanline = filter byte 0 then indices [1, 0] → green, red
+    assert png_decode(pal) == (2, 1, 3, bytes([0, 255, 0, 255, 0, 0]))
+
+
+def test_multimodal_real_png_decode_end_to_end(spark):
+    """decode=real runs a GENUINE PNG decode inside the mapInPandas kernel:
+    features are actual pixel statistics, and non-PNG bytes raise at the
+    codec boundary. Resize is a real nearest-neighbor resample whose output
+    re-decodes to the requested dimensions."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        png_decode,
+        png_encode,
+        resize_stub,
+    )
+
+    # solid-color 4x4 RGB: mean R=200, G=100, B=50
+    solid = png_encode(4, 4, 3, bytes([200, 100, 50] * 16))
+    # black/white checker 2x2 gray
+    checker = png_encode(2, 2, 1, bytes([0, 255, 255, 0]))
+    rows = [
+        (1, "image", bytearray(solid), "png", 4, 4, None),
+        (2, "image", bytearray(checker), "png", 2, 2, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r["features"] for r in
+             decode_features(df, decode="real").collect()}
+    f1 = feats[1]
+    assert abs(f1[0] - 4 / 4096) < 1e-6 and abs(f1[2] - 3 / 4) < 1e-6
+    assert abs(f1[3] - 200 / 255) < 1e-4  # channel means are REAL pixel stats
+    assert abs(f1[4] - 100 / 255) < 1e-4
+    assert abs(f1[5] - 50 / 255) < 1e-4
+    f2 = feats[2]
+    assert abs(f2[3] - 127.5 / 255) < 1e-4
+    # luminance histogram: half the pixels at 0 (bin 0), half at 255 (bin 8)
+    assert abs(f2[7] - 0.5) < 1e-6 and abs(f2[15] - 0.5) < 1e-6
+
+    resized = {r["media_id"]: r for r in
+               resize_stub(df, 2, 2, decode="real").collect()}
+    w, h, ch, px = png_decode(bytes(resized[1]["media"]))
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes([200, 100, 50] * 4)  # solid stays solid
+    assert (resized[1]["width"], resized[1]["height"]) == (2, 2)
+
+    bad = spark.createDataFrame(
+        [(3, "image", bytearray(b"\xff\xd8notapng"), "jpeg", 1, 1, None)],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="PNG only|NotImplementedError"):
+        decode_features(bad, decode="real").collect()
