@@ -7,12 +7,13 @@ Arrow-batched Pandas UDFs over ``mapInPandas``.
 
 Decode paths:
 
-- ``decode=real`` — a REAL decoder for PNG, implemented on the standard
-  library alone (zlib inflate + scanline unfilter; 8-bit gray/RGB/RGBA/
-  palette, the common subset). Features are actual image statistics
-  (dimensions, per-channel means, a luminance histogram) and resize is a
-  genuine nearest-neighbor resample re-encoded as PNG. Non-PNG bytes still
-  raise NotImplementedError at the exact point a jpeg/ffmpeg codec would
+- ``decode=real`` — REAL decoders for PNG images (zlib inflate + scanline
+  unfilter; 8-bit gray/RGB/RGBA/palette) and PCM WAV audio (stdlib ``wave``;
+  8/16-bit), standard library alone. Features are actual signal statistics
+  (image: dimensions/channel means/luminance histogram; audio: duration/
+  RMS/zero-crossing rate/amplitude histogram) and resize is a genuine
+  nearest-neighbor resample re-encoded as PNG. Other formats raise
+  NotImplementedError at the exact point a jpeg/mp3/ffmpeg codec would
   plug in (those codecs are not in this container).
 - ``decode=fake`` — deterministic md5-seeded features with a DuckDB codegen
   twin; this remains the ORACLE-CHECKED path (the registry entry), since the
@@ -180,7 +181,71 @@ def png_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode PCM WAV bytes to ``(channels, framerate, sampwidth,
+    interleaved samples)`` — standard-library only (the ``wave`` module).
+    16-bit (signed LE) and 8-bit (unsigned, re-centered) PCM supported."""
+    import io
+    import sys
+    import wave
+    from array import array
+
+    if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+        raise NotImplementedError(
+            "real audio decode implemented for PCM WAV only; plug an "
+            "mp3/ffmpeg codec here — the batching/schema contract is final"
+        )
+    with wave.open(io.BytesIO(data), "rb") as w:
+        ch, sw, fr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = array("h")
+        arr.frombytes(frames)
+        if sys.byteorder == "big":  # WAV PCM is little-endian
+            arr.byteswap()
+        samples = arr.tolist()
+    elif sw == 1:  # 8-bit WAV is unsigned; re-center to signed
+        samples = [b - 128 for b in frames]
+    else:
+        raise NotImplementedError(f"PCM sample width {sw} not supported (1/2 only)")
+    return ch, fr, sw, samples
+
+
+def _real_audio_features(data: bytes, dim: int) -> list[float]:
+    """Actual audio statistics from decoded PCM: [duration_s/60 (capped),
+    channels/4, framerate/48k, RMS, zero-crossing rate, 9-bin |amplitude|
+    histogram (normalized)] — genuinely a function of the samples."""
+    ch, fr, sw, samples = wav_decode(data)
+    n = len(samples) // ch
+    if n == 0:
+        return [0.0] * dim
+    full = 32768.0 if sw == 2 else 128.0
+    mono = [sum(samples[i * ch : (i + 1) * ch]) / ch for i in range(n)]
+    rms = (sum(x * x for x in mono) / n) ** 0.5 / full
+    zcr = (
+        sum(1 for i in range(1, n) if (mono[i - 1] < 0) != (mono[i] < 0))
+        / max(n - 1, 1)
+    )
+    feats = [min(n / fr / 60.0, 1.0), ch / 4.0, fr / 48000.0, rms, zcr]
+    hist = [0] * 9
+    for x in mono:
+        hist[min(int(abs(x) / full * 9), 8)] += 1
+    feats.extend(b / n for b in hist)
+    feats = feats[:dim]
+    feats.extend(0.0 for _ in range(dim - len(feats)))
+    return feats
+
+
 def _real_features(data: bytes, dim: int) -> list[float]:
+    """Dispatch real decode by container magic: PNG → image statistics,
+    RIFF/WAVE → audio statistics; anything else raises at the plug point
+    where a jpeg/mp3/ffmpeg codec would go."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _real_audio_features(data, dim)
+    return _real_image_features(data, dim)
+
+
+def _real_image_features(data: bytes, dim: int) -> list[float]:
     """Actual image statistics from a decoded PNG: [w/4096, h/4096, ch/4,
     per-channel mean/255 (4 slots, zero-padded), 9-bin luminance histogram
     (normalized)] — deterministic, resolution-independent, and genuinely a

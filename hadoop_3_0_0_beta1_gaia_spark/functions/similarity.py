@@ -929,3 +929,173 @@ def duckdb_pq_encode(
                {duck_fround("list_reduce(list(d ORDER BY j), (a, b) -> a + b)", round_digits)} AS recon_err
         FROM per GROUP BY id
     """
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    num_codewords: int = 16,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the search half of the
+    compression layer :func:`pq_encode` provides.
+
+    The corpus is represented ONLY by its PQ codes (m small ints per vector);
+    each query keeps its full vector and precomputes the m×num_codewords
+    distance table dt[j][c] = fround(||q_subⱼ − codeword_jc||²) as an
+    expression over broadcast codebook literals. A pair's approximate
+    distance is then the j-ordered fold of m table lookups — no original
+    corpus vector is touched at scan time, which is the entire point at
+    100 TB: the scan side reads m bytes per vector instead of d floats, and
+    the query side ships only the tiny dt. Ranking is (adc_dist, n_id) with
+    floor-rounded terms, so both engines rank identically
+    (:func:`duckdb_pq_topk` is the codegen twin).
+
+    The query×codes join is a guarded cross join: queries are a bounded
+    re-rank batch by contract (same as :func:`cosine_topk`'s query side) and
+    broadcast; the corpus side streams. Output: (q_id, n_id, adc_dist, rk).
+    """
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # same deterministic sample-as-centroid codebook rule as pq_encode —
+    # bounded (num_codewords rows), embedded as literals
+    cents = [
+        list(r["v"])
+        for r in base.orderBy("id").limit(num_codewords).select("v").collect()
+    ]
+
+    codes = pq_encode(
+        df, m=m, k=num_codewords, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select(
+        F.col(id_col).alias("n_id"),
+        F.transform(F.split("codes", "-"), lambda s: s.cast("int")).alias("codes_arr"),
+    )
+
+    q = base
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    # dt[j][c]: fround'd squared L2 between the query's j-th subvector and
+    # codeword c's j-th subvector — identical term expression to pq_encode's
+    # code-assignment distances
+    dt = F.array(*[
+        F.array(*[
+            fround(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("v", j * sub + 1, sub),
+                        F.array(*[
+                            F.lit(float(cents[c][j * sub + t])) for t in range(sub)
+                        ]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                round_digits,
+            )
+            for c in range(num_codewords)
+        ])
+        for j in range(m)
+    ])
+    queries = q.select(F.col("id").alias("q_id"), dt.alias("dt"))
+
+    pairs = codes.crossJoin(F.broadcast(queries))
+    adc = fround(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at("dt", (j + 1).cast("int")),
+                (F.element_at("codes_arr", (j + 1).cast("int")) + 1).cast("int"),
+            ),
+        ),
+        round_digits,
+    )
+    scored = pairs.select("q_id", "n_id", adc.alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    return (
+        scored.select(
+            "q_id", "n_id", "adc_dist",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def duckdb_pq_topk(
+    table: str,
+    k: int = 5,
+    m: int = 8,
+    num_codewords: int = 16,
+    query_where: str = "TRUE",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB codegen twin of :func:`pq_topk`: same deterministic codebooks
+    (first num_codewords vectors by id), same fround'd per-subspace terms,
+    same j-ordered fold and (adc_dist, n_id) ranking."""
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    dist = (
+        "list_reduce(list_transform(range(1, {sub} + 1), "
+        "t -> (sv[t] - cw[t]) * (sv[t] - cw[t])), (a, b) -> a + b)"
+    )
+    cw_slice = "list_slice(cents.cv, ex.j * ex.sub + 1, (ex.j + 1) * ex.sub)"
+    qw_slice = "list_slice(cents.cv, qs.j * qs.sub + 1, (qs.j + 1) * qs.sub)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v FROM {table}
+        ),
+        dims AS (SELECT len(v) // {m} AS sub FROM base LIMIT 1),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv
+            FROM (SELECT id, v FROM base ORDER BY id LIMIT {num_codewords})
+        ),
+        ex AS (
+            SELECT id, j, list_slice(v, j * sub + 1, (j + 1) * sub) AS sv, sub
+            FROM base, dims, range(0, {m}) t(j)
+        ),
+        scored AS (
+            SELECT ex.id, ex.j, cents.c,
+                   {duck_fround(dist.format(sub="ex.sub").replace("cw", cw_slice), round_digits)} AS d
+            FROM ex CROSS JOIN cents
+        ),
+        assign AS (
+            SELECT id, j, c FROM (
+                SELECT id, j, c,
+                       row_number() OVER (PARTITION BY id, j ORDER BY d, c) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        ),
+        q AS (
+            SELECT id AS q_id, j, list_slice(v, j * sub + 1, (j + 1) * sub) AS sv, sub
+            FROM (SELECT * FROM base WHERE {query_where}), dims, range(0, {m}) qt(j)
+        ),
+        terms AS (
+            SELECT qs.q_id, assign.id AS n_id, qs.j,
+                   {duck_fround(dist.format(sub="qs.sub").replace("cw", qw_slice).replace("sv", "qs.sv"), round_digits)} AS term
+            FROM q qs
+            JOIN assign ON assign.j = qs.j
+            JOIN cents ON cents.c = assign.c
+        ),
+        dists AS (
+            SELECT q_id, n_id,
+                   {duck_fround("list_reduce(list(term ORDER BY j), (a, b) -> a + b)", round_digits)} AS adc_dist
+            FROM terms GROUP BY q_id, n_id
+        )
+        SELECT q_id, n_id, adc_dist, rk FROM (
+            SELECT q_id, n_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rk
+            FROM dists
+        ) WHERE rk <= {k}
+    """

@@ -329,3 +329,25 @@ def pq_encode_vectors(spark, sf_dir):
     from ..functions.similarity import pq_encode
 
     return pq_encode(T(spark, sf_dir, "embeddings"), m=8, k=16)
+
+
+@register(
+    "pq_topk_search_adc",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.similarity", fromlist=["duckdb_pq_topk"]
+    ).duckdb_pq_topk("embeddings", k=5, m=8, num_codewords=16, query_where="id < 100"),
+    ref="PQ asymmetric-distance (ADC) top-k — the search half of pq_encode_vectors: "
+    "queries precompute an m x k distance table over the broadcast codebooks; each "
+    "corpus vector is ranked by a j-ordered fold of m table lookups over its CODES "
+    "only (never its floats) — the memory-bandwidth shape that makes PQ the 100 TB "
+    "compression layer. fround'd terms + (adc_dist, n_id) ranking keep both engines "
+    "identical",
+)
+def pq_topk_search_adc(spark, sf_dir):
+    from ..functions.similarity import pq_topk
+
+    return pq_topk(
+        T(spark, sf_dir, "embeddings"),
+        k=5, m=8, num_codewords=16,
+        query_filter=F.col("id") < 100,
+    )

@@ -890,3 +890,54 @@ def test_multimodal_real_png_decode_end_to_end(spark):
     )
     with _pytest.raises(Exception, match="PNG only|NotImplementedError"):
         decode_features(bad, decode="real").collect()
+
+
+def test_multimodal_real_wav_decode_end_to_end(spark):
+    """decode=real also genuinely decodes PCM WAV audio (stdlib `wave`):
+    RMS/zero-crossing features match the analytically known values of a
+    generated sine tone and silence."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        wav_decode,
+    )
+
+    def make_wav(samples, fr=8000, ch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(fr)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    fr, amp, freq = 8000, 16384, 440.0
+    sine = [round(amp * math.sin(2 * math.pi * freq * i / fr)) for i in range(800)]
+    tone = make_wav(sine, fr)
+    silence = make_wav([0] * 400, fr)
+
+    ch, got_fr, sw, samples = wav_decode(tone)
+    assert (ch, got_fr, sw, len(samples)) == (1, 8000, 2, 800)
+    assert samples == sine  # decode is lossless
+
+    rows = [
+        (1, "audio", bytearray(tone), "wav", None, None, 100),
+        (2, "audio", bytearray(silence), "wav", None, None, 50),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in
+             decode_features(df, decode="real").collect()}
+    f_tone, f_sil = feats[1], feats[2]
+    assert abs(f_tone[0] - 0.1 / 60) < 1e-6          # duration 0.1 s
+    assert abs(f_tone[2] - 8000 / 48000) < 1e-6      # framerate
+    # sine RMS = amp/sqrt(2): 16384/32768/1.414 ≈ 0.3536
+    assert abs(f_tone[3] - (amp / 32768.0) / math.sqrt(2)) < 0.01
+    # zero crossings ≈ 2·f/fr = 0.11
+    assert abs(f_tone[4] - 2 * freq / fr) < 0.01
+    assert f_sil[3] == 0.0 and f_sil[4] == 0.0       # silence: zero RMS/ZCR
+    assert abs(f_sil[5] - 1.0) < 1e-9                # all samples in bin 0
