@@ -631,3 +631,103 @@ def duckdb_simhash32(table: str, id_col: str = "doc_id", text_col: str = "text")
         SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY id
     """
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup PAIRS within a Hamming radius — the search half of
+    :func:`simhash32` (which only fingerprints).
+
+    Classic banded exact-match (the web-dedup construction): split the
+    32-bit fingerprint into ``radius + 1`` byte-aligned bands — by
+    pigeonhole, two fingerprints within Hamming distance ``radius`` agree
+    EXACTLY on at least one band — bucket on (band index, band value) with
+    the same groupBy + in-row pair expansion every bucket-first candidate
+    generator here uses (one shuffle, never an all-pairs join), then verify
+    candidates with ``bit_count(a XOR b) <= radius``. Candidate volume is
+    linear in corpus size for real corpora; ``max_bucket_size`` guards the
+    degenerate boilerplate case exactly as in :func:`lsh_candidate_pairs`.
+
+    radius must be 1..7 so bands stay byte-sized on a 32-bit fingerprint
+    (radius+1 bands of ceil(32/(radius+1)) bits; bands are taken as equal
+    bit-slices). Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if not 1 <= radius <= 7:
+        raise ValueError("radius must be in 1..7 for a 32-bit fingerprint")
+    num_bands = radius + 1
+    width = (32 + num_bands - 1) // num_bands  # bits per band (last may be short)
+
+    sims = simhash32(df, id_col=id_col, text_col=text_col)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("band"),
+            (
+                F.floor(F.col("simhash") / F.pow(F.lit(2.0), j * width)).cast("long")
+                % (2 ** width)
+            ).alias("bval"),
+        ),
+    )
+    banded = sims.select("id", F.explode(bands).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    cands = expand_bucket_pairs(buckets).distinct()
+
+    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )
+
+
+def duckdb_simhash_hamming_pairs(
+    table: str,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`simhash_hamming_pairs` — same bands, same
+    pigeonhole bucketing, same bit_count(xor) verify."""
+    num_bands = radius + 1
+    width = (32 + num_bands - 1) // num_bands
+    return f"""
+        WITH sims AS ({duckdb_simhash32(table, id_col, text_col)}),
+        banded AS (
+            SELECT id, j AS band,
+                   CAST(floor(simhash / power(2, j * {width})) AS BIGINT)
+                       % {2 ** width} AS bval
+            FROM sims, range(0, {num_bands}) t(j)
+        ),
+        cands AS (
+            SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bval = y.bval AND x.id < y.id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM cands c
+        JOIN sims a ON a.id = c.id_a
+        JOIN sims b ON b.id = c.id_b
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+    """

@@ -81,6 +81,24 @@ def dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_hamming",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.dedup",
+        fromlist=["duckdb_simhash_hamming_pairs"],
+    ).duckdb_simhash_hamming_pairs("documents", radius=3),
+    ref="SimHash near-dup pair search within Hamming radius 3 — the banded "
+    "pigeonhole construction (radius+1 exact-match bands over the 32-bit "
+    "fingerprint, bucket-first with in-row pair expansion, bit_count(xor) "
+    "verify on candidates only) — the search half of dedup_simhash; one "
+    "shuffle, never an all-pairs join",
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    from ..functions.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(T(spark, sf_dir, "documents"), radius=3)
+
+
+@register(
     "knn_cosine_topk",
     oracle=duckdb_cosine_topk("embeddings", query_where="vec_id < 100", **_KNN),
     ref="brute-force cosine top-k ANN baseline over array<float> embeddings",

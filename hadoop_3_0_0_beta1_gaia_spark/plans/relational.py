@@ -834,3 +834,41 @@ def partitioned_output_lookup(spark, sf_dir):
     return back.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+    ref="TRUE CompositeInputFormat semantics (LIB/join/CompositeInputFormat.java:60-96: "
+    "sources 'identically partitioned and sorted' merge map-side, no shuffle): both "
+    "sides written as bucketed+sorted tables on the join key, then a merge-hinted "
+    "join reads co-located buckets — SortMergeJoin with ZERO Exchange on either side "
+    "(plan-asserted in tests/test_plans.py). The one-time bucketed write is the "
+    "analog of the reference requiring inputs laid out by a prior job's partitioner; "
+    "every subsequent join on the key is shuffle-free",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    from ..operators.join import bucketed_colocated_join
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    prefix = "gaia_bkt_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    joined = bucketed_colocated_join(
+        spark, o, c, key="custkey", num_buckets=8, table_prefix=prefix
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

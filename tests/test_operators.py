@@ -941,3 +941,30 @@ def test_multimodal_real_wav_decode_end_to_end(spark):
     assert abs(f_tone[4] - 2 * freq / fr) < 0.01
     assert f_sil[3] == 0.0 and f_sil[4] == 0.0       # silence: zero RMS/ZCR
     assert abs(f_sil[5] - 1.0) < 1e-9                # all samples in bin 0
+
+
+def test_simhash_hamming_pairs_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness: the banded bucket search must find EXACTLY
+    the pairs a brute-force scan of the fingerprints finds within the radius
+    (bands can only add candidates, never lose a within-radius pair)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        simhash32,
+        simhash_hamming_pairs,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents")
+    sims = {r["id"]: r["simhash"] for r in simhash32(docs).collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, radius=3).collect()
+    }
+    assert got == brute
+    assert brute, "fixture produced no within-radius pairs; test is vacuous"

@@ -224,3 +224,27 @@ def test_partitioned_output_lookup_prunes_partitions(spark, sf_dir):
     # directory layout, never the file scan
     read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
     assert "event_type" not in read_schema
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
+    """CompositeInputFormat parity: identically bucketed+sorted sides must
+    merge-join with ZERO Exchange in the physical plan (the reference's
+    map-side merge join reads pre-partitioned inputs with no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.operators.join import bucketed_colocated_join
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    joined = bucketed_colocated_join(
+        spark, o, c, key="custkey", num_buckets=4, table_prefix="gaia_bkt_plantest"
+    )
+    joined.count()  # force AQE to finalize the executed plan
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan[:2000]}"
