@@ -146,3 +146,52 @@ def test_fround_formula_is_halfup_floor(x, d):
     assert expected == math.floor(x * scale + 0.5) / scale  # self-consistent
     # and it's within one ulp-scaled step of true half-up rounding
     assert abs(expected - x) <= 0.5 / scale + 1e-9 * max(1.0, x)
+
+
+# ------------------------------------------------------------ stdlib codecs
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_random_images(w, h, ch, rng):
+    """png_encode → png_decode is the identity for any 8-bit pixel buffer
+    (gray / RGB / RGBA)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    assert png_decode(png_encode(w, h, ch, px)) == (w, h, ch, px)
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_random_audio(samples, ch, fr):
+    """wave-encode → wav_decode is the identity for any PCM16 sample buffer
+    (mono and stereo, several frame rates)."""
+    import io
+    import struct
+    import wave
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import wav_decode
+
+    if len(samples) % ch:
+        samples = samples[: len(samples) - (len(samples) % ch)] or [0] * ch
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(ch)
+        wv.setsampwidth(2)
+        wv.setframerate(fr)
+        wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    got_ch, got_fr, sw, got = wav_decode(buf.getvalue())
+    assert (got_ch, got_fr, sw, got) == (ch, fr, 2, samples)
