@@ -7,7 +7,12 @@ Stages:
   terasort   N×100-byte records: generate → checksum → total-order sort →
              TeraValidate (order within partitions, boundary keys, checksum).
   dedup      MinHash-LSH near-dup over documents at $SPARK_GRAFT_SF_DIR.
+  winnow     winnowing near-dup over documents (2nd-heaviest text pipeline).
   rank       two-phase global rank over lineitem (no single-partition window).
+  io         TestDFSIO analog (MR-JC fs/TestDFSIO.java): write N MB parquet,
+             read it back, report MB/s each way.
+  smalljob   MRBench analog (MR-JC mapred/MRBench.java): repeated tiny
+             map+reduce jobs; reports avg ms per job (scheduler overhead).
 
 Usage: python soak.py [n_tera_rows]   (default 2,000,000 ≈ 200 MB of records)
 """
@@ -73,6 +78,43 @@ def main() -> None:
     top = ranked.agg(F.max("rank").alias("m"), F.count("*").alias("n")).collect()[0]
     assert top["m"] == top["n"], (top["m"], top["n"])  # dense 1..N global rank
     results["rank"] = {"rows": int(top["n"]), "sec": round(time.perf_counter() - t0, 2)}
+
+    # TestDFSIO analog: parquet write/read throughput over generated rows.
+    io_dir = "/tmp/gaia_spark_soak_io"
+    n_io = 2_000_000  # ~32 MB of (long, double, string) rows
+    io_df = spark.range(n_io).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("x"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+    )
+    t0 = time.perf_counter()
+    io_df.repartition(32).write.mode("overwrite").parquet(io_dir)
+    w_sec = time.perf_counter() - t0
+    size_mb = sum(
+        os.path.getsize(os.path.join(io_dir, f))
+        for f in os.listdir(io_dir)
+        if f.endswith(".parquet")
+    ) / 1e6
+    t0 = time.perf_counter()
+    back = spark.read.parquet(io_dir)
+    n_back = back.count()
+    assert n_back == n_io, (n_back, n_io)
+    r_sec = time.perf_counter() - t0
+    results["io"] = {
+        "mb": round(size_mb, 1),
+        "write_mb_s": round(size_mb / w_sec, 1),
+        "read_mb_s": round(size_mb / r_sec, 1),
+    }
+
+    # MRBench analog: latency of repeated tiny map+reduce jobs.
+    reps = 10
+    t0 = time.perf_counter()
+    for i in range(reps):
+        spark.range(100).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    results["smalljob"] = {
+        "reps": reps,
+        "avg_ms": round((time.perf_counter() - t0) / reps * 1000, 1),
+    }
 
     print(json.dumps({"soak": results, "n_tera": N_TERA, "sf_dir": SF_DIR}))
     spark.stop()
