@@ -534,3 +534,77 @@ def doc_bigram_logprob(spark, sf_dir):
     return per_doc.select(
         "doc_id", "n_bigrams", fround(F.col("s") / F.col("n_bigrams"), 4).alias("avg_logprob")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus shuffle + split assignment (the last steps before training)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_global_shuffle",
+    oracle="""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(doc_id::VARCHAR || ':shuf:42'), doc_id
+               ) AS BIGINT) AS shuffle_pos
+        FROM documents
+    """,
+    ref="deterministic global corpus shuffle — the final step before training "
+    "consumption: position = rank under md5(id || seed). Seeded-hash ordering "
+    "is reproducible across engines and runs (rand() is not), and the rank is "
+    "computed with repartitionByRange on the hash (Spark's global orderBy "
+    "range-partitions the same way) — no single-partition window. Re-shuffling "
+    "= changing the seed; the md5 tiebreak (doc_id) makes the order total",
+)
+def corpus_global_shuffle(spark, sf_dir):
+    from ..operators.sort import global_rank
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuf:42"))).alias(
+            "__h"
+        ),
+    )
+    ranked = global_rank(d, [F.col("__h"), F.col("doc_id")], rank_name="shuffle_pos")
+    return ranked.select("doc_id", "shuffle_pos")
+
+
+@register(
+    "corpus_split_assign",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':split:7'), 1, 15))::BIGINT)
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM a GROUP BY 1
+    """,
+    ref="deterministic train/val/test split assignment (90/5/5): the split of a "
+    "document is a pure function of md5(id || seed) — stable under corpus growth "
+    "(adding docs never moves existing ones between splits, unlike rand() or "
+    "modulo-on-row-number), map-side only, and identical in both engines. "
+    "Summarized per split for a stable compare",
+)
+def corpus_split_assign(spark, sf_dir):
+    from ..functions.dedup import md5_long
+
+    d = T(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split:7"))
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "doc_id").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
