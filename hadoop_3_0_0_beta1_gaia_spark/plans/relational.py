@@ -872,3 +872,38 @@ def join_bucketed_colocated(spark, sf_dir):
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+@register(
+    "join_expr_language",
+    oracle="""
+        SELECT c_nationkey AS key,
+               count(*) AS n_pairs,
+               CAST(sum(c_custkey + s_suppkey) AS BIGINT) AS pair_sum
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        GROUP BY c_nationkey
+    """,
+    ref="the join-expression little language END TO END (CompositeInputFormat.java:"
+    "60-96 grammar + Parser.java): the string 'inner(tbl(Format,\"c\"), s)' is "
+    "tokenized, parsed, and compiled to the composite inner join — exercising the "
+    "tbl() form, bare-identifier shorthand, and per-key cross-product semantics "
+    "(every (customer, supplier) pair within a nation), summarized per key",
+)
+def join_expr_language(spark, sf_dir):
+    from ..operators.join import compile_join_expr
+
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key"), F.col("c_custkey").alias("value")
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("key"), F.col("s_suppkey").alias("value")
+    )
+    out = compile_join_expr(
+        'inner(tbl(SequenceFileInputFormat,"c"), s)', {"c": c, "s": s}
+    )
+    return out.groupBy("key").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("value.v_n1s0") + F.col("value.v_n1s1"))
+        .cast("bigint")
+        .alias("pair_sum"),
+    )
