@@ -1,0 +1,247 @@
+"""Inverted index + frequency-sketch inventory queries.
+
+Completes the classic MapReduce text family (the reference ships word
+counting / histograms — AggregateWordCount.java, AggregateWordHistogram.java,
+WordCount.java — of which an inverted index is the canonical "next" job) and
+adds the bounded-state frequency sketch (CountMin) that a 100 TB corpus
+pipeline uses where an exact per-term groupBy is unnecessary, plus the
+Lee-et-al-style duplicated-substring contamination metric used to cut
+training documents.
+
+Scale posture:
+- ``inverted_index_postings``: two hash aggregations (term-doc tf, then
+  per-term stats) with map-side partials; posting lists are materialized
+  ONLY for rare terms (df <= cap) via a filter-then-join second pass, so no
+  executor ever collects the posting list of a stopword-grade term. At
+  100 TB the rare-term join is a shuffle join on term — fine.
+- ``cms_token_freq``: the sketch table is d*w rows TOTAL regardless of input
+  size (here 4*256), built by one hash aggregation over the token stream;
+  the estimate step broadcast-joins that tiny table. CountMin guarantees
+  est >= true and E[est - true] <= 2N/w — the query emits both so the bound
+  is visible (and oracle-checked) rather than asserted.
+- ``dedup_substring_spans``: span hashes are linear in token count; the
+  doc-frequency aggregation and the per-doc rollup are plain hash
+  aggregations — there is NO pair expansion anywhere (unlike the winnow
+  pair search), so a boilerplate mega-span cannot go quadratic.
+
+All hashing is md5-derived (functions/dedup.py contract) so every entry has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.dedup import duck_md5_int32, md5_int32
+from ..functions.rounding import duck_fround, fround
+from ..functions.text_metrics import duck_tokens, tokens
+from ..session import table as T
+from .registry import register
+
+_TOKS = duck_tokens("text")
+
+# inverted index: posting lists only for terms in <= this many docs
+_POSTING_DF_CAP = 16
+
+# CountMin geometry
+_CMS_D = 4
+_CMS_W = 256
+
+# duplicated-substring window (tokens)
+_SPAN_W = 8
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tf AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY term, doc_id
+        ),
+        stats AS (
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY term
+        ),
+        posts AS (
+            SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+            FROM tf
+            WHERE term IN (SELECT term FROM stats WHERE df <= {_POSTING_DF_CAP})
+            GROUP BY term
+        )
+        SELECT term, df, cf, postings
+        FROM stats LEFT JOIN posts USING (term)
+    """,
+    ref="inverted index — the canonical companion job to MR-EX/WordCount.java / "
+    "AggregateWordHistogram.java (term -> doc-frequency, collection-frequency, "
+    "posting list). Posting lists are built in a SECOND pass restricted to rare "
+    "terms (df <= cap): a single collect_list groupBy would materialize the "
+    "posting list of every stopword on one executor at 100 TB",
+)
+def inverted_index_postings(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    rare = stats.filter(F.col("df") <= _POSTING_DF_CAP).select("term")
+    posts = (
+        tf.join(rare, "term")
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+    )
+    return stats.join(posts, "term", "left").select("term", "df", "cf", "postings")
+
+
+def _duck_cms_cell(row_sql: str, token_sql: str) -> str:
+    return f"({duck_md5_int32(f'{row_sql}::VARCHAR || ' + chr(39) + ':' + chr(39) + f' || {token_sql}')} % {_CMS_W})"
+
+
+@register(
+    "cms_token_freq",
+    oracle=f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        rows AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+        cells AS (
+            SELECT token, r, {_duck_cms_cell('r', 'token')} AS cell
+            FROM toks CROSS JOIN rows
+        ),
+        sketch AS (SELECT r, cell, count(*) AS c FROM cells GROUP BY r, cell),
+        vocab AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY token),
+        cand AS (
+            SELECT token, true_cnt, r, {_duck_cms_cell('r', 'token')} AS cell
+            FROM vocab CROSS JOIN rows
+        )
+        SELECT token,
+               CAST(min(c) AS BIGINT) AS est_cnt,
+               true_cnt,
+               CAST(min(c) - true_cnt AS BIGINT) AS overcount
+        FROM cand JOIN sketch USING (r, cell)
+        GROUP BY token, true_cnt
+    """,
+    ref="CountMin frequency sketch as a relational aggregation: d=4 md5-derived "
+    "hash rows x w=256 cells. The sketch table is d*w rows regardless of corpus "
+    "size (ONE hash agg over the token stream builds it; at 100 TB it is the "
+    "bounded-state stand-in for a full per-term count). Estimates broadcast-join "
+    "the tiny table; est >= true always, and the overcount column exposes the "
+    "collision error the 2N/w bound promises. Bounded-state kin of "
+    "UniqValueCount.java:35-75's capped set and the KMV entry",
+)
+def cms_token_freq(spark, sf_dir):
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    rows = F.array([F.lit(r) for r in range(_CMS_D)])
+
+    def cell(row_col, token_col):
+        return md5_int32(
+            F.concat_ws(":", row_col.cast("string"), token_col)
+        ) % _CMS_W
+
+    cells = toks.select(
+        "token", F.explode(rows).alias("r")
+    ).select("token", "r", cell(F.col("r"), F.col("token")).alias("cell"))
+    sketch = cells.groupBy("r", "cell").agg(F.count("*").alias("c"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    cand = vocab.select(
+        "token", "true_cnt", F.explode(rows).alias("r")
+    ).withColumn("cell", cell(F.col("r"), F.col("token")))
+    return (
+        cand.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            "token",
+            "est_cnt",
+            "true_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, toks FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= {_SPAN_W}
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - {_SPAN_W - 1}),
+                       i -> md5(array_to_string(toks[i : i + {_SPAN_W - 1}], ' '))
+                   )) AS sh
+            FROM d
+        ),
+        shared AS (
+            SELECT sh FROM spans GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN sh IN (SELECT sh FROM shared) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               {duck_fround(
+                   'sum(CASE WHEN sh IN (SELECT sh FROM shared) THEN 1 ELSE 0 END)'
+                   ' / count(*)', 6)} AS dup_frac
+        FROM spans
+        GROUP BY doc_id
+    """,
+    ref="duplicated-substring contamination metric (Deduplicating Training Data "
+    "Makes Language Models Better, Lee et al. 2022 — the exact-substring pass): "
+    f"every {_SPAN_W}-token window is hashed; a span is duplicated if the same "
+    "hash occurs in >= 2 distinct documents; each doc reports its duplicated-span "
+    "fraction (the cut signal). Linear everywhere: span stream ~ token stream, "
+    "doc-frequency and per-doc rollup are hash aggs, NO pair expansion — the "
+    "doc-level complement to doc_winnow_near_dup's pair search",
+)
+def dedup_substring_spans(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= _SPAN_W)
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
+            )
+        ).alias("sh"),
+    )
+    shared = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    flagged = spans.join(shared.withColumn("dup", F.lit(1)), "sh", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            fround(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )

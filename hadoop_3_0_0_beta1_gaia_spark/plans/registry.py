@@ -114,6 +114,7 @@ def all_entries() -> dict[str, InventoryEntry]:
     # Import query modules lazily so registration happens on first use.
     from . import (  # noqa: F401
         dedup_sim,
+        index_sketch,
         llm_quality,
         media_stream,
         mrops,

@@ -248,3 +248,85 @@ def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# index + sketch entries (plans/index_sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Write a crafted documents.parquet into tmp_path so inventory entries
+    can run against an adversarial corpus via their normal (spark, sf_dir)
+    contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["test"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    rows = QS["cms_token_freq"](spark, sf_dir).collect()
+    assert rows, "empty CMS result"
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
+    assert all(r.overcount == r.est_cnt - r.true_cnt for r in rows)
+
+
+def test_cms_sketch_state_is_bounded(spark, sf_dir):
+    # the sketch table itself must be <= d*w rows no matter the corpus
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import _CMS_D, _CMS_W
+
+    plan = _plan(spark, sf_dir, "cms_token_freq")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        "the d*w sketch table should broadcast-join the candidates:\n" + plan
+    )
+    assert _CMS_D * _CMS_W <= 4096
+
+
+def test_substring_spans_flags_exact_duplicates(spark, tmp_path):
+    base = " ".join(f"tok{i}" for i in range(20))
+    unique = " ".join(f"only{i}" for i in range(20))
+    sf = _write_documents(
+        spark, tmp_path, [(1, base), (2, base), (3, unique)]
+    )
+    out = {r.doc_id: r for r in QS["dedup_substring_spans"](spark, sf).collect()}
+    # identical docs: every 8-token span is shared -> dup_frac == 1.0
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[1].n_spans == 20 - 8 + 1
+    # unique doc shares nothing
+    assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+
+
+def test_substring_spans_partial_overlap(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(8))  # exactly one shared span
+    a = shared + " " + " ".join(f"a{i}" for i in range(8))
+    b = shared + " " + " ".join(f"b{i}" for i in range(8))
+    sf = _write_documents(spark, tmp_path, [(1, a), (2, b)])
+    out = {r.doc_id: r for r in QS["dedup_substring_spans"](spark, sf).collect()}
+    # each doc has 16-8+1 = 9 spans; only the leading pure-shared one collides
+    assert out[1].n_spans == 9 and out[1].n_dup_spans == 1
+    assert out[2].n_dup_spans == 1
+
+
+def test_inverted_index_rare_vs_common_postings(spark, tmp_path):
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import _POSTING_DF_CAP
+
+    n_docs = _POSTING_DF_CAP + 3
+    rows = [(i, f"common rare{i} common") for i in range(n_docs)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.term: r for r in QS["inverted_index_postings"](spark, sf).collect()}
+    # 'common' exceeds the df cap: counts kept, postings withheld
+    assert out["common"].df == n_docs and out["common"].cf == 2 * n_docs
+    assert out["common"].postings is None
+    # rare terms carry their exact posting list
+    assert out["rare0"].postings == "0" and out["rare5"].df == 1
