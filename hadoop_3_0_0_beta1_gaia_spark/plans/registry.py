@@ -55,7 +55,13 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # headliners (pii scrub, sequence packing, temperature resample, bigram LM,
 # PQ encode, recall eval). Rotated-out entries stay covered by the repo's
 # own oracle gate (tests/test_inventory_oracle.py runs EVERY entry, with
-# Arrow-type equality since r3).
+# Arrow-type equality since r3). Late-r3 swap: doc_tfidf_top_terms /
+# dedup_simhash / dedup_embedding_lsh (each twice driver-green with a
+# same-family green representative still in-window: doc_token_count+
+# doc_winnow cover text scoring, dedup_simhash_hamming's base fold is
+# dedup_minhash_lsh-adjacent, dedup_embedding_cosine+ivf cover similarity)
+# rotate out for the three new index/sketch entries, pre-validated under the
+# plain driver-protocol session at sf0.01.
 _WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -100,11 +106,11 @@ _WINDOW: list[str] = [
     "doc_quality",
     "doc_lang_id",
     "doc_winnow_near_dup",
-    "doc_tfidf_top_terms",
+    "inverted_index_postings",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_substring_spans",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
+    "cms_token_freq",
     "ivf_topk_search",
     "knn_cosine_topk",
 ]
