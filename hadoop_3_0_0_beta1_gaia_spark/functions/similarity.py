@@ -1099,3 +1099,183 @@ def duckdb_pq_topk(
             FROM dists
         ) WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd refinement (iterative clustering on DataFrames)
+# ---------------------------------------------------------------------------
+#
+# Cross-engine determinism here CANNOT come from fround alone: centroid means
+# average floats, float addition is order-dependent, and aggregation order is
+# nondeterministic in BOTH engines (DuckDB parallel agg, Spark partial aggs) —
+# with k*d means per iteration, a few always land on a rounding boundary and
+# flip the last digit between runs (observed: 11/500 rows at sf0.01).
+# Fix: the whole pipeline runs on an exact integer grid. Components quantize
+# to integers at 10^round_digits; dots/sums/distances are then integer-valued
+# doubles, EXACT (and order-free) below 2^53 — 64-dim unit-scale vectors give
+# |dot| <= ~6.4e13, and per-(cluster,dim) component sums stay exact up to
+# ~2^53/10^6 ≈ 9e9 member vectors per cluster, far past any real shard.
+# Centroid update floor(sum/n + 0.5) and the argmin on exact integer d2 are
+# then bit-deterministic on any engine, any parallelism.
+
+
+def _kmeans_quant(vec: Column, round_digits: int) -> Column:
+    """Components → exact integer grid (scaled by 10^round_digits)."""
+    s = float(10 ** round_digits)
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * s + 0.5).cast("double"))
+
+
+def _kmeans_assign(base, cents):
+    """Zero-shuffle assignment: the k centroids fold into ONE broadcast row
+    (array of (c_id, cv, cn) structs) and each vector picks its argmin
+    cluster with an in-row aggregate — no per-vector groupBy/window, the
+    scan side streams. Integer-grid d2 = n2 + cn - 2·dot is exact, so ties
+    are true ties and break to the LOWEST c_id (the fold keeps the incumbent
+    on equality; the struct array is sorted by c_id)."""
+    carr = (
+        cents.select("c_id", "cv", dot(F.col("cv"), F.col("cv")).alias("cn"))
+        .agg(F.array_sort(F.collect_list(F.struct("c_id", "cv", "cn"))).alias("cents"))
+    )
+
+    def d2(c):
+        return F.col("n2") + c["cn"] - F.lit(2.0) * dot(F.col("v"), c["cv"])
+
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("c")
+        ),
+        lambda acc, c: F.when(
+            d2(c) < acc["d"], F.struct(d2(c).alias("d"), c["c_id"].alias("c"))
+        ).otherwise(acc),
+    )
+    return (
+        base.crossJoin(F.broadcast(carr))
+        .withColumn("__b", best)
+        .select("id", "v", "n2", F.col("__b.c").alias("c_id"), F.col("__b.d").alias("d2i"))
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-means with ``iters`` Lloyd refinement steps — the iterative-ML
+    pattern on DataFrames (the principled upgrade of ``ivf_probes``' static
+    first-k seeding; refined centroids feed back into IVF bucket balance).
+
+    Per iteration: (1) assignment is the zero-shuffle in-row argmin of
+    ``_kmeans_assign``; (2) the centroid update explodes assigned vectors to
+    (cluster, dim, val) and hash-aggregates component sums — shuffle volume
+    k·d rows OUT regardless of corpus size, with map-side partials doing the
+    real work. Nothing iterative touches the driver except the k·d centroid
+    frame (broadcast each round — the MLlib k-means loop shape).
+
+    Determinism: exact integer grid throughout (see module comment); seeds
+    are the first k vectors by id; DuckDB twin :func:`duckdb_kmeans_lloyd`.
+    Output: (vec_id, cluster, d2) — final assignment against the refined
+    centroids, d2 in original (unscaled) squared-distance units rounded to
+    ``round_digits``. Clusters emptied by a step drop out (both engines).
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _kmeans_quant(F.col(vec_col), round_digits).alias("v"),
+        )
+        .withColumn("n2", dot(F.col("v"), F.col("v")))
+    )
+    w = Window.orderBy("id")
+    cents = (
+        base.orderBy("id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("long").alias("c_id"),
+                F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(base, cents)
+        means = (
+            assigned.select("c_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(F.floor(F.sum("val") / F.count("*") + 0.5).cast("double").alias("m"))
+        )
+        cents = means.groupBy("c_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    final = _kmeans_assign(base, cents)
+    unscale = float(10 ** (2 * round_digits))
+    return final.select(
+        F.col("id").alias("vec_id"),
+        F.col("c_id").alias("cluster"),
+        fround(F.col("d2i") / unscale, round_digits).alias("d2"),
+    )
+
+
+def duckdb_kmeans_lloyd(
+    table: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`kmeans_lloyd` (same integer grid,
+    same floor(sum/n + 0.5) update, same (d2, c_id) argmin order)."""
+    s = 10 ** round_digits
+    d2 = lambda a, c: f"({a}.n2 + {c}.cn - 2 * list_dot_product({a}.v, {c}.cv))"
+    ctes = [
+        f"""base AS (
+            SELECT {id_col} AS id,
+                   list_transform({vec_col}, x -> floor(x::DOUBLE * {s} + 0.5)) AS v
+            FROM {table}
+        )""",
+        """b2 AS (SELECT id, v, list_dot_product(v, v) AS n2 FROM base)""",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS c_id, v AS cv
+            FROM (SELECT id, v FROM b2 ORDER BY id LIMIT {k})
+        )""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes += [
+            f"""{prev}n AS (SELECT c_id, cv, list_dot_product(cv, cv) AS cn FROM {prev})""",
+            f"""a{it} AS (
+                SELECT id, v, c_id FROM (
+                    SELECT b2.id, b2.v, c.c_id,
+                           row_number() OVER (
+                               PARTITION BY b2.id ORDER BY {d2('b2', 'c')}, c.c_id
+                           ) AS r
+                    FROM b2 CROSS JOIN {prev}n c
+                ) WHERE r = 1
+            )""",
+            f"""m{it} AS (
+                SELECT c_id, pos, floor(sum(val) / count(*) + 0.5) AS m
+                FROM (SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                      FROM a{it})
+                GROUP BY c_id, pos
+            )""",
+            f"""c{it} AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM m{it} GROUP BY c_id)""",
+        ]
+        prev = f"c{it}"
+    ctes.append(
+        f"""{prev}n AS (SELECT c_id, cv, list_dot_product(cv, cv) AS cn FROM {prev})"""
+    )
+    unscale = 10 ** (2 * round_digits)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT id AS vec_id, c_id AS cluster,
+               {duck_fround(f'd2i / {unscale}.0', round_digits)} AS d2
+        FROM (
+            SELECT b2.id, c.c_id, {d2('b2', 'c')} AS d2i,
+                   row_number() OVER (
+                       PARTITION BY b2.id ORDER BY {d2('b2', 'c')}, c.c_id
+                   ) AS r
+            FROM b2 CROSS JOIN {prev}n c
+        ) WHERE r = 1
+    """

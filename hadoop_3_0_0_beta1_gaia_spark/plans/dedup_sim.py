@@ -369,3 +369,23 @@ def pq_topk_search_adc(spark, sf_dir):
         k=5, m=8, num_codewords=16,
         query_filter=F.col("id") < 100,
     )
+
+
+@register(
+    "kmeans_lloyd_refine",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.similarity",
+        fromlist=["duckdb_kmeans_lloyd"],
+    ).duckdb_kmeans_lloyd("embeddings", k=8, iters=2),
+    ref="k-means with 2 Lloyd refinement steps — the iterative-ML pattern on "
+    "DataFrames (upgrades ivf_probes' static first-k seeding; refined centroids "
+    "feed back into IVF bucket balance). Assignment is a zero-shuffle in-row "
+    "argmin against ONE broadcast centroid row; the update shuffles k*d mean "
+    "cells regardless of corpus size; the driver only ever holds the k*d "
+    "centroid frame (MLlib k-means loop shape). fround-ed inputs/means/dists + "
+    "lowest-cluster tie-break keep both engines assignment-identical",
+)
+def kmeans_lloyd_refine(spark, sf_dir):
+    from ..functions.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(T(spark, sf_dir, "embeddings"), k=8, iters=2)
