@@ -245,3 +245,73 @@ def dedup_substring_spans(spark, sf_dir):
             fround(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
         )
     )
+
+
+def _span_hashes_expr(toks_col: str = "toks", w: int = _SPAN_W) -> str:
+    """Spark SQL expression: md5 of every w-token window of ``toks_col``."""
+    return (
+        f"transform(sequence(1, size({toks_col}) - {w - 1}),"
+        f" i -> md5(concat_ws(' ', slice({toks_col}, i, {w}))))"
+    )
+
+
+def _duck_span_hashes(toks_sql: str, w: int = _SPAN_W) -> str:
+    return (
+        f"list_transform(generate_series(1, len({toks_sql}) - {w - 1}),"
+        f" i -> md5(array_to_string({toks_sql}[i : i + {w - 1}], ' ')))"
+    )
+
+
+# deterministic pseudo eval set: ~1% of docs
+_EVAL_MOD = 97
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, toks FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= {_SPAN_W}
+        ),
+        spans AS (
+            SELECT doc_id, unnest({_duck_span_hashes('toks')}) AS sh FROM d
+        ),
+        eval_spans AS (
+            SELECT DISTINCT sh FROM spans WHERE doc_id % {_EVAL_MOD} = 0
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN sh IN (SELECT sh FROM eval_spans)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+               CAST(max(CASE WHEN sh IN (SELECT sh FROM eval_spans)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+        FROM spans
+        WHERE doc_id % {_EVAL_MOD} <> 0
+        GROUP BY doc_id
+    """,
+    ref="benchmark decontamination (GPT-3 appendix-C / PaLM-style n-gram overlap): "
+    f"training docs are flagged when any {_SPAN_W}-token span also occurs in the "
+    "eval set (deterministic ~1% pseudo eval split here; a real run substitutes "
+    "the benchmark suite). The eval span set is benchmark-sized — tiny relative "
+    "to the corpus — so it BROADCASTS and the training-span stream is probed "
+    "map-side: no shuffle keyed on span hash, linear in corpus tokens",
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= _SPAN_W)
+    spans = d.select("doc_id", F.explode(F.expr(_span_hashes_expr())).alias("sh"))
+    eval_spans = (
+        spans.filter(F.col("doc_id") % _EVAL_MOD == 0).select("sh").distinct()
+    )
+    train = spans.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hit = train.join(
+        F.broadcast(eval_spans.withColumn("hit", F.lit(1))), "sh", "left"
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_eval_hits"),
+        F.max(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("contaminated"),
+    )

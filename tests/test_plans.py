@@ -330,3 +330,48 @@ def test_inverted_index_rare_vs_common_postings(spark, tmp_path):
     assert out["common"].postings is None
     # rare terms carry their exact posting list
     assert out["rare0"].postings == "0" and out["rare5"].df == 1
+
+
+def test_kmeans_lloyd_separates_blobs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # two well-separated blobs, one seed (first-two ids) in each
+    a_ids = [0] + list(range(2, 11))        # blob A near the origin
+    b_ids = [1] + list(range(101, 110))     # blob B near (10,10,10,10)
+    vecs = [[float(i % 3) * 0.1, 0.0, 0.0, 0.0] for i in range(10)] + [
+        [10.0 + float(i % 3) * 0.1, 10.0, 10.0, 10.0] for i in range(10)
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(a_ids + b_ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 20, pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import kmeans_lloyd
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    out = kmeans_lloyd(T(spark, str(tmp_path), "embeddings"), k=2, iters=2).collect()
+    assert len(out) == 20
+    a_clusters = {r.cluster for r in out if r.vec_id in set(a_ids)}
+    b_clusters = {r.cluster for r in out if r.vec_id in set(b_ids)}
+    assert a_clusters == {0} and b_clusters == {1}
+
+
+def test_decontaminate_flags_eval_copies(spark, tmp_path):
+    eval_text = " ".join(f"ev{i}" for i in range(12))     # doc_id 0 -> eval set
+    clean = " ".join(f"cl{i}" for i in range(12))
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [(0, eval_text), (5, eval_text + " extra tail tokens here"), (7, clean)],
+    )
+    out = {
+        r.doc_id: r
+        for r in QS["decontaminate_eval_overlap"](spark, sf).collect()
+    }
+    assert 0 not in out  # eval docs are excluded from the report
+    assert out[5].contaminated == 1 and out[5].n_eval_hits >= 1
+    assert out[7].contaminated == 0 and out[7].n_eval_hits == 0
