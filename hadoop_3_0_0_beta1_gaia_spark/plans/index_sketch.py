@@ -30,6 +30,7 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.dedup import duck_md5_int32, md5_int32
@@ -314,4 +315,210 @@ def decontaminate_eval_overlap(spark, sf_dir):
         F.max(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("contaminated"),
+    )
+
+
+# BM25 parameters (Robertson/Sparck-Jones defaults) and a fixed demo query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("table", "spark", "filter")
+_BM25_TOPK = 10
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            WHERE term IN {_BM25_QUERY}
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf * ({_BM25_K1} + 1.0)
+                       / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+                   ) AS s
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, rank FROM (
+            SELECT doc_id, {duck_fround('s', 6)} AS score,
+                   CAST(row_number() OVER (
+                       ORDER BY {duck_fround('s', 6)} DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {_BM25_TOPK}
+    """,
+    ref="BM25 ranked retrieval over the inverted-index statistics (Robertson "
+    "k1=1.2 b=0.75) for a fixed conjunctive query — the search half of "
+    "inverted_index_postings. The token stream filters to query terms BEFORE "
+    "any shuffle (scan-side IN predicate), so the per-(doc,term) agg touches "
+    "query-matching tokens only; df and the (N, avgdl) corpus stats are "
+    "term-count-sized / 1-row frames joined broadcast; final top-k is a "
+    "TakeOrdered, never a global sort. Ranks order by the ROUNDED score + "
+    "doc_id so both engines agree despite float fold order",
+)
+def bm25_search_topk(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+        .select("doc_id", fround(F.col("s"), 6).alias("score"))
+    )
+    # TakeOrdered first (distributed top-k), THEN rank the tiny k-row result
+    # with a window — the single partition only ever holds k rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# z-order layout: normalized bits per dimension and target file count.
+# Dimensions MUST be normalized to a common bit-width before interleaving —
+# raw keys with mismatched ranges (custkey ~2^8 vs epoch-days ~2^14) let one
+# dimension's high bits dominate every leading interleave position and the
+# "z-order" degenerates to a single-column sort (measured: avg per-file
+# custkey range 145/149 ≈ no locality before normalization).
+_Z_BITS = 8
+_Z_FILES = 16
+
+
+def _z_terms():
+    """(spark_expr_builder, duck_sql) for the bit-interleaved z-value of
+    normalized dims (an, bn) — generated from ONE loop so the engines cannot
+    drift."""
+    duck = " + ".join(
+        f"(((an >> {i}) & 1) << {2 * i}) + (((bn >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+
+    def spark(a, b):
+        total = F.lit(0).cast("long")
+        for i in range(_Z_BITS):
+            total = total + (
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i)
+                + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+            ).cast("long")
+        return total
+
+    return spark, duck
+
+
+_Z_MAXV = (1 << _Z_BITS) - 1
+
+
+@register(
+    "zorder_layout_orders",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   o_custkey AS a,
+                   CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS b
+            FROM orders
+        ),
+        bounds AS (
+            SELECT min(a) AS amin, max(a) AS amax, min(b) AS bmin, max(b) AS bmax
+            FROM keyed
+        ),
+        normed AS (
+            SELECT o_orderkey, a, b,
+                   ((a - amin) * {_Z_MAXV}) // greatest(amax - amin, 1) AS an,
+                   ((b - bmin) * {_Z_MAXV}) // greatest(bmax - bmin, 1) AS bn
+            FROM keyed CROSS JOIN bounds
+        ),
+        z AS (SELECT o_orderkey, a, b, ({_z_terms()[1]}) AS zval FROM normed),
+        ranked AS (
+            SELECT a, b,
+                   row_number() OVER (ORDER BY zval, o_orderkey) - 1 AS rk,
+                   count(*) OVER () AS total
+            FROM z
+        )
+        SELECT file_id, count(*) AS n_rows,
+               min(a) AS cust_min, max(a) AS cust_max,
+               min(b) AS day_min,  max(b) AS day_max
+        FROM (SELECT CAST(rk * {_Z_FILES} // total AS BIGINT) AS file_id, a, b
+              FROM ranked)
+        GROUP BY file_id
+    """,
+    ref="z-order (Morton) data layout over (o_custkey, o_orderdate): min-max "
+    f"normalize each dimension to {_Z_BITS} bits with exact integer DIV "
+    "(broadcast 1-row bounds frame), interleave, two-phase global rank on the "
+    "z-value (operators/sort.py:global_rank — range partition + offsets, never "
+    "a single-partition window), slice into equal file buckets, and report each "
+    "file's (custkey, day) bounding box. This is the layout job a 100 TB table "
+    "runs so BOTH per-column min/max file stats stay tight — the Delta/Iceberg "
+    "OPTIMIZE ZORDER semantics as a plain DataFrame pipeline; the output IS the "
+    "file-skipping index a scan would prune with",
+)
+def zorder_layout_orders(spark, sf_dir):
+    from ..operators.sort import global_rank
+    from ..session import instant_ts
+
+    zf, _ = _z_terms()
+    keyed = instant_ts(T(spark, sf_dir, "orders"), "o_orderdate").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("a"),
+        (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("b"),
+    )
+    bounds = keyed.agg(
+        F.min("a").alias("amin"), F.max("a").alias("amax"),
+        F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+    )
+    normed = keyed.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey", "a", "b",
+        F.expr(f"((a - amin) * {_Z_MAXV}) DIV greatest(amax - amin, 1)").alias("an"),
+        F.expr(f"((b - bmin) * {_Z_MAXV}) DIV greatest(bmax - bmin, 1)").alias("bn"),
+    )
+    z = normed.select(
+        "o_orderkey", "a", "b", zf(F.col("an"), F.col("bn")).alias("zval")
+    )
+    ranked = global_rank(z, [F.col("zval"), F.col("o_orderkey")], rank_name="rk")
+    total = ranked.agg(F.count("*").alias("total"))
+    files = ranked.crossJoin(F.broadcast(total)).select(
+        ((F.col("rk") - 1) * _Z_FILES / F.col("total"))
+        .cast("long")
+        .alias("file_id"),
+        "a",
+        "b",
+    )
+    return files.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("a").alias("cust_min"),
+        F.max("a").alias("cust_max"),
+        F.min("b").alias("day_min"),
+        F.max("b").alias("day_max"),
     )

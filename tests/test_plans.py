@@ -375,3 +375,34 @@ def test_decontaminate_flags_eval_copies(spark, tmp_path):
     assert 0 not in out  # eval docs are excluded from the report
     assert out[5].contaminated == 1 and out[5].n_eval_hits >= 1
     assert out[7].contaminated == 0 and out[7].n_eval_hits == 0
+
+
+def test_bm25_distributed_topk_and_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_search_topk")
+    assert "TakeOrderedAndProject" in plan, (
+        "BM25 top-k must be TakeOrdered, not a global sort:\n" + plan
+    )
+    assert "BroadcastExchange" in plan, (
+        "df/corpus-stats frames should broadcast:\n" + plan
+    )
+
+
+def test_zorder_files_have_tight_boxes(spark, sf_dir):
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import _Z_FILES
+
+    rows = QS["zorder_layout_orders"](spark, sf_dir).collect()
+    assert len(rows) == _Z_FILES
+    cust_lo = min(r.cust_min for r in rows)
+    cust_hi = max(r.cust_max for r in rows)
+    day_lo = min(r.day_min for r in rows)
+    day_hi = max(r.day_max for r in rows)
+    # z-order locality: the AVERAGE file bounding box must be materially
+    # tighter than the global range on BOTH dimensions simultaneously —
+    # a single-column sort gives ~1/N on one dim but ~full range on the other
+    avg_cust = sum(r.cust_max - r.cust_min for r in rows) / len(rows)
+    avg_day = sum(r.day_max - r.day_min for r in rows) / len(rows)
+    assert avg_cust < 0.7 * (cust_hi - cust_lo)
+    assert avg_day < 0.7 * (day_hi - day_lo)
+    # files tile the corpus completely
+    total = sum(r.n_rows for r in rows)
+    assert total > 0 and max(r.n_rows for r in rows) <= 2 * total // _Z_FILES
