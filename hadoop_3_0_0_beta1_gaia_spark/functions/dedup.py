@@ -731,3 +731,85 @@ def duckdb_simhash_hamming_pairs(
         JOIN sims b ON b.id = c.id_b
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
     """
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: containment C(A in B) = |A∩B| / |A| over shingle
+    sets — the subset-duplication rule (quotes, boilerplate, a short doc
+    embedded in a long one) that Jaccard structurally misses: for a short doc
+    inside a long one, |A∪B| is dominated by the long doc so Jaccard ≈
+    |A|/|B| ≈ 0 while C(A in B) = 1.
+
+    Candidate generation deliberately reuses the SHINGLE-JOIN shape of
+    ``ngram_jaccard_pairs``, NOT the banded MinHash-LSH buckets: a banded
+    signature collides with probability ≈ Jaccard^rows_per_band, so subset
+    pairs — the entire point of containment — are exactly the pairs banding
+    never surfaces (verified by test: a fully-contained doc produced zero
+    LSH candidates). A containment-aware sketch would need asymmetric
+    partitioning; the shingle join IS the scale-honest exact form, with
+    ``max_df`` capping ubiquitous shingles as in the Jaccard twin.
+    Output: (id_a, id_b, cont_a, cont_b, cont_max) filtered on cont_max.
+    """
+    sh_arr = shingle_arrays(df, n, id_col, text_col)
+    sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    else:
+        sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            fround(F.col("inter") / F.col("sz_a"), 4).alias("cont_a"),
+            fround(F.col("inter") / F.col("sz_b"), 4).alias("cont_b"),
+        )
+        .withColumn("cont_max", F.greatest("cont_a", "cont_b"))
+        .filter(F.col("cont_max") >= threshold)
+    )
+
+
+def duckdb_containment(
+    table: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    ca = duck_fround("i.inter / sa.sz", 4)
+    cb = duck_fround("i.inter / sb.sz", 4)
+    return f"""
+        WITH sh AS ({duck_shingles(table, n, id_col, text_col)}),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, cont_a, cont_b, cont_max FROM (
+            SELECT i.id_a, i.id_b, {ca} AS cont_a, {cb} AS cont_b,
+                   greatest({ca}, {cb}) AS cont_max
+            FROM inter i
+            JOIN sizes sa ON sa.id = i.id_a
+            JOIN sizes sb ON sb.id = i.id_b
+        ) WHERE cont_max >= {threshold}
+    """

@@ -389,3 +389,21 @@ def kmeans_lloyd_refine(spark, sf_dir):
     from ..functions.similarity import kmeans_lloyd
 
     return kmeans_lloyd(T(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "dedup_containment",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.dedup",
+        fromlist=["duckdb_containment"],
+    ).duckdb_containment("documents", n=3, threshold=0.6),
+    ref="asymmetric containment near-dup C(A in B)=|A∩B|/|A| over shingle sets "
+    "— catches subset duplication (short doc embedded in a long one) that "
+    "Jaccard structurally misses. Candidates come from the shingle join, NOT "
+    "banded LSH: band collision probability ~ Jaccard^rows means banding never "
+    "surfaces the very subset pairs containment exists to find (pinned by test)",
+)
+def dedup_containment(spark, sf_dir):
+    from ..functions.dedup import containment_pairs
+
+    return containment_pairs(T(spark, sf_dir, "documents"), n=3, threshold=0.6)

@@ -11,6 +11,9 @@ Stages:
   rank       two-phase global rank over lineitem (no single-partition window).
   io         TestDFSIO analog (MR-JC fs/TestDFSIO.java): write N MB parquet,
              read it back, report MB/s each way.
+  zorder     z-order layout job over orders (normalize → interleave →
+             two-phase rank → file boxes).
+  kmeans     k-means Lloyd refinement over embeddings (iterative loop).
   smalljob   MRBench analog (MR-JC mapred/MRBench.java): repeated tiny
              map+reduce jobs; reports avg ms per job (scheduler overhead).
 
@@ -105,6 +108,18 @@ def main() -> None:
         "write_mb_s": round(size_mb / w_sec, 1),
         "read_mb_s": round(size_mb / r_sec, 1),
     }
+
+    # layout + clustering stages: the two newest multi-phase pipelines get
+    # the same regression tracking as dedup/winnow.
+    t0 = time.perf_counter()
+    zrows = _qs()["zorder_layout_orders"](spark, SF_DIR).count()
+    results["zorder"] = {"files": zrows, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
+
+    t0 = time.perf_counter()
+    krows = _qs()["kmeans_lloyd_refine"](spark, SF_DIR).count()
+    results["kmeans"] = {"rows": krows, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
 
     # MRBench analog: latency of repeated tiny map+reduce jobs.
     reps = 10

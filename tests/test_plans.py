@@ -406,3 +406,15 @@ def test_zorder_files_have_tight_boxes(spark, sf_dir):
     # files tile the corpus completely
     total = sum(r.n_rows for r in rows)
     assert total > 0 and max(r.n_rows for r in rows) <= 2 * total // _Z_FILES
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
+    short = " ".join(f"w{i}" for i in range(10))
+    long_doc = short + " " + " ".join(f"x{i}" for i in range(80))
+    sf = _write_documents(spark, tmp_path, [(1, short), (2, long_doc)])
+    cont = QS["dedup_containment"](spark, sf).collect()
+    jacc = QS["dedup_minhash_lsh"](spark, sf).collect()
+    # the short doc is fully contained -> cont_a = 1.0 on the (1,2) pair
+    assert any(r.id_a == 1 and r.id_b == 2 and r.cont_max == 1.0 for r in cont)
+    # Jaccard of the same pair is ~10/98 << 0.4 threshold -> not reported
+    assert not any(r.id_a == 1 and r.id_b == 2 for r in jacc)
