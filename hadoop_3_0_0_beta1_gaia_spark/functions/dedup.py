@@ -152,7 +152,13 @@ def ngram_jaccard_pairs(
     ``max_df`` drops ubiquitous shingles before pairing (document-frequency
     cap) — essential at corpus scale, off by default for oracle parity.
     """
-    sh_arr = shingle_arrays(df, n, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # a-side, b-side, and sizes all read the shingle frame; no exchange
+    # reuse across them (measured 8 corpus scans unpersisted) — persist once
+    sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
@@ -756,7 +762,13 @@ def containment_pairs(
     ``max_df`` capping ubiquitous shingles as in the Jaccard twin.
     Output: (id_a, id_b, cont_a, cont_b, cont_max) filtered on cont_max.
     """
-    sh_arr = shingle_arrays(df, n, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # three consumers (a-side, b-side, sizes) and no exchange reuse across
+    # them — persist the shingle frame once (minhash_lsh_pairs precedent)
+    sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)

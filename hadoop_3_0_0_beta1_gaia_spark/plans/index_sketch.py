@@ -84,6 +84,11 @@ def inverted_index_postings(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
+    # tf feeds three consumers; measured A/B at sf0.1 says RECOMPUTE wins here
+    # (0.69 s vs 1.08 s persisted): the producing scan+explode+agg is cheaper
+    # than writing the term-doc frame to cache — the opposite call from the
+    # shingle pipelines, where the producer chain is heavy (see
+    # containment_pairs/ngram_jaccard_pairs).
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
