@@ -243,3 +243,40 @@ def stream_user_running_totals(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table("stream_user_totals_sink")
+
+
+@register(
+    "stream_sliding_topk",
+    oracle="""
+        WITH slid AS (
+            SELECT strftime(date_trunc('hour', ts) - INTERVAL (k) HOUR,
+                            '%Y-%m-%d %H:%M') AS window_start,
+                   event_type
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        ),
+        counts AS (
+            SELECT window_start, event_type, count(*) AS n
+            FROM slid GROUP BY window_start, event_type
+        )
+        SELECT window_start, event_type, n, rank FROM (
+            SELECT window_start, event_type, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start ORDER BY n DESC, event_type
+                   ) AS BIGINT) AS rank
+            FROM counts
+        ) WHERE rank <= 3
+    """,
+    ref="trending top-k over a SLIDING window (2h window / 1h slide): streaming "
+    "counts each event into its 2 overlapping windows under a watermark; ranking "
+    "happens batch-side on the drained per-window aggregate (the foreachBatch "
+    "pattern — no window functions exist on unbounded streams, and the rank "
+    "partition is |event_types| rows, never corpus rows). Oracle unrolls the "
+    "slide as an explicit 2-window cross join (SURVEY §2.11 extension)",
+)
+def stream_sliding_topk(spark, sf_dir):
+    from ..streaming.events import rank_topk_per_window, sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_counts(stream, window="2 hours", slide="1 hour")
+    drained = run_to_memory(agg, "stream_sliding_topk_sink", spark)
+    return rank_topk_per_window(drained, k=3)

@@ -276,3 +276,46 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time window counts (each event lands in window/slide
+    overlapping windows). Same tz-independent label rebuild as
+    :func:`windowed_counts`; on a stream the watermark bounds state to the
+    open windows."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    ntz_start = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' "
+        "+ make_dt_interval(0, 0, 0, unix_timestamp(w.start))"
+    )
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.expr(ntz_start), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def rank_topk_per_window(agg: DataFrame, k: int = 3) -> DataFrame:
+    """Batch-side rank over a drained sliding-window aggregate — the standard
+    trending-topk split: streaming does the stateful counting (no window
+    functions exist on unbounded streams), the tiny per-window result ranks
+    in a follow-up batch step (a foreachBatch body in production). The
+    window partition holds |event_types| rows, never corpus rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )

@@ -187,3 +187,30 @@ def test_instant_ts_handles_both_stored_shapes(spark):
     assert got["long"] == got["ntz"] == nanos // 1000
     passthrough = instant_ts(as_long).select(F.col("ts"))
     assert instant_ts(passthrough).schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_stream_equals_batch_sliding_topk(spark, sf_dir):
+    from hadoop_3_0_0_beta1_gaia_spark.streaming.events import (
+        rank_topk_per_window,
+        read_events_stream,
+        run_to_memory,
+        sliding_counts,
+    )
+
+    stream_out = rank_topk_per_window(
+        run_to_memory(
+            sliding_counts(read_events_stream(spark, sf_dir)),
+            "sliding_parity_sink",
+            spark,
+        )
+    )
+    batch_out = rank_topk_per_window(
+        sliding_counts(_batch_events_instant(spark, sf_dir))
+    )
+    key = lambda r: (r["window_start"], r["rank"])  # noqa: E731
+    s = {key(r): (r["event_type"], r["n"]) for r in stream_out.collect()}
+    b = {key(r): (r["event_type"], r["n"]) for r in batch_out.collect()}
+    assert s == b and len(s) > 0
+    # sliding: every event lands in exactly 2 windows -> window count is
+    # one more than the tumbling hour count
+    assert max(r["rank"] for r in batch_out.collect()) <= 3
