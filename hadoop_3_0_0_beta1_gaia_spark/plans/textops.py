@@ -442,3 +442,66 @@ def doc_tfidf_top_terms(spark, sf_dir):
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "source_quality_report",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   {__import__('hadoop_3_0_0_beta1_gaia_spark.functions.dedup',
+                               fromlist=['duck_normalized_fp']).duck_normalized_fp('text')} AS fp,
+                   lower(text) AS lt, {_TOKS} AS toks,
+                   length(regexp_replace(lower(text), '\\s+', '', 'g')) AS non_ws
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source, fp, len(toks) AS n_tokens,
+                   CAST(floor({duck_fround(_SCORE, 4)} * 10000 + 0.5) AS BIGINT) AS qi
+            FROM t
+        )
+        SELECT source, n_docs, n_unique, total_tokens,
+               {duck_fround('qsum / n_docs / 10000.0', 6)} AS mean_quality,
+               {duck_fround('1.0 - n_unique / n_docs', 4)} AS dup_rate
+        FROM (
+            SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(qi) AS BIGINT) AS qsum
+            FROM q GROUP BY source
+        )
+    """,
+    ref="per-source corpus health report — the URL/domain-level filtering signal "
+    "of a training pipeline (keep/downweight whole sources by dup rate and mean "
+    "quality). Builds on the shared quality score and the exact-dedup "
+    "fingerprint; the quality mean folds over EXACT integer basis points "
+    "(quality is 4dp-rounded, so x1e4 recovers integers — float-avg order "
+    "nondeterminism cannot flip a boundary, the kmeans lesson applied); one "
+    "hash agg keyed on source (low cardinality -> AQE handles the skew)",
+)
+def source_quality_report(spark, sf_dir):
+    from ..functions.dedup import normalized_fp
+    from ..functions.rounding import fround
+
+    docs = T(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long").alias("qi"),
+    )
+    keyed = docs.select("doc_id", "source", normalized_fp().alias("fp")).join(
+        q, "doc_id"
+    )
+    agg = keyed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("qi").alias("qsum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "total_tokens",
+        fround(F.col("qsum") / F.col("n_docs") / 10000.0, 6).alias("mean_quality"),
+        fround(1.0 - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_rate"),
+    )
