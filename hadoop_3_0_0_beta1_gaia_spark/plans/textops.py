@@ -505,3 +505,72 @@ def source_quality_report(spark, sf_dir):
         fround(F.col("qsum") / F.col("n_docs") / 10000.0, 6).alias("mean_quality"),
         fround(1.0 - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_rate"),
     )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+        WITH wc AS (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            GROUP BY word
+        ),
+        pairs AS (
+            SELECT substring(word, i, 1) AS left_sym,
+                   substring(word, i + 1, 1) AS right_sym,
+                   cnt
+            FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
+            WHERE length(word) >= 2
+        ),
+        merged AS (
+            SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS freq
+            FROM pairs GROUP BY left_sym, right_sym
+        )
+        SELECT left_sym, right_sym, freq, rank FROM (
+            SELECT left_sym, right_sym, freq,
+                   CAST(row_number() OVER (
+                       ORDER BY freq DESC, left_sym, right_sym
+                   ) AS BIGINT) AS rank
+            FROM merged
+        ) WHERE rank <= {_BPE_TOPK}
+    """,
+    ref="BPE vocabulary induction, merge step 1: adjacent-symbol pair counts "
+    "weighted by word frequency (Sennrich et al. 2016) — the tokenizer-training "
+    "op of an LLM pipeline. Pair stream folds from the VOCABULARY (distinct "
+    "words x in-word positions), not the token stream: the word-count agg "
+    "shrinks the explode input from corpus tokens to |vocab| rows first. "
+    "Iterating = re-running with the merged symbol table (same plan shape per "
+    "round, the kmeans-loop pattern). Top-k is TakeOrdered over the "
+    "symbol-pair table",
+)
+def bpe_top_merges(spark, sf_dir):
+    from pyspark.sql import Window
+
+    wc = word_counts(T(spark, sf_dir, "documents")).withColumnRenamed("cnt", "cnt")
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> struct(substring(word, i, 1) AS l,"
+                    "             substring(word, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .select(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"), "cnt"
+        )
+    )
+    merged = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("cnt").alias("freq")
+    )
+    topk = merged.orderBy(
+        F.col("freq").desc(), F.col("left_sym"), F.col("right_sym")
+    ).limit(_BPE_TOPK)
+    w = Window.orderBy(F.col("freq").desc(), F.col("left_sym"), F.col("right_sym"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -418,3 +418,16 @@ def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
     assert any(r.id_a == 1 and r.id_b == 2 and r.cont_max == 1.0 for r in cont)
     # Jaccard of the same pair is ~10/98 << 0.4 threshold -> not reported
     assert not any(r.id_a == 1 and r.id_b == 2 for r in jacc)
+
+
+def test_kmeans_assignments_invariant_to_partitioning(spark, sf_dir):
+    """The integer-grid determinism claim: identical assignments and
+    distances no matter how the input is partitioned (float-mean pipelines
+    fail this — partial-agg order changes the rounded centroid)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import kmeans_lloyd
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    base = T(spark, sf_dir, "embeddings")
+    a = {(r.vec_id): (r.cluster, r.d2) for r in kmeans_lloyd(base.repartition(1), k=4, iters=2).collect()}
+    b = {(r.vec_id): (r.cluster, r.d2) for r in kmeans_lloyd(base.repartition(17), k=4, iters=2).collect()}
+    assert a == b and len(a) > 0
