@@ -907,3 +907,70 @@ def join_expr_language(spark, sf_dir):
         .cast("bigint")
         .alias("pair_sum"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH hourly AS (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, count(*) AS nh,
+                   CAST(sum(n) AS BIGINT) AS s1,
+                   CAST(sum(n * n) AS BIGINT) AS s2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT hour, event_type, n,
+               (floor(((n - s1 / (1.0 * nh))
+                 / sqrt(greatest(s2 / (1.0 * nh) - (s1 / (1.0 * nh)) * (s1 / (1.0 * nh)), 1e-300)))
+                 * 10000 + 0.5) / 10000) AS z,
+               CAST(CASE WHEN abs(
+                   (floor(((n - s1 / (1.0 * nh))
+                     / sqrt(greatest(s2 / (1.0 * nh) - (s1 / (1.0 * nh)) * (s1 / (1.0 * nh)), 1e-300)))
+                     * 10000 + 0.5) / 10000)
+               ) >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM hourly JOIN stats USING (event_type)
+    """,
+    ref="hourly event-volume anomaly detection: per-type z-score of hourly counts "
+    "against the type's own mean/std. The moment sums (s1, s2) are EXACT integer "
+    "aggregates of integer counts, so mean/variance/z derive from identical "
+    "doubles on any engine at any parallelism (the integer-basis determinism "
+    "rule); the per-type stats frame is |event_types| rows and broadcasts back "
+    "onto the hourly rollup — monitoring-pipeline shape: one rollup shuffle, "
+    "zero extra passes over raw events",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    from ..functions.rounding import fround
+
+    hourly = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") / (F.lit(1.0) * F.col("nh"))
+    var = F.col("s2") / (F.lit(1.0) * F.col("nh")) - mean * mean
+    z = fround((F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(1e-300))), 4)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            "z",
+            (F.abs(F.col("z")) >= 2.0).cast("long").alias("is_anomaly"),
+        )
+    )
