@@ -1279,3 +1279,81 @@ def duckdb_kmeans_lloyd(
             FROM b2 CROSS JOIN {prev}n c
         ) WHERE r = 1
     """
+
+
+def cosine_topk_filtered(
+    df: DataFrame,
+    k: int = 5,
+    query_filter: Column | None = None,
+    neighbor_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Filtered vector search: cosine top-k where neighbors must satisfy a
+    METADATA predicate (the RAG-style "top-k among label=X" query).
+
+    Pre-filtering beats post-filtering structurally: the predicate lands on
+    the neighbor scan BEFORE any distance math (parquet pushdown applies to
+    plain metadata columns), so selectivity s shrinks the scan AND guarantees
+    exactly k survivors — post-filtering a plain top-k would need k/s
+    candidates re-ranked and still might under-fill. Same brute-force anchor
+    contract as ``cosine_topk``; the IVF path composes the same way (filter
+    the bucketed side before the join)."""
+    base = with_norm(df, vec_col)
+    sel = base.select(F.col(id_col).alias("id"), "__v", "__n2")
+    q = sel.filter(query_filter) if query_filter is not None else sel
+    q = q.select(
+        F.col("id").alias("q_id"), F.col("__v").alias("qv"), F.col("__n2").alias("qn")
+    )
+    n = base.filter(neighbor_filter) if neighbor_filter is not None else base
+    n = n.select(
+        F.col(id_col).alias("n_id"), F.col("__v").alias("nv"), F.col("__n2").alias("nn")
+    )
+    pairs = F.broadcast(q).crossJoin(n).filter(F.col("q_id") != F.col("n_id"))
+    cos = fround(
+        dot(F.col("qv"), F.col("nv")) / F.sqrt(F.col("qn") * F.col("nn")),
+        round_digits,
+    )
+    scored = pairs.select("q_id", "n_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def duckdb_cosine_topk_filtered(
+    table: str,
+    k: int = 5,
+    query_where: str = "TRUE",
+    neighbor_where: str = "TRUE",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v,
+                   list_dot_product({v}, {v}) AS n2,
+                   ({neighbor_where}) AS keep_n
+            FROM {table}
+        ),
+        q AS (SELECT id AS q_id, v AS qv, n2 AS qn FROM base
+              WHERE {query_where.replace(id_col, 'id')}),
+        scored AS (
+            SELECT q.q_id, n.id AS n_id,
+                   {duck_fround('list_dot_product(q.qv, n.v) / sqrt(q.qn * n.n2)', round_digits)} AS cos
+            FROM q CROSS JOIN (SELECT * FROM base WHERE keep_n) n
+            WHERE q.q_id <> n.id
+        )
+        SELECT q_id, n_id, cos, rank FROM (
+            SELECT q_id, n_id, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, n_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

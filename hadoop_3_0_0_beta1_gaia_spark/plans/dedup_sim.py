@@ -407,3 +407,28 @@ def dedup_containment(spark, sf_dir):
     from ..functions.dedup import containment_pairs
 
     return containment_pairs(T(spark, sf_dir, "documents"), n=3, threshold=0.6)
+
+
+@register(
+    "knn_filtered_topk",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.similarity",
+        fromlist=["duckdb_cosine_topk_filtered"],
+    ).duckdb_cosine_topk_filtered(
+        "embeddings", k=5, query_where="vec_id < 50", neighbor_where="label = 1"
+    ),
+    ref="filtered vector search (the RAG query): cosine top-k where neighbors "
+    "must satisfy a metadata predicate (label = 1). PRE-filtering: the predicate "
+    "lands on the neighbor scan before any distance math (parquet pushdown on a "
+    "plain metadata column) and guarantees exactly k survivors — post-filtering "
+    "a plain top-k needs k/selectivity candidates and can still under-fill",
+)
+def knn_filtered_topk(spark, sf_dir):
+    from ..functions.similarity import cosine_topk_filtered
+
+    return cosine_topk_filtered(
+        T(spark, sf_dir, "embeddings"),
+        k=5,
+        query_filter=F.col("vec_id") < 50,
+        neighbor_filter=F.col("label") == 1,
+    )

@@ -431,3 +431,10 @@ def test_kmeans_assignments_invariant_to_partitioning(spark, sf_dir):
     a = {(r.vec_id): (r.cluster, r.d2) for r in kmeans_lloyd(base.repartition(1), k=4, iters=2).collect()}
     b = {(r.vec_id): (r.cluster, r.d2) for r in kmeans_lloyd(base.repartition(17), k=4, iters=2).collect()}
     assert a == b and len(a) > 0
+
+
+def test_filtered_knn_pushes_label_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_filtered_topk")
+    assert "EqualTo(label,1)" in plan.split("PushedFilters", 2)[-1], (
+        "the metadata predicate must reach the parquet scan:\n" + plan
+    )
