@@ -684,6 +684,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     nprobe: int = 1,
+    neighbor_filter: Column | None = None,
 ) -> DataFrame:
     """End-to-end IVF ANN search: assign every vector to its coarse centroid
     (:func:`ivf_assign`), then compute exact cosine top-k for each query
@@ -694,6 +695,13 @@ def ivf_topk(
     exact brute force (every bucket probed — asserted in tests). Each
     neighbor lives in exactly one bucket, so multi-probe candidates never
     duplicate and need no dedup.
+
+    ``neighbor_filter`` (a predicate over ``df``'s metadata columns) makes
+    this the SCALE path for filtered vector search: eligible neighbor ids
+    come from a column-pruned metadata scan (predicate pushed to parquet)
+    and restrict the bucketed side BEFORE the bucket join — candidates
+    shrink by selectivity × (num_centroids/nprobe). The brute-force anchor
+    is :func:`cosine_topk_filtered`.
     """
     from pyspark import StorageLevel
 
@@ -713,7 +721,13 @@ def ivf_topk(
     )
     # neighbors index under their PRIMARY bucket only; queries fan out to
     # their nprobe probe buckets.
-    n = keyed.filter(F.col("probe") == 1).select(
+    n = keyed.filter(F.col("probe") == 1)
+    if neighbor_filter is not None:
+        # eligible ids from a column-pruned metadata scan (pushed predicate);
+        # the id-keyed join restricts the bucket side pre-join
+        eligible = df.filter(neighbor_filter).select(F.col(id_col).alias("id"))
+        n = n.join(eligible, "id")
+    n = n.select(
         F.col("id").alias("n_id"),
         F.col("centroid_id").alias("bucket"),
         F.col("__v").alias("nv"),
@@ -742,6 +756,7 @@ def duckdb_ivf_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     nprobe: int = 1,
+    neighbor_where: str = "TRUE",
 ) -> str:
     v = f"list_transform({vec_col}, x -> x::DOUBLE)"
     return f"""
@@ -769,6 +784,7 @@ def duckdb_ivf_topk(
             FROM keyed q JOIN keyed n
               ON q.bucket = n.bucket AND n.probe = 1 AND q.id <> n.id
             WHERE {query_where.replace(id_col, 'q.id')}
+              AND n.id IN (SELECT {id_col} FROM {table} WHERE {neighbor_where})
         )
         SELECT q_id, n_id, cos, rank FROM (
             SELECT q_id, n_id, cos,

@@ -432,3 +432,30 @@ def knn_filtered_topk(spark, sf_dir):
         query_filter=F.col("vec_id") < 50,
         neighbor_filter=F.col("label") == 1,
     )
+
+
+@register(
+    "ivf_filtered_topk",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.similarity",
+        fromlist=["duckdb_ivf_topk"],
+    ).duckdb_ivf_topk(
+        "embeddings", k=5, num_centroids=8, nprobe=3,
+        query_where="vec_id < 50", neighbor_where="label = 1",
+    ),
+    ref="the SCALE path for filtered vector search: IVF buckets + metadata "
+    "predicate on the neighbor side. Eligible ids come from a column-pruned "
+    "metadata scan (pushed predicate) and restrict the bucketed side BEFORE "
+    "the bucket join — candidates shrink by selectivity x "
+    "(num_centroids/nprobe); knn_filtered_topk is the brute-force recall "
+    "anchor for this entry exactly as knn_cosine_topk anchors ivf_topk_search",
+)
+def ivf_filtered_topk(spark, sf_dir):
+    from ..functions.similarity import ivf_topk
+
+    return ivf_topk(
+        T(spark, sf_dir, "embeddings"),
+        k=5, num_centroids=8, nprobe=3,
+        query_filter=F.col("id") < 50,
+        neighbor_filter=F.col("label") == 1,
+    )

@@ -497,6 +497,37 @@ def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark, sf_dir):
         assert b1 <= b2 <= bx
 
 
+def test_ivf_filtered_full_probe_equals_filtered_brute_force(spark, sf_dir):
+    """Filtered IVF at full probe must equal the filtered brute-force anchor:
+    the metadata predicate restricts the same neighbor set on both paths."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_topk_filtered,
+        ivf_topk,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    ivf = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cos"])
+        for r in ivf_topk(
+            emb, k=5, num_centroids=4, nprobe=4,
+            query_filter=F.col("id") < 20,
+            neighbor_filter=F.col("label") == 1,
+        ).collect()
+    }
+    brute = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cos"])
+        for r in cosine_topk_filtered(
+            emb, k=5,
+            query_filter=F.col("vec_id") < 20,
+            neighbor_filter=F.col("label") == 1,
+        ).collect()
+    }
+    assert ivf == brute and len(ivf) > 0
+
+
 # ----------------------------------------------------------------- multimodal
 
 
