@@ -459,3 +459,63 @@ def ivf_filtered_topk(spark, sf_dir):
         query_filter=F.col("id") < 50,
         neighbor_filter=F.col("label") == 1,
     )
+
+
+@register(
+    "fuzzy_match_customers",
+    oracle="""
+        WITH names AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+        keys AS (
+            SELECT id, nm,
+                   unnest(list_transform(
+                       generate_series(1, length(nm)),
+                       i -> substring(nm, 1, i - 1) || '*' || substring(nm, i + 1)
+                   )) AS bk
+            FROM names
+        ),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b
+            FROM keys a JOIN keys b ON a.bk = b.bk AND a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS lev
+        FROM cands
+        WHERE levenshtein(nm_a, nm_b) <= 1
+    """,
+    ref="entity resolution via deletion-neighborhood (wildcard) blocking: every "
+    "name emits L single-position-wildcard keys; two names share a key iff they "
+    "differ in at most that position, so every substitution-distance-1 pair is "
+    "GUARANTEED to co-bucket (perfect recall for lev<=1 substitutions, no "
+    "all-pairs join anywhere) and each key matches at most |alphabet| names "
+    "(bounded buckets). Edit-distance verify runs on candidates only — "
+    "Spark/DuckDB levenshtein agree exactly. The fuzzy-join family's analog of "
+    "the LSH bucket-first contract; extend with length±1 keys for indels",
+)
+def fuzzy_match_customers(spark, sf_dir):
+    names = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("nm")
+    )
+    keys = names.select(
+        "id",
+        "nm",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(nm)),"
+                " i -> concat(substring(nm, 1, i - 1), '*', substring(nm, i + 1)))"
+            )
+        ).alias("bk"),
+    )
+    a = keys.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "bk")
+    b = keys.select(F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "bk")
+    cands = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "nm_a", "nm_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "lev", F.levenshtein(F.col("nm_a"), F.col("nm_b")).cast("long")
+        )
+        .filter(F.col("lev") <= 1)
+        .select("id_a", "id_b", "lev")
+    )

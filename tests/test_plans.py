@@ -438,3 +438,28 @@ def test_filtered_knn_pushes_label_predicate(spark, sf_dir):
     assert "EqualTo(label,1)" in plan.split("PushedFilters", 2)[-1], (
         "the metadata predicate must reach the parquet scan:\n" + plan
     )
+
+
+def test_fuzzy_blocking_finds_all_lev1_pairs(spark, sf_dir):
+    """Recall guarantee: wildcard blocking surfaces EVERY substitution-
+    distance-1 pair — verified against a brute-force all-pairs scan."""
+    import itertools
+
+    rows = QS["fuzzy_match_customers"](spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    names = {
+        r.c_custkey: r.c_name
+        for r in T(spark, sf_dir, "customer").select("c_custkey", "c_name").collect()
+    }
+
+    def lev1_sub(x, y):
+        return len(x) == len(y) and sum(a != b for a, b in zip(x, y)) == 1
+
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev1_sub(names[a], names[b])
+    }
+    assert got == expect and len(got) > 0
