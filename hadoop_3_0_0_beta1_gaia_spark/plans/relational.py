@@ -974,3 +974,117 @@ def events_anomaly_zscore(spark, sf_dir):
             (F.abs(F.col("z")) >= 2.0).cast("long").alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_daily_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT event_type,
+                   strftime(unnest(generate_series(lo, hi, INTERVAL 1 DAY)),
+                            '%Y-%m-%d') AS day
+            FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        ),
+        daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT spine.day, spine.event_type,
+               CAST(coalesce(n, 0) AS BIGINT) AS n,
+               CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap
+        FROM spine LEFT JOIN daily
+          ON daily.day = spine.day AND daily.event_type = spine.event_type
+    """,
+    ref="time-series resample / gap-fill: a complete (day x event_type) spine is "
+    "generated from the observed min/max bounds (a 1-row agg CROSS JOIN the "
+    "distinct-type frame — spine size = |days| x |types|, tiny at any corpus "
+    "scale) and left-joins the daily rollup so silent days appear as explicit "
+    "zeros with a gap marker — the prerequisite for any window/trend math over "
+    "sparse activity (a moving average over missing days is wrong without it)",
+)
+def events_daily_gapfill(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.crossJoin(types)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "event_type")
+    )
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n0"))
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n0", F.lit(0)).cast("long").alias("n"),
+            F.col("n0").isNull().cast("long").alias("gap"),
+        )
+    )
+
+
+@register(
+    "events_weekly_moving_avg",
+    oracle="""
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n,
+               (floor((CAST(sum(n) OVER w AS BIGINT)
+                       / (1.0 * count(*) OVER w)) * 10000 + 0.5) / 10000) AS ma7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    ref="7-day trailing moving average per event type over the daily rollup — "
+    "the trend smoother that pairs with events_daily_gapfill. The window "
+    "partitions by event_type over |days| rows per type (never corpus rows, so "
+    "the per-partition sort is trivial at any scale); the mean folds integer "
+    "count sums over an exact integer window frame, fround-ed identically",
+)
+def events_weekly_moving_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.rounding import fround
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        fround(
+            F.sum("n").over(w) / (F.lit(1.0) * F.count("*").over(w)), 4
+        ).alias("ma7"),
+    )
