@@ -1088,3 +1088,45 @@ def events_weekly_moving_avg(spark, sf_dir):
             F.sum("n").over(w) / (F.lit(1.0) * F.count("*").over(w)), 4
         ).alias("ma7"),
     )
+
+
+@register(
+    "order_priority_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey,
+                   o_orderpriority AS cur,
+                   lag(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY epoch_ns(o_orderdate) // 1000, o_orderkey
+                   ) AS prev
+            FROM orders
+        )
+        SELECT prev, cur, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, cur
+    """,
+    ref="order-sequence transition matrix (Markov counts of consecutive order "
+    "priorities per customer) — the sequence-mining shape: lag() windows "
+    "partition BY CUSTOMER (bounded partitions, shuffle keyed on custkey — "
+    "never a global sort), then one hash agg over the |states|^2 matrix. "
+    "Ordering truncates the nanos timestamp to micros with an orderkey "
+    "tie-break on BOTH engines (the running_total_supplier lesson)",
+)
+def order_priority_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    # Spark's reader already truncated the NANOS column to micro-precision
+    # NTZ, so ordering by the column equals the oracle's epoch_ns // 1000 key
+    # (the running_total_supplier contract).
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n"))
+    )
