@@ -1130,3 +1130,105 @@ def order_priority_transitions(spark, sf_dir):
         .groupBy("prev", "cur")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        pairs AS (
+            SELECT parts[i] AS part_a, parts[j] AS part_b
+            FROM baskets,
+                 unnest(generate_series(1, len(parts))) AS t1(i),
+                 unnest(generate_series(1, len(parts))) AS t2(j)
+            WHERE i < j
+        ),
+        counted AS (
+            SELECT part_a, part_b, count(*) AS n
+            FROM pairs GROUP BY part_a, part_b
+        )
+        SELECT part_a, part_b, n, rank FROM (
+            SELECT part_a, part_b, n,
+                   CAST(row_number() OVER (
+                       ORDER BY n DESC, part_a, part_b
+                   ) AS BIGINT) AS rank
+            FROM counted
+        ) WHERE rank <= 20
+    """,
+    ref="market-basket co-occurrence (the frequent-itemset primitive): parts "
+    "bought in the same order, counted over IN-ROW pair expansion of the "
+    "per-order sorted part set — basket size bounds the expansion (TPC-H "
+    "lineitems/order <= 7, so <= 21 pairs/basket; a retail-scale cap would "
+    "drop mega-baskets exactly like the LSH bucket cap), ONE groupBy on the "
+    "pair key, TakeOrdered top-k. Never an order-to-order join",
+)
+def copurchase_part_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.dedup import expand_bucket_pairs
+
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    counted = (
+        expand_bucket_pairs(baskets)
+        .groupBy(
+            F.col("id_a").alias("part_a"), F.col("id_b").alias("part_b")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    topk = counted.orderBy(
+        F.col("n").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("part_a"), F.col("part_b"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# int/string columns only: double->VARCHAR formatting differs across engines
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+
+
+@register(
+    "profile_orders_columns",
+    oracle=f"""
+        {' UNION ALL '.join(
+            f'''SELECT '{c}' AS col,
+                       count(*) AS n_rows,
+                       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                       count(DISTINCT {c}) AS n_distinct,
+                       min({c}::VARCHAR) AS min_str,
+                       max({c}::VARCHAR) AS max_str
+                FROM orders'''
+            for c in _PROFILE_COLS)}
+    """,
+    ref="table profiling (the Deequ/data-quality surface): per-column row/null/"
+    "exact-distinct counts plus min/max, one result row per column. Each "
+    "column profiles in its own scan branch — the scans are column-pruned to "
+    "ONE column each (so total IO ~= one full-width scan) and the distinct "
+    "agg is per-branch partial+final; a melt-style single pass would carry "
+    "every column through one huge exploded shuffle instead",
+)
+def profile_orders_columns(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            orders.select(F.col(c).cast("string").alias("v")).agg(
+                F.lit(c).alias("col"),
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count("v")).alias("n_nulls"),
+                F.count_distinct("v").alias("n_distinct"),
+                F.min("v").alias("min_str"),
+                F.max("v").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
