@@ -1232,3 +1232,74 @@ def profile_orders_columns(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "cdc_upsert_orders",
+    oracle="""
+        WITH changes AS (
+            -- deterministic synthetic CDC batch: every 101st order flips to
+            -- status 'X' with a bumped cent price; keys shifted by 10^9 are
+            -- brand-new inserts
+            SELECT o_orderkey, 'X' AS o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 1 AS price_cents
+            FROM orders WHERE o_orderkey % 101 = 0
+            UNION ALL
+            SELECT o_orderkey + 1000000000, 'N',
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM orders WHERE o_orderkey % 211 = 0
+        ),
+        base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+            FROM orders
+        ),
+        merged AS (
+            SELECT * FROM changes
+            UNION ALL
+            SELECT * FROM base
+            WHERE NOT EXISTS (SELECT 1 FROM changes c
+                              WHERE c.o_orderkey = base.o_orderkey)
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(price_cents) AS BIGINT) AS total_cents,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM merged GROUP BY o_orderstatus
+    """,
+    ref="CDC upsert / MERGE (last-writer-wins): the lakehouse mutation op — "
+    "base rows whose key appears in the change batch are replaced (left_anti "
+    "+ union, the Delta MERGE plan shape), new keys insert. The anti-join is "
+    "keyed on the primary key (co-partitioned shuffle; at table scale this is "
+    "exactly Delta/Iceberg MERGE's join) and the verification aggregates the "
+    "merged state so replaced rows, survivors, and inserts all land in the "
+    "hash. Money as exact BIGINT cents throughout",
+)
+def cdc_upsert_orders(spark, sf_dir):
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price_cents") + 1).alias("price_cents"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 211 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "price_cents",
+    )
+    changes = updates.unionByName(inserts)
+    survivors = base.join(
+        changes.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    merged = changes.unionByName(survivors)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
