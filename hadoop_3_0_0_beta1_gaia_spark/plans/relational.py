@@ -1303,3 +1303,66 @@ def cdc_upsert_orders(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+@register(
+    "price_qty_corr_by_flag",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag AS flag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+            FROM lineitem
+        ),
+        s AS (
+            SELECT flag,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(q) AS HUGEINT) AS sq,
+                   CAST(sum(p) AS HUGEINT) AS sp,
+                   CAST(sum(q * q) AS HUGEINT) AS sqq,
+                   CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+                   CAST(sum(q * p) AS HUGEINT) AS sqp
+            FROM m GROUP BY flag
+        )
+        SELECT flag, CAST(n AS BIGINT) AS n,
+               (floor(((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * 1.0)
+                 / sqrt((n * spp - sp * sp) * 1.0)) * 1000000 + 0.5) / 1000000)
+                   AS corr_qty_price
+        FROM s
+    """,
+    ref="Pearson correlation per group from EXACT integer moment sums (quantity "
+    "as int, price as DECIMAL-derived cents): the five sums are order-free "
+    "integers, so r derives from identical doubles on any engine at any "
+    "parallelism — the built-in corr() aggregates floats in partial-agg order "
+    "and cannot hash-match across engines (the k-means float-mean lesson). "
+    "Products run in HUGEINT/DECIMAL(38,0) (sp^2 overflows int64) and convert "
+    "to double only at the final division. One hash agg; the formula runs on "
+    "the |groups|-row frame",
+)
+def price_qty_corr_by_flag(spark, sf_dir):
+    from ..functions.rounding import fround
+
+    m = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+    )
+    s = m.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p").cast("decimal(38,0)") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * d38("sqp") - d38("sq") * d38("sp")).cast("double")
+    vq = (d38("n") * d38("sqq") - d38("sq") * d38("sq")).cast("double")
+    vp = (d38("n") * d38("spp") - d38("sp") * d38("sp")).cast("double")
+    return s.select(
+        "flag",
+        F.col("n").alias("n"),
+        fround(num / F.sqrt(vq) / F.sqrt(vp), 6).alias("corr_qty_price"),
+    )

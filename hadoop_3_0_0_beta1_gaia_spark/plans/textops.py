@@ -574,3 +574,39 @@ def bpe_top_merges(spark, sf_dir):
     ).limit(_BPE_TOPK)
     w = Window.orderBy(F.col("freq").desc(), F.col("left_sym"), F.col("right_sym"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+_SAMPLE_PER_GROUP = 5
+
+
+@register(
+    "sample_docs_per_lang",
+    oracle=f"""
+        SELECT lang, doc_id, pick FROM (
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR || ':samp'), doc_id
+                   ) AS BIGINT) AS pick
+            FROM documents
+        ) WHERE pick <= {_SAMPLE_PER_GROUP}
+    """,
+    ref="deterministic per-group sampling (the inspection/eval-set draw): rank "
+    "by an md5 of the id within each language and keep the first N — a seeded "
+    "'random' sample that is REPRODUCIBLE across engines, runs, and corpus "
+    "growth-order (rand() is none of those). The window partitions by group "
+    "(bounded by group size; for a mega-group pre-filter on the hash prefix "
+    "first). Same md5-ordering idiom as the samplers and the corpus shuffle",
+)
+def sample_docs_per_lang(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":samp"))), "doc_id"
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= _SAMPLE_PER_GROUP)
+    )
