@@ -1366,3 +1366,73 @@ def price_qty_corr_by_flag(spark, sf_dir):
         F.col("n").alias("n"),
         fround(num / F.sqrt(vq) / F.sqrt(vp), 6).alias("corr_qty_price"),
     )
+
+
+@register(
+    "scd2_order_history",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS price_cents
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, 'X' AS o_orderstatus, price_cents + 1 AS price_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        v1 AS (
+            SELECT o_orderkey, o_orderstatus, price_cents,
+                   CAST(1 AS BIGINT) AS version,
+                   CAST(CASE WHEN o_orderkey % 101 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                       AS is_current
+            FROM base
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_orderstatus, price_cents,
+                   CAST(2 AS BIGINT) AS version, CAST(1 AS BIGINT) AS is_current
+            FROM changes
+        ),
+        hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        SELECT version, is_current, count(*) AS n,
+               CAST(sum(price_cents) AS BIGINT) AS total_cents,
+               count(DISTINCT o_orderkey) AS n_keys
+        FROM hist GROUP BY version, is_current
+    """,
+    ref="SCD Type 2 history build (the versioned complement of cdc_upsert_orders): "
+    "changed keys close out their version-1 row (is_current=0) and append a "
+    "version-2 current row; unchanged keys stay current at version 1. The "
+    "close-out flag is derived map-side from the change predicate — at table "
+    "scale it is an anti/semi-join against the change batch on the primary key, "
+    "the same co-partitioned shuffle as MERGE. Verification aggregates the "
+    "full history so closed, current, and appended rows all land in the hash",
+)
+def scd2_order_history(spark, sf_dir):
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    changed = F.col("o_orderkey") % 101 == 0
+    v1 = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+        F.lit(1).cast("long").alias("version"),
+        F.when(changed, 0).otherwise(1).cast("long").alias("is_current"),
+    )
+    v2 = base.filter(changed).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price_cents") + 1).alias("price_cents"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    hist = v1.unionByName(v2)
+    return hist.groupBy("version", "is_current").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("total_cents"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
