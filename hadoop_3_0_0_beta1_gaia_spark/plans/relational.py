@@ -1436,3 +1436,67 @@ def scd2_order_history(spark, sf_dir):
         F.sum("price_cents").alias("total_cents"),
         F.count_distinct("o_orderkey").alias("n_keys"),
     )
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        edges AS (
+            SELECT DISTINCT parts[i] AS a, parts[j] AS b
+            FROM baskets,
+                 unnest(generate_series(1, len(parts))) AS t1(i),
+                 unnest(generate_series(1, len(parts))) AS t2(j)
+            WHERE i < j
+        ),
+        wedges AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        ),
+        tris AS (
+            SELECT count(*) AS n_triangles
+            FROM wedges w JOIN edges e ON e.a = w.a AND e.b = w.c
+        )
+        SELECT n_triangles,
+               (SELECT count(*) FROM edges) AS n_edges,
+               (SELECT count(DISTINCT a) FROM
+                   (SELECT a FROM edges UNION ALL SELECT b FROM edges)) AS n_nodes
+        FROM tris
+    """,
+    ref="triangle counting over the co-purchase graph (the graph-analytics "
+    "kernel beyond dedup_components' connected components): distinct id-"
+    "oriented edges (a<b) from in-row basket pair expansion, wedge join on "
+    "the middle vertex, closure check against the edge set — each triangle "
+    "counted exactly once since a<b<c. At real graph scale the orientation "
+    "must be by (degree, id) so wedge counts are bounded by arboricity "
+    "(the standard trick); id-orientation here keeps both engines trivially "
+    "identical. All joins are hash joins keyed on vertex ids",
+)
+def copurchase_triangles(spark, sf_dir):
+    from ..functions.dedup import expand_bucket_pairs
+
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    edges = (
+        expand_bucket_pairs(baskets)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+    )
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = edges.join(e2, "b").select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = wedges.join(e3, ["a", "c"]).agg(F.count("*").alias("n_triangles"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .agg(F.count_distinct("v").alias("n_nodes"))
+    )
+    return tris.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
