@@ -1500,3 +1500,113 @@ def copurchase_triangles(spark, sf_dir):
         .agg(F.count_distinct("v").alias("n_nodes"))
     )
     return tris.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
+
+
+_PR_SCALE = 1_000_000
+_PR_ITERS = 2
+_PR_TOPK = 20
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        und AS (
+            SELECT DISTINCT parts[i] AS a, parts[j] AS b
+            FROM baskets,
+                 unnest(generate_series(1, len(parts))) AS t1(i),
+                 unnest(generate_series(1, len(parts))) AS t2(j)
+            WHERE i < j
+        ),
+        edges AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+        r1 AS (
+            SELECT deg.v,
+                   CAST(floor(0.15 * {_PR_SCALE})
+                        + floor(0.85 * coalesce(s, 0)) AS BIGINT) AS r
+            FROM deg LEFT JOIN (
+                SELECT dst AS v, CAST(sum(r // d) AS BIGINT) AS s
+                FROM edges JOIN deg ON deg.v = edges.src
+                           JOIN r0 ON r0.v = edges.src
+                GROUP BY dst
+            ) USING (v)
+        ),
+        r2 AS (
+            SELECT deg.v,
+                   CAST(floor(0.15 * {_PR_SCALE})
+                        + floor(0.85 * coalesce(s, 0)) AS BIGINT) AS r
+            FROM deg LEFT JOIN (
+                SELECT dst AS v, CAST(sum(r // d) AS BIGINT) AS s
+                FROM edges JOIN deg ON deg.v = edges.src
+                           JOIN r1 ON r1.v = edges.src
+                GROUP BY dst
+            ) USING (v)
+        )
+        SELECT part, r, rank FROM (
+            SELECT v AS part, r,
+                   CAST(row_number() OVER (ORDER BY r DESC, v) AS BIGINT) AS rank
+            FROM r2
+        ) WHERE rank <= {_PR_TOPK}
+    """,
+    ref="PageRank over the co-purchase graph in FIXED-POINT integer arithmetic "
+    f"(2 unrolled iterations, damping 0.85, scale {_PR_SCALE}): contributions "
+    "are integer-DIV floors, neighbor sums are exact order-free integers, and "
+    "0.85*S is one correctly-rounded double op floored back to an integer — "
+    "so ranks are bit-identical on any engine at any parallelism (float "
+    "PageRank sums diverge exactly like the k-means float means). Per "
+    "iteration: one join keyed on src + one hash agg on dst — the standard "
+    "distributed PageRank shape; the driver only sees the loop counter",
+)
+def copurchase_pagerank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.dedup import expand_bucket_pairs
+
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    und = (
+        expand_bucket_pairs(baskets)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "v"
+    )
+    r = deg.select("v", F.lit(_PR_SCALE).cast("long").alias("r"))
+    base = F.floor(F.lit(0.15 * _PR_SCALE)).cast("long")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, edges.src == deg.v)
+            .join(r.withColumnRenamed("v", "rv"), F.col("src") == F.col("rv"))
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .withColumnRenamed("dst", "v")
+        )
+        r = deg.join(contrib, "v", "left").select(
+            "v",
+            (
+                base
+                + F.floor(F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0))).cast(
+                    "long"
+                )
+            ).alias("r"),
+        )
+    topk = r.orderBy(F.col("r").desc(), F.col("v")).limit(_PR_TOPK)
+    w = Window.orderBy(F.col("r").desc(), F.col("v"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(F.col("v").alias("part"), "r", "rank")
+    )
