@@ -125,6 +125,7 @@ def all_entries() -> dict[str, InventoryEntry]:
         media_stream,
         mrops,
         relational,
+        subquery,
         textops,
     )
 

@@ -1,0 +1,353 @@
+"""Subquery / decision-support surface (SURVEY §2.5-§2.6 composition).
+
+The reference expresses every decision-support shape as a chain of MR jobs
+(join job → aggregate job → filter job, e.g. the datajoin and aggregate
+example drivers); Catalyst plans the same shapes from a single declarative
+query. This module adds the subquery idioms the rest of the inventory doesn't
+exercise: EXISTS (semi join + grouped count), NOT IN (Spark's null-aware anti
+join, planned from real SQL), scalar subqueries (aggregate threshold compared
+via exact integer cross-multiplication — no float boundary), HAVING over a
+grouped pre-aggregate joined back to facts, conditional (CASE) aggregation,
+argmax-per-group, and the percent_rank/cume_dist window surface.
+
+Portability rules follow NOTES.md: money goes through DECIMAL(18,2) and is
+emitted as exact BIGINT cents; integral double sums (l_quantity) CAST to
+BIGINT; ratios of exact integers use the shared fround contract; DuckDB
+BIGINT sums are re-CAST to BIGINT (its sum() widens to HUGEINT, which the
+driver hashes as decimal128).
+
+100 TB posture: every query here is a shuffle-join/aggregate pipeline whose
+small side (negative-balance suppliers, the 1-row scalar aggregate, the
+HAVING survivors) broadcasts under AQE; nothing collects to the driver and
+no window runs unpartitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import duck_fround, fround
+from ..session import table as T
+from .registry import register
+
+_CENTS = "CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents(col: str) -> F.Column:
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: conditional (CASE) aggregation over a fact-dim join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_monthly",
+    oracle=f"""
+        SELECT month,
+               CAST(promo_units AS BIGINT) AS promo_units,
+               CAST(total_units AS BIGINT) AS total_units,
+               {duck_fround("CAST(promo_units AS DOUBLE) / total_units", 6)} AS promo_share
+        FROM (
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   sum(CASE WHEN p_type = 'PROMO'
+                            THEN {_CENTS.format(c='l_extendedprice')}
+                                 * (100 - {_CENTS.format(c='l_discount')})
+                            ELSE 0 END) AS promo_units,
+                   sum({_CENTS.format(c='l_extendedprice')}
+                       * (100 - {_CENTS.format(c='l_discount')})) AS total_units
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY month
+        )
+    """,
+    ref="TPC-H Q14 shape — the reference's conditional-sum idiom is a Mapper "
+    "emitting tagged values into LongSumReducer (LIB/map/RegexMapper.java + "
+    "aggregate framework); here one CASE inside the agg. Revenue is exact integer "
+    "'cents x (100 - discount cents)' units so the promo share is a ratio of exact "
+    "BIGINTs (fround-portable), never a float-sum ratio. Part is a bounded dim -> "
+    "broadcast under AQE; the only shuffle is the monthly groupBy.",
+)
+def promo_revenue_monthly(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    units = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    joined = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0)).alias("pu"),
+        units.alias("tu"),
+    )
+    return joined.groupBy("month").agg(
+        F.sum("pu").alias("promo_units"),
+        F.sum("tu").alias("total_units"),
+    ).select(
+        "month",
+        "promo_units",
+        "total_units",
+        fround(F.col("promo_units").cast("double") / F.col("total_units"), 6).alias(
+            "promo_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS -> semi join, grouped count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_exists",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    ref="TPC-H Q4 shape — the reference's existence test is a reduce-side join "
+    "keeping keys present on both inputs (datajoin DataJoinReducerBase.java "
+    "cross-product with a presence guard); Spark plans EXISTS as LeftSemi, "
+    "deduplicating the probe side inside the join (no distinct pre-shuffle).",
+)
+def order_priority_exists(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    returned = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN -> null-aware anti join, planned from real SQL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_cnt_notin",
+    oracle="""
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """,
+    ref="TPC-H Q16 shape — the reference excludes a blacklist via a replicated "
+    "hash-set lookup in the mapper (DistributedCache + setup(), SURVEY §2.6); "
+    "Spark plans the NOT IN subquery as a null-aware anti join with the tiny "
+    "blacklist broadcast. Expressed as real SQL (temp views) so the planner, not "
+    "the author, picks NullAwareAntiJoin vs LeftAnti.",
+)
+def supplier_cnt_notin(spark, sf_dir):
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    T(spark, sf_dir, "part").createOrReplaceTempView("sq_part")
+    T(spark, sf_dir, "supplier").createOrReplaceTempView("sq_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM sq_lineitem JOIN sq_part ON p_partkey = l_partkey
+        WHERE p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM sq_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING over a grouped pre-aggregate, joined back to the facts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_volume_customers",
+    oracle=f"""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               {_CENTS.format(c='o_totalprice')} AS totalprice_cents,
+               CAST(sum_qty AS BIGINT) AS sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250) big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    ref="TPC-H Q18 shape — the reference chains an aggregate job (sum per key), a "
+    "filter job (threshold), then a join job back to two fact tables (JobControl "
+    "DAG, SURVEY §2.9); one declarative chain here. The HAVING survivors are a "
+    "tiny frame -> AQE broadcasts them into both joins. l_quantity is integral in "
+    "the testdata so the double sum is exact and CASTs losslessly to BIGINT.",
+)
+def large_volume_customers(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar subquery threshold + NOT EXISTS anti join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "idle_customers_topbal",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents,
+                   count(*) AS n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS bal_cents
+        FROM customer c, avg_bal
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+    """,
+    ref="TPC-H Q22 shape — the reference computes the global average in a first "
+    "job, ships it via the job conf, and filters in a second mapper (SURVEY §2.9 "
+    "counter/conf plumbing); here the 1-row aggregate cross-joins (broadcast) into "
+    "the filter. The above-average test is exact integer cross-multiplication "
+    "(acctbal_cents * n > sum_cents) so no float-average boundary can flip a row "
+    "between engines; the recency test is a NOT EXISTS anti join.",
+)
+def idle_customers_topbal(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_cents"),
+            F.count("*").alias("n"),
+        )
+    )
+    recent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(_cents("c_acctbal") * F.col("n") > F.col("sum_cents"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax-per-group (the reference's secondary-sort "pick max per key" idiom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_supplier_per_part",
+    oracle="""
+        SELECT partkey, suppkey, qty
+        FROM (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS qty,
+                   CAST(max(CAST(sum(l_quantity) AS BIGINT))
+                        OVER (PARTITION BY l_partkey) AS BIGINT) AS mx
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#2'
+            GROUP BY l_partkey, l_suppkey
+        ) WHERE qty = mx
+    """,
+    ref="secondary-sort argmax idiom (SecondarySort example, SURVEY §2.4: sort "
+    "values within a key, reducer keeps the first) re-expressed as grouped sum + "
+    "windowed max + equality filter — ties kept, exactly the reference's "
+    "grouping-comparator behavior when several values share the max. The window "
+    "partitions on the grouping key, so it reuses the groupBy shuffle (no extra "
+    "exchange at scale).",
+)
+def top_supplier_per_part(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    ps = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("mx", F.max("qty").over(w))
+        .filter(F.col("qty") == F.col("mx"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist window surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_balance_percentile",
+    oracle=f"""
+        SELECT c_custkey, c_mktsegment,
+               {duck_fround("percent_rank() OVER w", 6)} AS bal_pct_rank,
+               {duck_fround("cume_dist() OVER w", 6)} AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    ref="rank-distribution window surface (complements order_price_deciles' ntile "
+    "and global_sort_rank's rank): percent_rank/cume_dist are ratios of exact "
+    "integer ranks so fround is bit-portable; tied acctbals get identical values "
+    "in both engines regardless of physical order, so the output is total-order "
+    "independent. Partitioned window — never a single-partition sort.",
+)
+def customer_balance_percentile(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        fround(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )

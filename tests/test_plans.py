@@ -463,3 +463,32 @@ def test_fuzzy_blocking_finds_all_lev1_pairs(spark, sf_dir):
         if lev1_sub(names[a], names[b])
     }
     assert got == expect and len(got) > 0
+
+
+def test_notin_plans_anti_join_with_broadcast(spark, sf_dir):
+    """Q16-shape NOT IN: the blacklist subquery must become an anti join
+    (null-aware or plain) with the tiny build side broadcast — never a
+    cartesian/nested-loop over the fact table."""
+    p = _plan(spark, sf_dir, "supplier_cnt_notin")
+    assert "AntiJoin" in p or "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p  # blacklist + part dim are broadcast-sized
+
+
+def test_scalar_subquery_threshold_broadcasts(spark, sf_dir):
+    """Q22-shape: the 1-row aggregate threshold cross-joins via broadcast;
+    the recency check is an anti join, and no nested-loop touches the
+    customer scan beyond that single-row broadcast."""
+    p = _plan(spark, sf_dir, "idle_customers_topbal")
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row threshold frame
+    assert "LeftAnti" in p or "AntiJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_balance_percentile_window_is_partitioned(spark, sf_dir):
+    """percent_rank/cume_dist run per-mktsegment: the Window's partition spec
+    must carry c_mktsegment so no single-partition global sort appears."""
+    p = _plan(spark, sf_dir, "customer_balance_percentile")
+    assert "Window" in p
+    win = p.split("Window", 1)[1]
+    assert "c_mktsegment" in win[:800]
