@@ -91,3 +91,122 @@ def duckdb_kmv_distinct(
             FROM kept GROUP BY key
         )
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with a deterministic, cross-engine-exact estimate
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct IS HyperLogLog++, but its estimate is
+# implementation-specific (dense/sparse encodings, bias tables) — useless for
+# an oracle. This is textbook Flajolet HLL over the engine's portable
+# md5-derived hash, with every step exact:
+#
+# - h = md5_long(value)            (60 bits, uniform)
+# - register j = h % m             (m = 2^p buckets)
+# - w = h DIV m                    (the remaining 60-p bits)
+# - rho(w) = leading-zero count + 1, computed EXACTLY via the bit-length of
+#   w's binary string (bin() exists in both engines; no float log2, whose
+#   boundary error at exact powers of two would flip a register)
+# - register value M_j = max rho   (per-group, a plain hash agg)
+# - the harmonic denominator sum_j 2^(-M_j) is rescaled by 2^(60-p+1) so
+#   every term is an exact BIGINT power of two: the sum is order-free integer
+#   arithmetic, and the single double division at the end starts from
+#   identical bits on any engine at any parallelism.
+#
+# No small/large-range corrections: they need ln(), which is not correctly
+# rounded and differs between libm builds. The raw estimator plus the
+# zero-register count (linear-counting input) are emitted instead; callers
+# needing bias correction apply it driver-side to the 1-row-per-group output.
+# State is m integers per group — mergeable, bounded, the 100 TB shape.
+
+_HLL_P = 8
+_HLL_M = 2**_HLL_P  # 256 registers
+_HLL_WBITS = 60 - _HLL_P  # bits in w
+_HLL_RMAX = _HLL_WBITS + 1  # rho when w == 0
+# alpha_m * m^2 * 2^RMAX as ONE python-float literal shared by both engines
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**_HLL_RMAX)
+
+
+def hll_distinct(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-``key`` deterministic-HLL estimate of distinct ``value`` count.
+
+    Output: (key, hll_estimate double, zero_registers long, n_exact long).
+    n_exact (the exact distinct count) is emitted alongside so the sketch
+    error is oracle-visible rather than asserted.
+    """
+    h = md5_long(F.col(value).cast("string"))
+    hashed = df.select(
+        F.col(key),
+        (h % _HLL_M).alias("__j"),
+        # h is a non-negative 60-bit long: integer DIV is exact (no float trip)
+        h.alias("__h"),
+    ).withColumn("__w", F.expr(f"__h DIV {_HLL_M}")).drop("__h")
+    rho = F.when(F.col("__w") == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_WBITS) - F.length(F.bin(F.col("__w"))) + 1
+    )
+    regs = (
+        hashed.groupBy(key, "__j")
+        .agg(F.max(rho).alias("__mj"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - __mj AS INT))")
+    per_key = regs.groupBy(key).agg(
+        F.count("*").alias("__present"),
+        F.sum(term).alias("__s_present"),
+    )
+    # registers never hit contribute 2^RMAX each (M_j = 0)
+    s_total = F.col("__s_present") + (
+        (F.lit(_HLL_M) - F.col("__present")) * F.lit(2**_HLL_RMAX)
+    )
+    exact = df.groupBy(key).agg(
+        F.count_distinct(F.col(value)).alias("n_exact")
+    )
+    return (
+        per_key.select(
+            F.col(key),
+            fround(F.lit(_HLL_NUM) / s_total.cast("double"), 4).alias(
+                "hll_estimate"
+            ),
+            (F.lit(_HLL_M) - F.col("__present")).cast("long").alias(
+                "zero_registers"
+            ),
+        )
+        .join(exact, key)
+    )
+
+
+def duckdb_hll_distinct(table: str, key: str, value: str) -> str:
+    h = duck_md5_long(f"{value}::VARCHAR")
+    return f"""
+        WITH hashed AS (
+            SELECT {key} AS key,
+                   {h} % {_HLL_M} AS j,
+                   {h} // {_HLL_M} AS w
+            FROM {table}
+        ),
+        regs AS (
+            SELECT key, j,
+                   max(CASE WHEN w = 0 THEN {_HLL_RMAX}
+                            ELSE {_HLL_WBITS} - length(bin(w)) + 1 END) AS mj
+            FROM hashed GROUP BY key, j
+        ),
+        per_key AS (
+            SELECT key,
+                   count(*) AS present,
+                   CAST(sum(1::BIGINT << ({_HLL_RMAX} - mj)) AS BIGINT) AS s_present
+            FROM regs GROUP BY key
+        ),
+        exact AS (
+            SELECT {key} AS key, count(DISTINCT {value}) AS n_exact FROM {table}
+            GROUP BY {key}
+        )
+        SELECT key AS {key},
+               {duck_fround(
+                   f"{_HLL_NUM!r} / CAST(s_present + ({_HLL_M} - present) * {2**_HLL_RMAX}::BIGINT AS DOUBLE)",
+                   4,
+               )} AS hll_estimate,
+               CAST({_HLL_M} - present AS BIGINT) AS zero_registers,
+               n_exact
+        FROM per_key JOIN exact USING (key)
+    """

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import duck_md5_int32, md5_int32
 from ..functions.rounding import duck_fround, fround
+from ..functions.sketch import duckdb_hll_distinct
 from ..functions.text_metrics import duck_tokens, tokens
 from ..session import table as T
 from .registry import register
@@ -526,4 +527,114 @@ def zorder_layout_orders(spark, sf_dir):
         F.max("a").alias("cust_max"),
         F.min("b").alias("day_min"),
         F.max("b").alias("day_max"),
+    )
+
+
+@register(
+    "hll_distinct_users",
+    oracle=duckdb_hll_distinct("events", "event_type", "user_id"),
+    ref="HyperLogLog per-group distinct count (the principled bounded-state "
+    "twin of UniqValueCount.java:35-75's truncating exact set, alongside "
+    "kmv_distinct_users): 256 registers per group, rho from exact bit-length "
+    "(never float log2), harmonic sum rescaled to order-free BIGINT powers of "
+    "two so the estimate is bit-identical on any engine at any parallelism. "
+    "No ln()-based range corrections (libm-dependent) — the zero-register "
+    "count is emitted for driver-side linear counting instead. State is 256 "
+    "ints per group: mergeable partial aggregation, the 100 TB shape; the "
+    "exact n_exact column is a second hash agg for error visibility",
+)
+def hll_distinct_users(spark, sf_dir):
+    from ..functions.sketch import hll_distinct
+
+    return hll_distinct(T(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+# Bloom filter geometry: m bits, k hash probes
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos_duck(i_sql: str, key_sql: str) -> str:
+    from ..functions.dedup import duck_md5_long
+
+    return f"({duck_md5_long(f'{i_sql}::VARCHAR || ' + chr(39) + ':' + chr(39) + f' || {key_sql}::VARCHAR')} % {_BLOOM_M})"
+
+
+@register(
+    "bloom_filter_probe",
+    oracle=f"""
+        WITH probes AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i),
+        members AS (
+            SELECT DISTINCT c_custkey AS key FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        bits AS (
+            SELECT DISTINCT {_bloom_pos_duck('i', 'key')} AS pos
+            FROM members CROSS JOIN probes
+        ),
+        probe_keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        hits AS (
+            SELECT pk.key, count(*) AS n_hit
+            FROM (SELECT key, i, {_bloom_pos_duck('i', 'key')} AS pos
+                  FROM probe_keys CROSS JOIN probes) pk
+            JOIN bits USING (pos)
+            GROUP BY pk.key
+        ),
+        accepted AS (SELECT key FROM hits WHERE n_hit = {_BLOOM_K}),
+        truth AS (SELECT key FROM probe_keys WHERE key IN (SELECT key FROM members))
+        SELECT (SELECT count(*) FROM probe_keys) AS n_probed,
+               (SELECT count(*) FROM accepted)   AS n_accepted,
+               (SELECT count(*) FROM truth)      AS n_members,
+               (SELECT count(*) FROM accepted WHERE key NOT IN (SELECT key FROM truth))
+                   AS n_false_pos
+    """,
+    ref="Bloom-filter membership (the reference ships BloomMapFile / "
+    "DynamicBloomFilter, io/bloom/*.java, used by MapFileOutputFormat — the "
+    "mapfile_point_lookup entry uses Spark's parquet bloom; this is the "
+    f"filter itself as relational state): k={_BLOOM_K} md5-derived positions "
+    f"into m={_BLOOM_M} bits, the filter is the DISTINCT set-bit table "
+    "(bounded by m rows — broadcastable at any corpus size), a probe key is "
+    "accepted iff all k positions hit. No false negatives by construction "
+    "(pytest-pinned); false positives are oracle-visible in the output row. "
+    "The 100 TB join-pruning idiom: broadcast the bit table, semi-filter the "
+    "fact side before the real shuffle join",
+)
+def bloom_filter_probe(spark, sf_dir):
+    from ..functions.dedup import md5_long
+
+    probes = F.explode(
+        F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    ).alias("i")
+    members = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    pos = lambda: (  # noqa: E731
+        md5_long(F.concat_ws(":", F.col("i"), F.col("key"))) % _BLOOM_M
+    ).alias("pos")
+    bits = members.select("key", probes).select(pos()).distinct()
+    probe_keys = (
+        T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    )
+    probe_pos = probe_keys.select("key", probes).select("key", pos())
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    accepted = hits.filter(F.col("n_hit") == _BLOOM_K).select("key")
+    truth = probe_keys.join(members, "key", "leftsemi")
+    n_probed = probe_keys.agg(F.count("*").alias("n_probed"))
+    n_accepted = accepted.agg(F.count("*").alias("n_accepted"))
+    n_members = truth.agg(F.count("*").alias("n_members"))
+    n_false = (
+        accepted.join(truth, "key", "left_anti")
+        .agg(F.count("*").alias("n_false_pos"))
+    )
+    return (
+        n_probed.crossJoin(F.broadcast(n_accepted))
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_false))
     )

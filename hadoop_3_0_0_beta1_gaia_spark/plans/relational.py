@@ -1610,3 +1610,158 @@ def copurchase_pagerank(spark, sf_dir):
         topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(F.col("v").alias("part"), "r", "rank")
     )
+
+
+_BFS_DEPTH = 3
+
+
+@register(
+    "copurchase_bfs_depth",
+    oracle=f"""
+        WITH RECURSIVE baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        und AS (
+            SELECT DISTINCT parts[i] AS a, parts[j] AS b
+            FROM baskets,
+                 unnest(generate_series(1, len(parts))) AS t1(i),
+                 unnest(generate_series(1, len(parts))) AS t2(j)
+            WHERE i < j
+        ),
+        edges AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+        walk(v, depth) AS (
+            SELECT (SELECT min(a) FROM und), 0
+            UNION
+            SELECT e.dst, w.depth + 1
+            FROM walk w JOIN edges e ON e.src = w.v
+            WHERE w.depth < {_BFS_DEPTH}
+        ),
+        bfs AS (SELECT v, CAST(min(depth) AS BIGINT) AS depth
+                FROM walk GROUP BY v)
+        SELECT depth, count(*) AS n_nodes,
+               min(v) AS min_part, max(v) AS max_part
+        FROM bfs GROUP BY depth
+    """,
+    ref="BFS to bounded depth over the co-purchase graph (iterative frontier "
+    "expansion — the graph-traversal sibling of dedup_components' label "
+    "propagation and copurchase_pagerank's fixed-point loop): each round is "
+    "one join keyed on src + an anti join against the visited set, the "
+    "standard Pregel superstep as DataFrame ops. The frontier is "
+    "localCheckpoint-persisted per round (unbounded lineage re-executes the "
+    "whole prefix otherwise — the connected-components lesson). Depth labels "
+    "are first-reached = min over walks, so the output is order-free; the "
+    "oracle is a recursive CTE bounded by the same depth. Driver sees only "
+    "the loop counter",
+)
+def copurchase_bfs_depth(spark, sf_dir):
+    from ..functions.dedup import expand_bucket_pairs
+
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    und = (
+        expand_bucket_pairs(baskets)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    src0 = und.agg(F.min("a").alias("v")).select(
+        "v", F.lit(0).cast("long").alias("depth")
+    )
+    visited = src0.localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .select("v", F.lit(d).cast("long").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = visited.groupBy("depth").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("v").alias("min_part"),
+        F.max("v").alias("max_part"),
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+@register(
+    "price_qty_ols_by_flag",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag AS flag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+            FROM lineitem
+        ),
+        s AS (
+            SELECT flag,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(q) AS HUGEINT) AS sq,
+                   CAST(sum(p) AS HUGEINT) AS sp,
+                   CAST(sum(q * q) AS HUGEINT) AS sqq,
+                   CAST(sum(q * p) AS HUGEINT) AS sqp
+            FROM m GROUP BY flag
+        )
+        SELECT flag, CAST(n AS BIGINT) AS n,
+               (floor(((n * sqp - sq * sp) / ((n * sqq - sq * sq) * 1.0))
+                      * 10000 + 0.5) / 10000) AS slope_cents_per_unit,
+               (floor(((sp * 1.0) / n - ((n * sqp - sq * sp)
+                       / ((n * sqq - sq * sq) * 1.0)) * ((sq * 1.0) / n))
+                      * 10000 + 0.5) / 10000) AS intercept_cents
+        FROM s
+    """,
+    ref="ordinary-least-squares fit per group from EXACT integer moment sums "
+    "(the regression sibling of price_qty_corr_by_flag — built-in regr_slope "
+    "aggregates floats in partial-agg order and cannot hash-match across "
+    "engines): slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) and the intercept "
+    "derive from order-free HUGEINT/DECIMAL(38,0) sums, converting to double "
+    "only in the final division sequence (identical op order on both sides). "
+    "One hash agg over the fact table; the formula runs on the |groups|-row "
+    "frame",
+)
+def price_qty_ols_by_flag(spark, sf_dir):
+    from ..functions.rounding import fround
+
+    m = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+    )
+    s = m.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # identical float-op ORDER as the oracle: num / (den * 1.0), then a/n etc.
+    num = (d38("n") * d38("sqp") - d38("sq") * d38("sp")).cast("double")
+    den = (d38("n") * d38("sqq") - d38("sq") * d38("sq")).cast("double")
+    slope = num / den
+    mean_p = d38("sp").cast("double") / F.col("n")
+    mean_q = d38("sq").cast("double") / F.col("n")
+    return s.select(
+        "flag",
+        F.col("n").alias("n"),
+        fround(slope, 4).alias("slope_cents_per_unit"),
+        fround(mean_p - slope * mean_q, 4).alias("intercept_cents"),
+    )

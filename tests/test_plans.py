@@ -492,3 +492,41 @@ def test_balance_percentile_window_is_partitioned(spark, sf_dir):
     assert "Window" in p
     win = p.split("Window", 1)[1]
     assert "c_mktsegment" in win[:800]
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may overshoot (false positives) but never undershoot:
+    every true member must be accepted, so accepted - false_pos == members."""
+    row = QS["bloom_filter_probe"](spark, sf_dir).collect()[0]
+    assert row.n_accepted - row.n_false_pos == row.n_members
+    assert row.n_members > 0
+    assert row.n_accepted <= row.n_probed
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL with m=256 registers has ~6.5% standard error. The entry emits the
+    RAW estimator plus the zero-register count; the small-range (linear
+    counting) correction is applied driver-side — exactly as the entry's
+    docstring prescribes — because ln() is not correctly rounded and would
+    break the cross-engine hash if computed in-query."""
+    import math
+
+    m = 256
+    rows = QS["hll_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        est = r.hll_estimate
+        if est <= 2.5 * m and r.zero_registers > 0:
+            est = m * math.log(m / r.zero_registers)  # linear counting
+        assert abs(est - r.n_exact) <= max(0.3 * r.n_exact, 8), (
+            r.event_type,
+            est,
+            r.n_exact,
+        )
+
+
+def test_bfs_depth_zero_is_single_source(spark, sf_dir):
+    rows = {r.depth: r for r in QS["copurchase_bfs_depth"](spark, sf_dir).collect()}
+    assert rows[0].n_nodes == 1
+    assert rows[0].min_part == rows[0].max_part
+    assert len(rows) >= 2  # the source reaches at least one neighbor
