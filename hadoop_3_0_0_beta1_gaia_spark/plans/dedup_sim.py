@@ -519,3 +519,48 @@ def fuzzy_match_customers(spark, sf_dir):
         .filter(F.col("lev") <= 1)
         .select("id_a", "id_b", "lev")
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+        WITH pairs AS ({duckdb_minhash_lsh("documents", **_MINHASH)}),
+        batch AS (SELECT doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT}),
+        rejected AS (
+            SELECT DISTINCT id_b AS doc_id FROM pairs
+            WHERE id_a < {_INCR_SPLIT} AND id_b >= {_INCR_SPLIT}
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM batch) AS batch_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM rejected) AS dup_new_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM batch b
+                WHERE NOT EXISTS (SELECT 1 FROM rejected r
+                                  WHERE r.doc_id = b.doc_id)) AS admitted_docs
+    """,
+    ref="incremental NEAR-dup admission — the fuzzy twin of "
+    "dedup_incremental_exact and the steady-state LSH shape: a new batch "
+    "(doc_id >= split) is admitted only where no banded-LSH candidate against "
+    "the EXISTING corpus (doc_id < split) survives the exact-Jaccard verify. "
+    "Reuses the full minhash_lsh_pairs pipeline (signatures map-side, ONE "
+    "banding groupBy, in-row pair expansion, candidate-only verify) and "
+    "keeps only cross-side pairs — id_a < split <= id_b holds automatically "
+    "because banding orients pairs by id. At 100 TB the existing side is the "
+    "persisted signature store; the batch side is the only fresh compute",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    from ..functions.dedup import minhash_lsh_pairs
+
+    d = T(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, **_MINHASH).filter(
+        (F.col("id_a") < _INCR_SPLIT) & (F.col("id_b") >= _INCR_SPLIT)
+    )
+    batch = d.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
+    rejected = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+    admitted = batch.join(rejected, "doc_id", "left_anti")
+    out = (
+        batch.agg(F.count("*").cast("long").alias("batch_docs"))
+        .crossJoin(rejected.agg(F.count("*").cast("long").alias("dup_new_docs")))
+        .crossJoin(admitted.agg(F.count("*").cast("long").alias("admitted_docs")))
+    )
+    out = out.localCheckpoint(eager=True)
+    rejected.unpersist()
+    return out

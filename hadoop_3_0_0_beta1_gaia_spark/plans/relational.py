@@ -1765,3 +1765,130 @@ def price_qty_ols_by_flag(spark, sf_dir):
         fround(slope, 4).alias("slope_cents_per_unit"),
         fround(mean_p - slope * mean_q, 4).alias("intercept_cents"),
     )
+
+
+@register(
+    "validate_orders_constraints",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'pk_unique' AS check_name,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_not_null',
+                   CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'fk_customer',
+                   CAST(count(*) AS BIGINT)
+            FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'totalprice_positive',
+                   CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'status_in_domain',
+                   CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P'))
+                        AS BIGINT)
+            FROM orders
+        )
+    """,
+    ref="Deequ-style constraint validation over the orders table (the assertive "
+    "complement of profile_orders_columns): primary-key uniqueness, non-null, "
+    "referential integrity to customer (NOT EXISTS anti join), value range, and "
+    "set-domain membership — each check one named row with its violation count, "
+    "so a pipeline gate reads pass/fail relationally. Filter-aggregates share "
+    "one column-pruned scan per branch; the FK check is an anti join that "
+    "broadcasts the dim at test SF and shuffles at 100 TB. The reference's "
+    "analog is a counter-emitting audit job (Counters, SURVEY §2.5)",
+)
+def validate_orders_constraints(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(name, cnt):
+        return cnt.select(
+            F.lit(name).alias("check_name"), F.col("n").cast("long").alias("n_violations")
+        )
+
+    pk = one(
+        "pk_unique",
+        o.agg((F.count("*") - F.count_distinct("o_orderkey")).alias("n")),
+    )
+    nn = one(
+        "custkey_not_null",
+        o.agg(F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")),
+    )
+    fk = one(
+        "fk_customer",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("n")
+        ),
+    )
+    rng = one(
+        "totalprice_positive",
+        o.agg(F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n")),
+    )
+    dom = one(
+        "status_in_domain",
+        o.agg(
+            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("n")
+        ),
+    )
+    return pk.unionByName(nn).unionByName(fk).unionByName(rng).unionByName(dom)
+
+
+@register(
+    "csv_roundtrip_parse",
+    oracle="""
+        SELECT event_id, event_type, user_id FROM events
+    """,
+    ref="delimited-text source round trip (TextInputFormat + the KeyValue/"
+    "CSV-parse idiom, LIB/input/KeyValueLineRecordReader.java — here the full "
+    "quoted-CSV dialect Spark's csv source implements): events are written as "
+    "CSV (distributed write, never collected), read back with an EXPLICIT "
+    "schema + FAILFAST (schema inference would re-scan the data and silently "
+    "widen types at 100 TB; explicit schema is the scale posture), and "
+    "projected. The oracle is the original table — write + parse are lossless",
+)
+def csv_roundtrip_parse(spark, sf_dir):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    stage = stage_dir("/tmp/gaia_spark_csv", sf_dir, "events")
+    ev.write.mode("overwrite").option("header", "true").csv(stage)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(stage)
+    )
+
+
+@register(
+    "orc_roundtrip_scan",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 = 0
+    """,
+    ref="columnar container breadth beyond parquet (SequenceFile/MapFile are the "
+    "reference's containers, SURVEY §2.1-2.2; ORC is the columnar equivalent "
+    "Spark ships natively): orders written as ORC, read back with a pushed "
+    "filter — ORC carries min/max stripe stats exactly like parquet row "
+    "groups, so the scan prunes server-side. Round trip proves the sink+source "
+    "pair; the modulo filter runs post-scan on both engines",
+)
+def orc_roundtrip_scan(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    stage = stage_dir("/tmp/gaia_spark_orc", sf_dir, "orders")
+    o.write.mode("overwrite").orc(stage)
+    return spark.read.orc(stage).filter(F.col("o_orderkey") % 7 == 0)

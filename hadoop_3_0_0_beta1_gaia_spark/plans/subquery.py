@@ -351,3 +351,128 @@ def customer_balance_percentile(spark, sf_dir):
         fround(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         fround(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-interval window frame (value-based, not row-based)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_30d_order_value",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, day,
+               CAST(sum(price_cents) OVER (
+                   PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_30d_cents
+        FROM (
+            SELECT o_orderkey, o_custkey,
+                   CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+                   {_CENTS.format(c='o_totalprice')} AS price_cents
+            FROM orders
+        )
+    """,
+    ref="RANGE-frame window (value-based frame — complements running_total_"
+    "supplier's ROWS frame): per customer, the trailing-30-day order value. "
+    "RANGE frames are tie-safe by construction (all orders on the same day "
+    "share the frame, so the sum is order-free — no nanos-tie exposure), and "
+    "the frame key is integer epoch-days so both engines bound it exactly. "
+    "Money is exact BIGINT cents; window partitions hold one customer's "
+    "orders — bounded, never a global sort",
+)
+def customer_30d_order_value(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("day"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("price_cents").over(w).cast("long").alias("trailing_30d_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (wide -> long), the inverse of events_pivot_daily
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_flag_metrics",
+    oracle=f"""
+        WITH wide AS (
+            SELECT l_returnflag AS flag,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT flag, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN (sum_qty, sum_price_cents, n_items))
+    """,
+    ref="unpivot / melt (wide -> long, the inverse of events_pivot_daily's "
+    "pivot): three per-flag aggregates become (flag, metric, value) rows via "
+    "DataFrame.unpivot — map-side reshaping of the already-aggregated frame, "
+    "zero additional shuffle. All measures are exact BIGINT so the shared "
+    "value column has one type on both engines",
+)
+def unpivot_flag_metrics(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("sum_price_cents"),
+        F.count("*").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["flag"],
+        values=["sum_qty", "sum_price_cents", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multiset EXCEPT ALL (bag semantics — complements the DISTINCT set ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_except_all_parts",
+    oracle="""
+        SELECT l_partkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    ref="EXCEPT ALL — bag semantics (each duplicate consumed once), vs "
+    "set_except's DISTINCT semantics: part keys shipped in completed ('F') "
+    "orders minus, with multiplicity, those in pending ('P') orders. Spark "
+    "plans exceptAll as a counted anti-pattern (aggregate multiplicities, "
+    "subtract, re-expand) — one shuffle per side plus the merge, no distinct "
+    "pre-pass. The semi-join order filters push into both scans",
+)
+def set_except_all_parts(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+
+    def side(status):
+        keys = o.filter(F.col("o_orderstatus") == status).select("o_orderkey")
+        return li.join(keys, li.l_orderkey == keys.o_orderkey, "leftsemi").select(
+            "l_partkey"
+        )
+
+    return side("F").exceptAll(side("P"))
