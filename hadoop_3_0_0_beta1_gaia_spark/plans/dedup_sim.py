@@ -564,3 +564,43 @@ def dedup_incremental_minhash(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     rejected.unpersist()
     return out
+
+
+@register(
+    "lsh_recall_vs_exact",
+    oracle=f"""
+        WITH exact AS ({duckdb_ngram_jaccard("documents", **_NGRAM)}),
+        lsh AS ({duckdb_minhash_lsh("documents", **_MINHASH)})
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM lsh)   AS n_lsh_pairs,
+               (floor((SELECT count(*) FROM lsh) * 1.0
+                      / greatest((SELECT count(*) FROM exact), 1)
+                      * 10000 + 0.5) / 10000) AS pair_recall
+    """,
+    ref="LSH candidate recall vs the exact shingle-join ground truth (the "
+    "evaluation twin of ann_recall_at_k, for the text near-dup family): both "
+    "pipelines share n and threshold, and every LSH survivor passes the same "
+    "exact-Jaccard verify, so LSH pairs are a subset of exact pairs and "
+    "recall = |LSH| / |exact| of exact integer counts. This is the metric "
+    "that justifies shipping the banded path at 100 TB where the exact "
+    "all-pairs join is impossible — measured, not asserted",
+)
+def lsh_recall_vs_exact(spark, sf_dir):
+    from ..functions.rounding import fround
+
+    d = T(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, **_NGRAM)
+    lsh = minhash_lsh_pairs(d, **_MINHASH)
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh_pairs"))
+    out = n_exact.crossJoin(F.broadcast(n_lsh)).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        fround(
+            F.col("n_lsh_pairs")
+            * F.lit(1.0)
+            / F.greatest(F.col("n_exact_pairs"), F.lit(1)),
+            4,
+        ).alias("pair_recall"),
+    )
+    return out

@@ -476,3 +476,90 @@ def set_except_all_parts(spark, sf_dir):
         )
 
     return side("F").exceptAll(side("P"))
+
+
+# ---------------------------------------------------------------------------
+# monotone frontier (running-record detection via an exclusive RANGE frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "record_breaking_orders",
+    oracle=f"""
+        SELECT o_orderkey, day, price_cents
+        FROM (
+            SELECT o_orderkey, day, price_cents,
+                   max(price_cents) OVER (
+                       ORDER BY day
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prior_max
+            FROM (
+                SELECT o_orderkey,
+                       CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+                       {_CENTS.format(c='o_totalprice')} AS price_cents
+                FROM orders
+            )
+        ) WHERE prior_max IS NULL OR price_cents > prior_max
+    """,
+    ref="running-record / monotone-frontier detection (the 2-D skyline "
+    "degenerate): an order is a record if it beats the max price of every "
+    "STRICTLY earlier day — the exclusive RANGE frame (UNBOUNDED PRECEDING "
+    "TO 1 PRECEDING on integer days) makes same-day ties frame-invisible, so "
+    "the result is physical-order-free on both engines. One windowed pass, "
+    "no self-join (the naive not-exists formulation is O(n^2)); at scale the "
+    "single global window would range-partition by day with a two-phase "
+    "running max (operators/sort.py:global_running_total pattern)",
+)
+def record_breaking_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("day"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    w = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    return (
+        o.withColumn("prior_max", F.max("price_cents").over(w))
+        .filter(F.col("prior_max").isNull() | (F.col("price_cents") > F.col("prior_max")))
+        .select("o_orderkey", "day", "price_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitset aggregation (bounded-state presence encoding via bit_or)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_hour_bitmap",
+    oracle="""
+        WITH bm AS (
+            SELECT user_id,
+                   bit_or(1::BIGINT << CAST(hour(ts) AS INT)) AS bitmap
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(bit_count(bitmap) AS BIGINT) AS active_hours,
+               count(*) AS n_users,
+               CAST(min(user_id) AS BIGINT) AS min_user
+        FROM bm GROUP BY 1
+    """,
+    ref="bitmap presence aggregation (the roaring-bitmap idiom at its exact "
+    "small-domain core): each user's 24 hour-of-day slots fold into ONE "
+    "BIGINT via bit_or — commutative, associative, 8 bytes of state per "
+    "group, the ideal partial-aggregation shape at 100 TB (vs collect_set's "
+    "unbounded state). bit_count then buckets users by how many distinct "
+    "hours they were active. The reference's analog is a BitSet-valued "
+    "Writable folded in a combiner",
+)
+def user_hour_bitmap(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    bm = ev.groupBy("user_id").agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hour(ts) AS INT))")
+        ).alias("bitmap")
+    )
+    return bm.groupBy(
+        F.bit_count("bitmap").cast("long").alias("active_hours")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.min("user_id").cast("long").alias("min_user"),
+    )
