@@ -503,12 +503,15 @@ def set_except_all_parts(spark, sf_dir):
     """,
     ref="running-record / monotone-frontier detection (the 2-D skyline "
     "degenerate): an order is a record if it beats the max price of every "
-    "STRICTLY earlier day — the exclusive RANGE frame (UNBOUNDED PRECEDING "
-    "TO 1 PRECEDING on integer days) makes same-day ties frame-invisible, so "
-    "the result is physical-order-free on both engines. One windowed pass, "
-    "no self-join (the naive not-exists formulation is O(n^2)); at scale the "
-    "single global window would range-partition by day with a two-phase "
-    "running max (operators/sort.py:global_running_total pattern)",
+    "STRICTLY earlier day. Scale shape: the corpus first collapses to ONE "
+    "row per day (hash agg with map-side partials — the time dimension is "
+    "bounded, ~hundreds of rows per year, at ANY corpus size), the exclusive "
+    "frontier window (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING over distinct "
+    "days) runs on that bounded frame, and the per-day prior_max broadcasts "
+    "back onto the fact scan — so no fact-sized single-partition window ever "
+    "exists, unlike the naive RANGE-frame-over-orders formulation. Same-day "
+    "ties are frame-invisible by construction (the frame sees only earlier "
+    "DAYS), so the result is physical-order-free on both engines",
 )
 def record_breaking_orders(spark, sf_dir):
     o = T(spark, sf_dir, "orders").select(
@@ -516,9 +519,13 @@ def record_breaking_orders(spark, sf_dir):
         F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("day"),
         _cents("o_totalprice").alias("price_cents"),
     )
-    w = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    daymax = o.groupBy("day").agg(F.max("price_cents").alias("day_max"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    prior = daymax.select(
+        "day", F.max("day_max").over(w).alias("prior_max")
+    )
     return (
-        o.withColumn("prior_max", F.max("price_cents").over(w))
+        o.join(F.broadcast(prior), "day")
         .filter(F.col("prior_max").isNull() | (F.col("price_cents") > F.col("prior_max")))
         .select("o_orderkey", "day", "price_cents")
     )
