@@ -498,7 +498,7 @@ def zorder_layout_orders(spark, sf_dir):
     keyed = instant_ts(T(spark, sf_dir, "orders"), "o_orderdate").select(
         "o_orderkey",
         F.col("o_custkey").alias("a"),
-        (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("b"),
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)").alias("b"),
     )
     bounds = keyed.agg(
         F.min("a").alias("amin"), F.max("a").alias("amax"),

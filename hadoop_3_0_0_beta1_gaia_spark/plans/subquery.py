@@ -385,7 +385,7 @@ def customer_30d_order_value(spark, sf_dir):
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("day"),
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)").alias("day"),
         _cents("o_totalprice").alias("price_cents"),
     )
     w = (
@@ -516,7 +516,7 @@ def set_except_all_parts(spark, sf_dir):
 def record_breaking_orders(spark, sf_dir):
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("day"),
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)").alias("day"),
         _cents("o_totalprice").alias("price_cents"),
     )
     daymax = o.groupBy("day").agg(F.max("price_cents").alias("day_max"))
