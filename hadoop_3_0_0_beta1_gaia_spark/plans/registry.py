@@ -127,6 +127,7 @@ def all_entries() -> dict[str, InventoryEntry]:
         relational,
         subquery,
         textops,
+        tpch_shapes,
     )
 
     ordered: dict[str, InventoryEntry] = {}
