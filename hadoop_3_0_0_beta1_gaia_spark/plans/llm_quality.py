@@ -608,3 +608,151 @@ def corpus_split_assign(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier inference (quantized linear model, integer-exact)
+# ---------------------------------------------------------------------------
+
+# Integer micro-unit weights of a quantized linear quality model (the
+# fastText/logistic "keep this document?" classifier after int quantization —
+# the inference idiom a 100 TB filter stage actually runs; training happens
+# offline). All features are exact BIGINT counts, so z is an exact BIGINT and
+# the keep decision has no float boundary on either engine.
+_QW = {
+    "intercept": -2_000_000,
+    "w_tok": 9_000,       # longer docs are better ...
+    "w_char": -900,       # ... unless they're just long words/noise
+    "w_stop": 120_000,    # stopword hits indicate natural language
+    "w_punct": -55_000,   # heavy punctuation indicates markup/boilerplate
+    "w_digit": -12_000,   # digit soup indicates tables/serial dumps
+}
+
+_STOP_IN = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tok,
+                   length(text) AS n_char,
+                   len(list_filter({_TOKS}, x -> x IN ({_STOP_IN}))) AS n_stop,
+                   length(lower(text))
+                     - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'))
+                     AS n_punct,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                     AS n_digit
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({_QW['intercept']}
+                    + {_QW['w_tok']} * n_tok
+                    + {_QW['w_char']} * n_char
+                    + {_QW['w_stop']} * n_stop
+                    + {_QW['w_punct']} * n_punct
+                    + {_QW['w_digit']} * n_digit AS BIGINT) AS z_micro,
+               ({_QW['intercept']}
+                    + {_QW['w_tok']} * n_tok
+                    + {_QW['w_char']} * n_char
+                    + {_QW['w_stop']} * n_stop
+                    + {_QW['w_punct']} * n_punct
+                    + {_QW['w_digit']} * n_digit) > 0 AS keep
+        FROM f
+    """,
+    ref="quality-classifier inference: a quantized linear model (integer "
+    "micro-unit weights over exact count features) scoring every document "
+    "map-side — the model-based filter stage between doc_quality's hand "
+    "heuristics and corpus_filter_pipeline's rule list. Zero shuffles, zero "
+    "UDFs: five count features fold into one BIGINT logit inside whole-stage "
+    "codegen, and the keep boundary is integer-exact (no sigmoid needed — "
+    "sign(z) decides; exp() is not bit-portable across engines and is "
+    "deliberately avoided). Reference surface: Mapper.map per-record scoring "
+    "(MR-CORE .../mapreduce/Mapper.java:123)",
+)
+def quality_classifier_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length("text").cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
+    ).cast("long")
+    n_punct = (
+        F.length(lt) - F.length(F.regexp_replace(lt, r"[^a-z0-9\s]", ""))
+    ).cast("long")
+    n_digit = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("long")
+    z = (
+        F.lit(_QW["intercept"])
+        + F.lit(_QW["w_tok"]) * n_tok
+        + F.lit(_QW["w_char"]) * n_char
+        + F.lit(_QW["w_stop"]) * n_stop
+        + F.lit(_QW["w_punct"]) * n_punct
+        + F.lit(_QW["w_digit"]) * n_digit
+    ).cast("long")
+    return d.select("doc_id", z.alias("z_micro"), (z > 0).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture weights (downsample-to-uniform rate table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_domain_weights",
+    oracle="""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   count(*) AS n_src
+            FROM per_src
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(least(1000000 * total // (n_src * n_docs), 1000000)
+                    AS BIGINT) AS rate_ppm,
+               CAST(n_docs * least(1000000 * total // (n_src * n_docs), 1000000)
+                    // 1000000 AS BIGINT) AS expected_kept
+        FROM per_src, tot
+    """,
+    ref="domain-mixture rebalancing: per-source keep rates that downsample an "
+    "imbalanced corpus toward the uniform target share (the W(domain) table of "
+    "a data-mixing stage; complements corpus_temperature_sample's 1/sqrt "
+    "temperature rule). Rates are exact integer ppm — 1e6*total//(n_src*n_docs), "
+    "capped at 1e6 so over-represented sources downsample and rare sources keep "
+    "everything (never upsampled) — so the rate table is bit-identical across "
+    "engines with no float share in sight. Scale shape: per-source counts are a "
+    "partial-agg groupBy; the 1-row (total, n_src) aggregate cross-joins back "
+    "broadcast, exactly the idle_customers_topbal scalar-subquery pattern",
+)
+def mix_domain_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").cast("long").alias("total"), F.count("*").alias("n_src")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.expr("(1000000 * total) DIV (n_src * n_docs)"),
+                F.lit(1000000).cast("long"),
+            ),
+        )
+        .withColumn(
+            "expected_kept", F.expr("(CAST(n_docs AS BIGINT) * rate_ppm) DIV 1000000")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "rate_ppm",
+            "expected_kept",
+        )
+    )
