@@ -1373,3 +1373,111 @@ def duckdb_cosine_topk_filtered(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def semantic_dedup(
+    df: DataFrame,
+    num_centroids: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster first (IVF coarse
+    quantizer, :func:`ivf_assign`), then within each cluster mark a vector
+    as a duplicate iff a LOWER-id vector in the same cluster has rounded
+    cosine >= threshold. The keep rule is a deterministic anti-join (no
+    iterative components needed): per cluster, the lowest-id member of every
+    near-dup neighborhood survives.
+
+    This is the 100 TB shape for embedding dedup: the exact O(n²) compare
+    runs only within a cluster (n/k rows on average; k scales with corpus
+    size), and the cluster assignment itself is a broadcast argmin — so
+    nothing ever compares across clusters. The exact all-pairs twin
+    (:func:`cosine_near_dup_blocked`) is the recall anchor, LSH
+    (:func:`cosine_near_dup_lsh`) the orthogonal bucketing; this entry adds
+    the centroid-bucketed variant that dominates practice (SemDeDup,
+    Abbas et al. 2023) because buckets are semantically coherent.
+
+    Output: (vec_id, centroid_id, keep) for every input vector.
+    """
+    from pyspark import StorageLevel
+
+    assigned = (
+        with_norm(df, vec_col)
+        .select(F.col(id_col).alias("id"), "__v", "__n2")
+        .join(
+            ivf_assign(df, num_centroids, id_col, vec_col, round_digits).select(
+                F.col("vec_id").alias("id"), "centroid_id"
+            ),
+            "id",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hi = assigned.select(
+        F.col("id").alias("i"),
+        F.col("centroid_id").alias("b"),
+        F.col("__v").alias("vi"),
+        F.col("__n2").alias("ni"),
+    )
+    lo = assigned.select(
+        F.col("id").alias("j"),
+        F.col("centroid_id").alias("b"),
+        F.col("__v").alias("vj"),
+        F.col("__n2").alias("nj"),
+    )
+    cos = fround(
+        dot(F.col("vi"), F.col("vj")) / F.sqrt(F.col("ni") * F.col("nj")),
+        round_digits,
+    )
+    dup_ids = (
+        hi.join(lo, "b")
+        .filter(F.col("j") < F.col("i"))
+        .filter(cos >= threshold)
+        .select(F.col("i").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids, assigned.id == dup_ids.dup_id, "left"
+    ).select(
+        F.col("id").alias("vec_id"),
+        "centroid_id",
+        F.col("dup_id").isNull().alias("keep"),
+    )
+
+
+def duckdb_semantic_dedup(
+    table: str,
+    num_centroids: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    v = f"list_transform({vec_col}, x -> x::DOUBLE)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {v} AS v, list_dot_product({v}, {v}) AS n2
+            FROM {table}
+        ),
+        cents AS (
+            SELECT id AS c_id, v AS cv, n2 AS cn FROM base ORDER BY id LIMIT {num_centroids}
+        ),
+        assigned AS (
+            SELECT id, v, n2, c_id AS centroid_id FROM (
+                SELECT base.id, base.v, base.n2, c_id,
+                       row_number() OVER (
+                           PARTITION BY base.id
+                           ORDER BY {duck_fround('list_dot_product(v, cv) / sqrt(n2 * cn)', round_digits)} DESC, c_id
+                       ) AS r
+                FROM base CROSS JOIN cents
+            ) WHERE r = 1
+        )
+        SELECT a.id AS vec_id, a.centroid_id,
+               NOT EXISTS (
+                   SELECT 1 FROM assigned b
+                   WHERE b.centroid_id = a.centroid_id AND b.id < a.id
+                     AND {duck_fround('list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)', round_digits)} >= {threshold}
+               ) AS keep
+        FROM assigned a
+    """

@@ -604,3 +604,23 @@ def lsh_recall_vs_exact(spark, sf_dir):
         ).alias("pair_recall"),
     )
     return out
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.similarity",
+        fromlist=["duckdb_semantic_dedup"],
+    ).duckdb_semantic_dedup("embeddings", num_centroids=8, **_NEARDUP),
+    ref="SemDeDup (Abbas et al. 2023): cluster-then-dedup — IVF coarse "
+    "assignment buckets the corpus into semantically coherent clusters, then "
+    "the exact near-dup compare runs ONLY within a cluster and the lowest-id "
+    "member of each neighborhood survives (deterministic anti-join keep rule, "
+    "no iterative components). The 100 TB embedding-dedup workhorse: "
+    "dedup_embedding_cosine is its exact all-pairs recall anchor, "
+    "dedup_embedding_lsh the hyperplane-bucketed alternative",
+)
+def semantic_dedup_keep(spark, sf_dir):
+    from ..functions.similarity import semantic_dedup
+
+    return semantic_dedup(T(spark, sf_dir, "embeddings"), num_centroids=8, **_NEARDUP)
