@@ -359,12 +359,15 @@ def discounted_revenue_brands(spark, sf_dir):
     "canonical form is EXISTS(other supplier) AND NOT EXISTS(other returned "
     "supplier) — two correlated fact probes; the reference would run two extra "
     "join jobs. Re-expressed as ONE grouped pass: per (order, supplier) fold the "
-    "returned flag, per order count suppliers and returned-suppliers, then "
+    "returned flag, then per-order supplier/returned-supplier counts via a "
+    "window partitioned on l_orderkey — the fact table is scanned ONCE (a "
+    "groupBy-then-self-join would scan and aggregate it twice at 100 TB), and "
     "filter has_ret=1 AND n_supp>1 AND n_ret_supp=1 — equivalent semantics, "
-    "one lineitem shuffle instead of three. Top-25 via TakeOrdered with s_name "
-    "tie-break.",
+    "two shuffles total. Top-25 via TakeOrdered with s_name tie-break.",
 )
 def waiting_suppliers(spark, sf_dir):
+    from pyspark.sql.window import Window
+
     fo = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
@@ -378,13 +381,12 @@ def waiting_suppliers(spark, sf_dir):
             ).alias("has_ret")
         )
     )
-    order_stats = order_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"), F.sum("has_ret").alias("n_ret_supp")
-    )
+    w = Window.partitionBy("l_orderkey")
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        order_supp.join(order_stats, F.col("ok") == F.col("l_orderkey"))
+        order_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_ret_supp", F.sum("has_ret").over(w))
         .filter(
             (F.col("has_ret") == 1) & (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
         )
