@@ -530,3 +530,54 @@ def test_bfs_depth_zero_is_single_source(spark, sf_dir):
     assert rows[0].n_nodes == 1
     assert rows[0].min_part == rows[0].max_part
     assert len(rows) >= 2  # the source reaches at least one neighbor
+
+
+def test_q19_predicate_stays_one_scan(spark, sf_dir):
+    """discounted_revenue_brands' OR-of-ANDs must stay ONE lineitem scan and
+    ONE part scan (the reference unions three filtered jobs; Catalyst keeps a
+    residual OR over a single join)."""
+    p = _plan(spark, sf_dir, "discounted_revenue_brands")
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("part.parquet") == 1
+
+
+def test_q21_single_fact_scan(spark, sf_dir):
+    """waiting_suppliers computes per-order counts via a window over the
+    grouped frame — a groupBy-then-self-join would scan lineitem twice."""
+    p = _plan(spark, sf_dir, "waiting_suppliers")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_q5_q7_broadcast_only_bounded_dims(spark, sf_dir):
+    """Q5/Q7 shapes force-broadcast only region/nation (bounded); customer/
+    orders/supplier strategies are left to the threshold/AQE."""
+    from pyspark.sql import functions as F
+
+    for name in ("local_supplier_volume", "volume_shipping_nations"):
+        plan = str(QS[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan())
+        for line in plan.splitlines():
+            if "ResolvedHint" in line or "broadcast" in line.lower():
+                assert "customer" not in line and "orders" not in line and (
+                    "supplier" not in line
+                ), f"{name}: growing table hinted broadcast: {line}"
+
+
+def test_semantic_dedup_reuses_assignment(spark, sf_dir):
+    """semantic_dedup persists the assigned frame: the centroid-assignment
+    chain (broadcast cross + window) must not recompute once per join side."""
+    p = _plan(spark, sf_dir, "semantic_dedup_keep")
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+
+
+def test_quantile_sketch_state_is_bounded(spark, sf_dir):
+    """The histogram sketch must aggregate into <= 1024 buckets (bounded
+    state) and broadcast the 1-row bounds aggregate — never sort the corpus."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import _QSK_W
+
+    df = QS["value_quantile_sketch"](spark, sf_dir)
+    p = _plan(spark, sf_dir, "value_quantile_sketch")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    rows = df.collect()
+    assert all(r.bucket < _QSK_W for r in rows)
+    assert len(rows) == 5
