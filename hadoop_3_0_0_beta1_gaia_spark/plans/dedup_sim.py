@@ -624,3 +624,53 @@ def semantic_dedup_keep(spark, sf_dir):
     from ..functions.similarity import semantic_dedup
 
     return semantic_dedup(T(spark, sf_dir, "embeddings"), num_centroids=8, **_NEARDUP)
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+        WITH comp AS ({duckdb_connected_components(duckdb_ngram_jaccard("documents", **_NGRAM))})
+        SELECT component, n_members, canonical_doc, canonical_chars
+        FROM (
+            SELECT component,
+                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+                   doc_id AS canonical_doc,
+                   CAST(n_chars AS BIGINT) AS canonical_chars,
+                   row_number() OVER (
+                       PARTITION BY component ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM comp JOIN documents USING (doc_id)
+        ) WHERE rn = 1
+    """,
+    ref="canonical-representative selection — the step that turns near-dup "
+    "CLUSTERS (dedup_components' min-label fixpoint) into a kept corpus: per "
+    "cluster keep the longest document (n_chars, doc_id tie-break — a "
+    "deterministic integer quality proxy; quality_classifier_score's logit "
+    "slots in identically at scale). One window per component (components are "
+    "near-dup clusters — shallow and tiny by construction, so the partition "
+    "is bounded); docs in no cluster are already canonical and need no row. "
+    "Completes the pipeline dedup_minhash_lsh -> dedup_components -> HERE -> "
+    "dedup_kept_corpus",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM)
+    comp = connected_components(pairs)
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component")
+    rn = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(d, "doc_id")
+        .withColumn("n_members", F.count("*").over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+        )
+    )

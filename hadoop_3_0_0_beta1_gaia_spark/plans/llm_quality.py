@@ -756,3 +756,77 @@ def mix_domain_weights(spark, sf_dir):
             "expected_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota cap (exact top-N per source, skew-safe)
+# ---------------------------------------------------------------------------
+
+_QUOTA_CAP = 15
+_QUOTA_SALTS = 16
+
+
+@register(
+    "domain_quota_filter",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR || ':quota'), doc_id
+                   ) AS rnk
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rnk <= {_QUOTA_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(min(CASE WHEN rnk <= {_QUOTA_CAP} THEN doc_id END) AS BIGINT)
+                   AS min_kept_doc,
+               CAST(sum(CASE WHEN rnk <= {_QUOTA_CAP} THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS kept_id_sum
+        FROM ranked GROUP BY source
+    """,
+    ref="per-domain quota cap — the crawl-pipeline rule 'keep at most N pages "
+    "per domain' (hard cap, vs mix_domain_weights' proportional rates). "
+    "Selection order is the md5 of the doc id (a deterministic uniform shuffle "
+    "— no crawl-order bias, reproducible across engines/runs). Scale shape: a "
+    "single window PARTITION BY source would put a hot domain's billions of "
+    "rows in one partition; instead selection is two-level exact top-N — "
+    "md5-rank within (source, salt) keeps <= N per salted group ({S} groups), "
+    "then the <= N*{S} survivors per source rank once more. Both windows have "
+    "bounded partitions at ANY domain skew, and level-1 drops all but "
+    "N*{S} rows per domain before any cross-salt movement. Top-N-of-top-N is "
+    "exact (every global top-N row is top-N in its salt group)".format(
+        S=_QUOTA_SALTS
+    ),
+)
+def domain_quota_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.dedup import md5_long
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota"))).alias("rk"),
+    )
+    salt = (md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":salt")))
+            % _QUOTA_SALTS)
+    lvl1 = Window.partitionBy("source", "salt").orderBy("rk", "doc_id")
+    lvl2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    survivors = (
+        d.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(lvl1))
+        .filter(F.col("r1") <= _QUOTA_CAP)
+        .withColumn("rnk", F.row_number().over(lvl2))
+    )
+    kept = survivors.filter(F.col("rnk") <= _QUOTA_CAP).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.min("doc_id").cast("long").alias("min_kept_doc"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
+    totals = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return totals.join(kept, "source").select(
+        "source", "n_docs", "n_kept", "min_kept_doc", "kept_id_sum"
+    )
