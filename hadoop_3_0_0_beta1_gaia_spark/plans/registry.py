@@ -62,12 +62,23 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # dedup_minhash_lsh-adjacent, dedup_embedding_cosine+ivf cover similarity)
 # rotate out for the three new index/sketch entries, pre-validated under the
 # plain driver-protocol session at sf0.01.
+# Rotation #3 (late round 3): eight twice-driver-green entries whose family
+# keeps an in-window green representative (join_outer_full/join_override ->
+# the six remaining join entries; distinct_segments -> set_intersect;
+# secondary_sort -> terasort/global_sort/grouping_comparator; seqfilter_percent
+# -> repo gate (sample/filter family); doc_token_count -> doc_quality/
+# doc_lang/word_count; value_histogram_events -> cube/running_total/monthly;
+# fieldsel_project -> keyfield_sorted_lines) rotate OUT for the new
+# decision-support shapes (Q5/Q7/Q10/Q21) and LLM-pipeline headliners
+# (SemDeDup, quantile sketch, quality classifier, cluster-canonical) — all
+# eight pre-validated under the plain driver-protocol session (NY tz, 200
+# shuffle partitions, sf0.01) with Arrow-type equality.
 _WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_inner_nway",
-    "join_outer_full",
-    "join_override",
+    "local_supplier_volume",
+    "volume_shipping_nations",
     "join_semi",
     "join_theta_datajoin",
     "join_broadcast_parts",
@@ -76,18 +87,18 @@ _WINDOW: list[str] = [
     "range_join_ship_windows",
     "terasort_rank",
     "global_sort_rank",
-    "secondary_sort",
+    "waiting_suppliers",
     "top_k_orders",
     "union_multi_input",
-    "distinct_segments",
+    "returned_item_customers",
     "set_intersect",
-    "fieldsel_project",
+    "dedup_cluster_canonical",
     "keyfield_sorted_lines",
     "pipe_typedbytes_sum",
     "grouping_comparator_orders",
     "word_count",
-    "value_histogram_events",
-    "seqfilter_percent",
+    "quality_classifier_score",
+    "semantic_dedup_keep",
     "cube_orders_pricing",
     "running_total_supplier",
     "orders_monthly_delta",
@@ -102,7 +113,7 @@ _WINDOW: list[str] = [
     "doc_bigram_logprob",
     "pq_encode_vectors",
     "ann_recall_at_k",
-    "doc_token_count",
+    "value_quantile_sketch",
     "doc_quality",
     "doc_lang_id",
     "doc_winnow_near_dup",

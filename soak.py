@@ -14,6 +14,7 @@ Stages:
   zorder     z-order layout job over orders (normalize → interleave →
              two-phase rank → file boxes).
   kmeans     k-means Lloyd refinement over embeddings (iterative loop).
+  semantic_dedup  SemDeDup cluster-then-dedup over embeddings.
   smalljob   MRBench analog (MR-JC mapred/MRBench.java): repeated tiny
              map+reduce jobs; reports avg ms per job (scheduler overhead).
 
@@ -119,6 +120,17 @@ def main() -> None:
     t0 = time.perf_counter()
     krows = _qs()["kmeans_lloyd_refine"](spark, SF_DIR).count()
     results["kmeans"] = {"rows": krows, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
+
+    # SemDeDup: the cluster-then-dedup embedding pipeline (bucketed O(n²/k)
+    # within-cluster compares — the heaviest of the new similarity entries).
+    t0 = time.perf_counter()
+    sd = _qs()["semantic_dedup_keep"](spark, SF_DIR)
+    skept = sd.filter("keep").count()
+    results["semantic_dedup"] = {
+        "kept": skept,
+        "sec": round(time.perf_counter() - t0, 2),
+    }
     spark.catalog.clearCache()
 
     # MRBench analog: latency of repeated tiny map+reduce jobs.
