@@ -280,3 +280,37 @@ def stream_sliding_topk(spark, sf_dir):
     agg = sliding_counts(stream, window="2 hours", slide="1 hour")
     drained = run_to_memory(agg, "stream_sliding_topk_sink", spark)
     return rank_topk_per_window(drained, k=3)
+
+
+@register(
+    "image_decode_roundtrip",
+    oracle="""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(16),
+                       i -> ('0x' || substr(md5(doc_id::VARCHAR || ':px'),
+                                            CAST(2 * i + 1 AS INT), 2))::BIGINT
+                   ) AS ps
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_sum(ps) AS BIGINT) AS px_sum,
+               CAST(list_min(ps) AS BIGINT) AS px_min,
+               CAST(list_max(ps) AS BIGINT) AS px_max,
+               TRUE AS roundtrip_ok
+        FROM px
+    """,
+    ref="the registered proof that decode=real is a working image codec, not "
+    "a stub: md5-derived 4x4 gray pixels are ENCODED to a real PNG byte "
+    "stream (zlib deflate, CRC chunks) and DECODED back through the full "
+    "chunk-walk/inflate/unfilter path inside a mapInPandas Arrow kernel "
+    "(functions/multimodal.py png_encode/png_decode); the oracle reproduces "
+    "the pixel bytes hex-pair by hex-pair from the same md5, so the stats "
+    "only match if the codec round trip is bit-exact. Complements "
+    "multimodal_features' fake-path oracle (driver testdata ships no media "
+    "bytes, so the image bytes are synthesized deterministically in-kernel)",
+)
+def image_decode_roundtrip(spark, sf_dir):
+    from ..functions.multimodal import png_roundtrip_stats
+
+    return png_roundtrip_stats(T(spark, sf_dir, "documents"))
