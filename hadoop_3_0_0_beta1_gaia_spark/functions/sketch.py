@@ -210,3 +210,100 @@ def duckdb_hll_distinct(table: str, key: str, value: str) -> str:
                n_exact
         FROM per_key JOIN exact USING (key)
     """
+
+
+def hll_merge_demo(df: DataFrame, part: "F.Column", value: str) -> DataFrame:
+    """HLL mergeability proof: build one register table PER PARTITION SLICE
+    (``part`` — e.g. the event day), merge the slices with a register-wise
+    max, and compute the same estimate directly over the full stream. The
+    two estimates are equal by algebra (max is associative/commutative), and
+    BOTH are emitted so the oracle verifies the merge path, not just asserts
+    it.
+
+    This is the property that makes sketches the 100 TB answer: per-day (or
+    per-file, per-partition) sketch tables persist as tiny artifacts and
+    roll up into any coarser grain without touching the raw data again.
+    Output: 1 row (n_slices, merged_estimate, direct_estimate,
+    estimates_equal, n_exact).
+    """
+    h = md5_long(F.col(value).cast("string"))
+    hashed = (
+        df.select(part.alias("__p"), (h % _HLL_M).alias("__j"), h.alias("__h"))
+        .withColumn("__w", F.expr(f"__h DIV {_HLL_M}"))
+        .drop("__h")
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_WBITS) - F.length(F.bin(F.col("__w"))) + 1
+    )
+    slice_regs = hashed.groupBy("__p", "__j").agg(F.max(rho).alias("__mj"))
+    merged_regs = slice_regs.groupBy("__j").agg(F.max("__mj").alias("__mj"))
+    direct_regs = hashed.groupBy("__j").agg(F.max(rho).alias("__mj"))
+
+    def estimate(regs: DataFrame, name: str) -> DataFrame:
+        term = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - __mj AS INT))"
+        )
+        agg = regs.agg(
+            F.count("*").alias("__present"), F.sum(term).alias("__s_present")
+        )
+        s_total = F.col("__s_present") + (
+            (F.lit(_HLL_M) - F.col("__present")) * F.lit(2**_HLL_RMAX)
+        )
+        return agg.select(
+            fround(F.lit(_HLL_NUM) / s_total.cast("double"), 4).alias(name)
+        )
+
+    n_slices = slice_regs.select("__p").distinct().agg(
+        F.count("*").cast("long").alias("n_slices")
+    )
+    exact = df.agg(F.count_distinct(F.col(value)).alias("n_exact"))
+    m = estimate(merged_regs, "merged_estimate")
+    d = estimate(direct_regs, "direct_estimate")
+    return (
+        n_slices.crossJoin(m)
+        .crossJoin(d)
+        .crossJoin(exact)
+        .withColumn(
+            "estimates_equal", F.col("merged_estimate") == F.col("direct_estimate")
+        )
+    )
+
+
+def duckdb_hll_merge_demo(table: str, part_sql: str, value: str) -> str:
+    h = duck_md5_long(f"{value}::VARCHAR")
+    est = (
+        f"{_HLL_NUM!r} / CAST(s_present + ({_HLL_M} - present) * "
+        f"{2**_HLL_RMAX}::BIGINT AS DOUBLE)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {part_sql} AS p,
+                   {h} % {_HLL_M} AS j,
+                   {h} // {_HLL_M} AS w
+            FROM {table}
+        ),
+        rho AS (
+            SELECT p, j, CASE WHEN w = 0 THEN {_HLL_RMAX}
+                              ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS r
+            FROM hashed
+        ),
+        slice_regs AS (SELECT p, j, max(r) AS mj FROM rho GROUP BY p, j),
+        merged_regs AS (SELECT j, max(mj) AS mj FROM slice_regs GROUP BY j),
+        direct_regs AS (SELECT j, max(r) AS mj FROM rho GROUP BY j),
+        m AS (
+            SELECT count(*) AS present,
+                   CAST(sum(1::BIGINT << ({_HLL_RMAX} - mj)) AS BIGINT) AS s_present
+            FROM merged_regs
+        ),
+        d AS (
+            SELECT count(*) AS present,
+                   CAST(sum(1::BIGINT << ({_HLL_RMAX} - mj)) AS BIGINT) AS s_present
+            FROM direct_regs
+        )
+        SELECT (SELECT CAST(count(DISTINCT p) AS BIGINT) FROM slice_regs) AS n_slices,
+               (SELECT {duck_fround(est, 4)} FROM m) AS merged_estimate,
+               (SELECT {duck_fround(est, 4)} FROM d) AS direct_estimate,
+               (SELECT {duck_fround(est, 4)} FROM m)
+                   = (SELECT {duck_fround(est, 4)} FROM d) AS estimates_equal,
+               (SELECT count(DISTINCT {value}) FROM {table}) AS n_exact
+    """

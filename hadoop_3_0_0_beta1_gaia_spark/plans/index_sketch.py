@@ -743,3 +743,26 @@ def value_quantile_sketch(spark, sf_dir):
         F.col("cum_cnt").cast("long").alias("cum_cnt"),
         F.expr(f"CAST((hi - lo + 1) DIV {_QSK_W} AS BIGINT)").alias("err_bound_micro"),
     )
+
+
+@register(
+    "hll_merge_daily",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.sketch",
+        fromlist=["duckdb_hll_merge_demo"],
+    ).duckdb_hll_merge_demo("events", "date_trunc('day', ts)", "user_id"),
+    ref="HLL MERGEABILITY — the property that makes sketches the 100 TB "
+    "answer: one register table per DAY (the persistable per-partition "
+    "artifact), rolled up by register-wise max, must equal the direct "
+    "global sketch. Both estimates are computed and compared IN the query "
+    "(equality is algebra — max is associative — but here it is verified, "
+    "not asserted), so a regression in either path is oracle-visible. "
+    "Per-day tables are 256 ints each: rolling a year of 100 TB days into "
+    "a global distinct count touches 365*256 ints, zero raw data",
+)
+def hll_merge_daily(spark, sf_dir):
+    from ..functions.sketch import hll_merge_demo
+
+    return hll_merge_demo(
+        T(spark, sf_dir, "events"), F.date_trunc("day", F.col("ts")), "user_id"
+    )
