@@ -999,3 +999,115 @@ def test_simhash_hamming_pairs_equals_bruteforce(spark, sf_dir):
     }
     assert got == brute
     assert brute, "fixture produced no within-radius pairs; test is vacuous"
+
+
+class TestNewInventorySemantics:
+    """Semantics pins for the round-3 session-2 additions."""
+
+    def test_semantic_dedup_kept_set_has_no_dominating_neighbor(self, spark, sf_dir):
+        """Every dropped vector must have a LOWER-id kept-or-dropped neighbor
+        in its cluster above threshold; every kept vector must have none.
+        Verified against the exact within-cluster pair set."""
+        from pyspark.sql import functions as F
+
+        from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+            dot,
+            ivf_assign,
+            semantic_dedup,
+            with_norm,
+        )
+        from hadoop_3_0_0_beta1_gaia_spark.functions.rounding import fround
+        from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+        emb = T(spark, sf_dir, "embeddings")
+        res = semantic_dedup(emb, num_centroids=4, threshold=0.35)
+        base = with_norm(emb).select(F.col("vec_id").alias("id"), "__v", "__n2")
+        assigned = base.join(
+            ivf_assign(emb, 4).select(F.col("vec_id").alias("id"), "centroid_id"),
+            "id",
+        )
+        a = assigned.select(
+            F.col("id").alias("i"), F.col("centroid_id").alias("b"),
+            F.col("__v").alias("vi"), F.col("__n2").alias("ni"),
+        )
+        bb = assigned.select(
+            F.col("id").alias("j"), F.col("centroid_id").alias("b"),
+            F.col("__v").alias("vj"), F.col("__n2").alias("nj"),
+        )
+        cos = fround(
+            dot(F.col("vi"), F.col("vj")) / F.sqrt(F.col("ni") * F.col("nj")), 6
+        )
+        has_lower = (
+            a.join(bb, "b")
+            .filter((F.col("j") < F.col("i")) & (cos >= 0.35))
+            .select(F.col("i").alias("vec_id"))
+            .distinct()
+            .withColumn("dominated", F.lit(True))
+        )
+        joined = res.join(has_lower, "vec_id", "left").collect()
+        for r in joined:
+            assert r.keep == (r.dominated is None), r
+
+    def test_domain_quota_matches_single_window_rank(self, spark, sf_dir):
+        """The salted two-level top-N must equal the naive single-window
+        per-source rank (exactness of top-N-of-top-N)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+            _QUOTA_CAP,
+            domain_quota_filter,
+        )
+        from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+        fast = {
+            (r.source): (r.n_docs, r.n_kept, r.min_kept_doc, r.kept_id_sum)
+            for r in domain_quota_filter(spark, sf_dir).collect()
+        }
+        d = T(spark, sf_dir, "documents").select(
+            "source", "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota"))).alias("rk"),
+        )
+        w = Window.partitionBy("source").orderBy("rk", "doc_id")
+        naive = (
+            d.withColumn("rnk", F.row_number().over(w))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("rnk") <= _QUOTA_CAP, 1).otherwise(0)).alias("n_kept"),
+                F.min(F.when(F.col("rnk") <= _QUOTA_CAP, F.col("doc_id"))).alias("mn"),
+                F.sum(F.when(F.col("rnk") <= _QUOTA_CAP, F.col("doc_id")).otherwise(0)).alias("sm"),
+            )
+            .collect()
+        )
+        for r in naive:
+            assert fast[r.source] == (r.n_docs, r.n_kept, r.mn, r.sm), r.source
+
+    def test_quantile_sketch_within_error_bound(self, spark, sf_dir):
+        """Every sketch estimate must be within err_bound_micro of the TRUE
+        exact quantile (the sketch's contract, checked against percentile)."""
+        from pyspark.sql import functions as F
+
+        from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+        from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+        rows = queries()["value_quantile_sketch"](spark, sf_dir).collect()
+        ev = T(spark, sf_dir, "events").select(
+            (F.col("value").cast("decimal(18,6)") * 1000000).cast("long").alias("vm")
+        )
+        for r in rows:
+            q = r.quantile_pct / 100.0
+            true = ev.agg(
+                F.expr(f"percentile(vm, {q})").alias("p")
+            ).collect()[0].p
+            assert abs(r.est_micro - true) <= r.err_bound_micro + 1, (
+                r.quantile_pct, r.est_micro, true, r.err_bound_micro
+            )
+
+    def test_hll_merge_equals_direct(self, spark, sf_dir):
+        from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+
+        row = queries()["hll_merge_daily"](spark, sf_dir).collect()[0]
+        assert row.estimates_equal
+        assert row.merged_estimate == row.direct_estimate
+        assert row.n_slices > 1  # the merge actually merged several days
