@@ -1115,7 +1115,12 @@ def events_funnel(spark, sf_dir):
     "outer-join case the reference's combine() handles via unwritten tuple slots). "
     "Money summed as exact integer cents on both sides — a float sum + round() "
     "was a latent half-rule flake (Python banker's vs DuckDB half-away) and "
-    "summation-order-sensitive at the last ulp",
+    "summation-order-sensitive at the last ulp. PERF: the cogroup key is a "
+    "BUCKET of orders (defaultParallelism-derived count), not the order key — "
+    "one Arrow batch + one vectorized pandas groupby per bucket instead of one "
+    "Python call per order (150k tiny groups cost 55 s at sf0.1; bucketed: "
+    "~2 s). The per-key-logic contract is unchanged: rows of one order still "
+    "meet in one kernel invocation",
 )
 def cogroup_order_fill(spark, sf_dir):
     import pandas as pd
@@ -1124,31 +1129,49 @@ def cogroup_order_fill(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
+    # Bucket count scales with the cluster (cores x 8), so per-bucket pandas
+    # frames stay executor-memory-sized at any SF while Python-call overhead
+    # stays ~cores-proportional, not row-proportional.
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 8)
+    ob = o.withColumn("b", F.pmod(F.col("o_orderkey"), F.lit(n_buckets)))
+    lb = li.withColumn("b", F.pmod(F.col("l_orderkey"), F.lit(n_buckets)))
 
     def fn(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         if not len(odf):  # lineitems with no order row: not emitted (LEFT join)
             return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "n_items": pd.Series(dtype="int64"),
+                    "total_qty": pd.Series(dtype="int64"),
+                    "items_price_cents": pd.Series(dtype="int64"),
+                }
+            )
+        if len(ldf):
+            # per-row cents are exact in float64 (price < 1e7 ⇒ cents < 1e9 <
+            # 2^53 with fractional error ≪ 0.5), so round-then-sum is an exact
+            # integer fold — order-insensitive, unlike summing raw doubles
+            agg = pd.DataFrame(
+                {
+                    "o_orderkey": ldf["l_orderkey"],
+                    "n_items": 1,
+                    "total_qty": ldf["l_quantity"],
+                    "items_price_cents": (ldf["l_extendedprice"] * 100)
+                    .round()
+                    .astype("int64"),
+                }
+            ).groupby("o_orderkey", as_index=False).sum()
+        else:
+            agg = pd.DataFrame(
                 columns=["o_orderkey", "n_items", "total_qty", "items_price_cents"]
             )
-        # per-row cents are exact in float64 (price < 1e7 ⇒ cents < 1e9 < 2^53
-        # with a fractional error ≪ 0.5), so round-then-sum is an exact integer
-        # fold — order-insensitive, unlike summing raw doubles
-        if len(ldf):
-            cents = int((ldf["l_extendedprice"] * 100).round().astype("int64").sum())
-        else:
-            cents = 0
-        return pd.DataFrame(
-            {
-                "o_orderkey": [key[0]],
-                "n_items": [len(ldf)],
-                "total_qty": [int(ldf["l_quantity"].sum()) if len(ldf) else 0],
-                "items_price_cents": [cents],
-            }
-        )
+        out = odf[["o_orderkey"]].merge(agg, on="o_orderkey", how="left").fillna(0)
+        for c in ("n_items", "total_qty", "items_price_cents"):
+            out[c] = out[c].astype("int64")
+        return out
 
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        ob.groupBy("b")
+        .cogroup(lb.groupBy("b"))
         .applyInPandas(
             fn,
             "o_orderkey long, n_items long, total_qty long, items_price_cents long",
