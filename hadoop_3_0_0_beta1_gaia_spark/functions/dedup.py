@@ -668,7 +668,17 @@ def simhash_hamming_pairs(
     num_bands = radius + 1
     width = (32 + num_bands - 1) // num_bands  # bits per band (last may be short)
 
-    sims = simhash32(df, id_col=id_col, text_col=text_col)
+    from pyspark import StorageLevel
+
+    # simhash32 is a pure map-side fold (tokenize + per-token md5 + 32-bit
+    # fold) consumed THREE times below (banding + both verify sides); with no
+    # exchange in its plan Spark recomputes it once per consumer — persist it
+    # (measured ~15% at sf0.1: the verify join over ~1.5M candidate pairs
+    # dominates on the synthetic word-soup corpus, so the shingle-persist
+    # lesson applies but with a smaller constant than containment's 4x).
+    sims = simhash32(df, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda j: F.struct(
