@@ -610,3 +610,145 @@ def sample_docs_per_lang(spark, sf_dir):
         .withColumn("pick", F.row_number().over(w).cast("long"))
         .filter(F.col("pick") <= _SAMPLE_PER_GROUP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-training loop (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+# One BPE merge pass as a left fold over a word's space-delimited symbol
+# string: append each symbol, except when the accumulator's LAST symbol
+# equals l and the incoming symbol equals r — then replace the last symbol
+# with the merged token. This is exactly greedy left-to-right non-overlapping
+# pair replacement (a fresh merged token can never re-merge in the same pass:
+# it differs from l by construction). Same fold, two dialects.
+_DUCK_FOLD = """
+    list_reduce(
+        list_prepend('', string_split({rep}, ' ')),
+        (acc, x) -> CASE
+            WHEN acc <> '' AND regexp_extract(acc, '([^ ]+)$', 1) = {l}
+                 AND x = {r}
+            THEN regexp_replace(acc, '([^ ]+)$', '') || {l} || {r}
+            ELSE CASE WHEN acc = '' THEN x ELSE acc || ' ' || x END
+        END)
+"""
+
+
+def _duck_round(n: int) -> str:
+    """CTEs for round n: top pair of rep{n-1}, then rep{n} via the fold."""
+    prev, cur = f"rep{n-1}", f"rep{n}"
+    fold = _DUCK_FOLD.format(rep=f"v.{prev}", l=f"p{n}.l", r=f"p{n}.r")
+    return f"""
+        p{n} AS (
+            SELECT l, r, freq FROM (
+                SELECT syms[i] AS l, syms[i + 1] AS r,
+                       CAST(sum(cnt) AS BIGINT) AS freq
+                FROM (SELECT string_split({prev}, ' ') AS syms, cnt
+                      FROM v{n-1} WHERE length({prev}) > 1) ,
+                     unnest(generate_series(1, len(syms) - 1)) AS t(i)
+                GROUP BY 1, 2
+            ) ORDER BY freq DESC, l, r LIMIT 1
+        ),
+        v{n} AS (
+            SELECT v.word, v.cnt, {fold} AS {cur}
+            FROM v{n-1} v, p{n}
+        )"""
+
+
+def _spark_fold(rep, l, r):
+    empty = F.lit("")
+    last_re = r"([^ ]+)$"
+    return F.aggregate(
+        F.split(rep, " "),
+        empty,
+        lambda acc, x: F.when(
+            (acc != empty) & (F.regexp_extract(acc, last_re, 1) == l) & (x == r),
+            F.concat(F.regexp_replace(acc, last_re, ""), l, r),
+        ).otherwise(F.when(acc == empty, x).otherwise(F.concat(acc, F.lit(" "), x))),
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+        WITH v0 AS (
+            SELECT word, count(*) AS cnt,
+                   trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep0
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            GROUP BY word
+        ),
+        {", ".join(_duck_round(n) for n in range(1, _BPE_ROUNDS + 1))}
+        SELECT * FROM (
+            {" UNION ALL ".join(
+                f"SELECT CAST({n} AS BIGINT) AS round, l AS left_sym,"
+                f" r AS right_sym, freq FROM p{n}"
+                for n in range(1, _BPE_ROUNDS + 1)
+            )}
+        )
+    """,
+    ref="BPE vocabulary induction, the TRAINING LOOP (Sennrich et al. 2016): "
+    f"{_BPE_ROUNDS} merge rounds fully unrolled as declarative plan stages — "
+    "no driver-side collect anywhere. Each round: adjacent-pair counts over "
+    "the VOCABULARY (|V| rows, never the token stream — bpe_top_merges' "
+    "observation), 1-row argmax pair broadcast back, and the merge applied "
+    "per word as a left fold over the symbol string (greedy non-overlapping "
+    "replacement — '[a a a a]' merges to '[aa aa]', not '[aa a a]'; "
+    "test-pinned). The same shape iterates to a full vocab: plan-per-round "
+    "with a bounded 1-row artifact between rounds, exactly the kmeans-loop "
+    "pattern. Output: the merge table (round, pair, frequency) — the "
+    "artifact a tokenizer ships",
+)
+def bpe_train_merges(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    wc = word_counts(T(spark, sf_dir, "documents"))
+    v = wc.select(
+        "word",
+        "cnt",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = []
+    for n in range(1, _BPE_ROUNDS + 1):
+        syms = F.split("rep", " ")
+        pairs = (
+            v.filter(F.length("rep") > 1)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("l"),
+                            F.element_at(syms, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+        )
+        top1 = pairs.orderBy(F.col("freq").desc(), "l", "r").limit(1)
+        out.append(
+            top1.select(
+                F.lit(n).cast("long").alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "freq",
+            )
+        )
+        nxt = (
+            v.crossJoin(F.broadcast(top1))
+            .select(
+                "word",
+                "cnt",
+                _spark_fold(F.col("rep"), F.col("l"), F.col("r")).alias("rep"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        v = nxt
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res

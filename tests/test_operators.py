@@ -1111,3 +1111,23 @@ class TestNewInventorySemantics:
         assert row.estimates_equal
         assert row.merged_estimate == row.direct_estimate
         assert row.n_slices > 1  # the merge actually merged several days
+
+    def test_bpe_merge_fold_is_greedy_nonoverlapping(self, spark):
+        """[a a a a] under pair (a,a) must merge to [aa aa] — greedy
+        left-to-right non-overlap, not [aa a a] (single replace) nor
+        [aaa a] (re-merging the fresh token)."""
+        from pyspark.sql import functions as F
+
+        from hadoop_3_0_0_beta1_gaia_spark.plans.textops import _spark_fold
+
+        df = spark.createDataFrame(
+            [("a a a a",), ("a b a b",), ("b a a b",)], ["rep"]
+        ).select(
+            _spark_fold(F.col("rep"), F.lit("a"), F.lit("a")).alias("m_aa"),
+            _spark_fold(F.col("rep"), F.lit("a"), F.lit("b")).alias("m_ab"),
+            F.col("rep"),
+        )
+        got = {r.rep: (r.m_aa, r.m_ab) for r in df.collect()}
+        assert got["a a a a"] == ("aa aa", "a a a a")
+        assert got["a b a b"] == ("a b a b", "ab ab")
+        assert got["b a a b"] == ("b aa b", "b a ab")
