@@ -177,3 +177,99 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .select(*lcols, out_name)
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value: str,
+    tolerance_micros: int,
+) -> DataFrame:
+    """As-of join, direction='nearest' (the pandas merge_asof surface
+    :func:`asof_join` doesn't cover): attach the ``right_value`` whose
+    timestamp is CLOSEST to each left row's — backward or forward — within
+    ``tolerance_micros``; exact ties prefer the backward (earlier-or-equal)
+    match, pandas semantics.
+
+    Same single-shuffle construction as :func:`asof_join` — union the tagged
+    sides once, then TWO frames over the same (key, ts, side) sort: a
+    backward rows-unbounded-preceding last_value and a forward
+    rows-unbounded-following first_value. At equal micro timestamps right
+    rows sort before left rows, so an equal-ts right row is backward
+    (distance 0), never double-counted forward. No range self-join, linear
+    state, one exchange — identical cost to the backward-only operator.
+
+    Timestamps compare at MICRO precision (the engine-wide nanos rule).
+    Output: left columns + nearest_value, direction ('backward'/'forward',
+    NULL when nothing within tolerance), dist_micros.
+    """
+    def micros(df: DataFrame) -> F.Column:
+        kind = df.schema[ts].dataType.simpleString()
+        if kind == "bigint":
+            return F.expr(f"`{ts}` DIV 1000")
+        if kind == "timestamp_ntz":
+            return F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts}`)"
+            )
+        return F.unix_micros(F.col(ts))
+
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        micros(left).alias("__t"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+        F.lit(None).cast("long").alias("__rt"),
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *[
+            F.col(c) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        micros(right).alias("__t"),
+        F.col(right_value).alias("__rv"),
+        micros(right).alias("__rt"),
+        F.lit(0).alias("__side"),
+    )
+    u = l.unionByName(r)
+    order = [F.col("__t"), F.col("__side"), F.col("__rv")]
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        u.withColumn("__bv", F.last("__rv", ignorenulls=True).over(wb))
+        .withColumn("__bt", F.last("__rt", ignorenulls=True).over(wb))
+        .withColumn("__fv", F.first("__rv", ignorenulls=True).over(wf))
+        .withColumn("__ft", F.first("__rt", ignorenulls=True).over(wf))
+        .filter(F.col("__side") == 1)
+    )
+    db = F.col("__t") - F.col("__bt")
+    df_ = F.col("__ft") - F.col("__t")
+    use_b = F.col("__bt").isNotNull() & (
+        F.col("__ft").isNull() | (db <= df_)
+    )
+    use_f = F.col("__ft").isNotNull() & (
+        F.col("__bt").isNull() | (df_ < db)
+    )
+    tol = F.lit(tolerance_micros)
+    pick_b = use_b & (db <= tol)
+    pick_f = use_f & (df_ <= tol)
+    return m.select(
+        *lcols,
+        F.when(pick_b, F.col("__bv")).when(pick_f, F.col("__fv")).alias(
+            "nearest_value"
+        ),
+        F.when(pick_b, F.lit("backward"))
+        .when(pick_f, F.lit("forward"))
+        .alias("direction"),
+        F.when(pick_b, db).when(pick_f, df_).alias("dist_micros"),
+    )

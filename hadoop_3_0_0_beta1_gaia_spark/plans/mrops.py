@@ -1177,3 +1177,69 @@ def cogroup_order_fill(spark, sf_dir):
             "o_orderkey long, n_items long, total_qty long, items_price_cents long",
         )
     )
+
+
+@register(
+    "asof_nearest_purchase",
+    oracle="""
+        WITH u AS (
+            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t,
+                   NULL AS rv, NULL::BIGINT AS rt, 1 AS side
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT NULL, user_id, epoch_ns(ts) // 1000 AS t,
+                   value AS rv, epoch_ns(ts) // 1000 AS rt, 0 AS side
+            FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT *,
+                   last_value(rv IGNORE NULLS) OVER wb AS bv,
+                   last_value(rt IGNORE NULLS) OVER wb AS bt,
+                   first_value(rv IGNORE NULLS) OVER wf AS fv,
+                   first_value(rt IGNORE NULLS) OVER wf AS ft
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, rv
+                          ROWS UNBOUNDED PRECEDING),
+                   wf AS (PARTITION BY user_id ORDER BY t, side, rv
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        p AS (
+            SELECT event_id, user_id,
+                   bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t)
+                       AND t - bt <= 259200000000 AS pick_b,
+                   ft IS NOT NULL AND (bt IS NULL OR ft - t < t - bt)
+                       AND ft - t <= 259200000000 AS pick_f,
+                   bv, fv, t - bt AS db, ft - t AS df
+            FROM m WHERE side = 1
+        )
+        SELECT event_id, user_id,
+               CASE WHEN pick_b THEN bv WHEN pick_f THEN fv END AS nearest_value,
+               CASE WHEN pick_b THEN 'backward'
+                    WHEN pick_f THEN 'forward' END AS direction,
+               CASE WHEN pick_b THEN db WHEN pick_f THEN df END AS dist_micros
+        FROM p
+    """,
+    ref="as-of join, direction=NEAREST (pandas merge_asof(direction='nearest') "
+    "parity — completes the as-of surface next to asof_purchase_value's "
+    "backward join): each click gets the user's closest purchase value within "
+    "3 days, backward preferred on exact ties. Single-shuffle construction — "
+    "ONE tagged union, two window frames over the same sort (backward "
+    "last_value + forward first_value); equal-micro purchases sort before "
+    "clicks so they are backward matches with distance 0, never seen by the "
+    "forward frame. Distances are exact integer micros on both engines "
+    "(the nanos-truncation rule)",
+)
+def asof_nearest_purchase(spark, sf_dir):
+    from ..operators.skew import asof_nearest_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_nearest_join(
+        clicks, purchases, key="user_id", ts="ts", right_value="value",
+        tolerance_micros=3 * 86400 * 1000000,
+    ).select("event_id", "user_id", "nearest_value", "direction", "dist_micros")
