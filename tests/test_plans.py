@@ -581,3 +581,14 @@ def test_quantile_sketch_state_is_bounded(spark, sf_dir):
     rows = df.collect()
     assert all(r.bucket < _QSK_W for r in rows)
     assert len(rows) == 5
+
+
+def test_asof_nearest_single_shuffle(spark, sf_dir):
+    """Both window frames (backward last_value + forward first_value) must
+    reuse ONE exchange over (user_id) — the two-frame construction may not
+    introduce a second shuffle over the backward-only asof_join."""
+    import re
+
+    p = _plan(spark, sf_dir, "asof_nearest_purchase")
+    ids = set(re.findall(r"\((\d+)\) Exchange", p))
+    assert len(ids) == 1, f"expected one Exchange node, got {ids}"
