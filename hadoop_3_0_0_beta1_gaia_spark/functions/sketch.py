@@ -307,3 +307,104 @@ def duckdb_hll_merge_demo(table: str, part_sql: str, value: str) -> str:
                    = (SELECT {duck_fround(est, 4)} FROM d) AS estimates_equal,
                (SELECT count(DISTINCT {value}) FROM {table}) AS n_exact
     """
+
+
+def hll_rollup(df: DataFrame, type_col: str, day_col: "F.Column", value: str) -> DataFrame:
+    """One fine-grained HLL register table serves EVERY coarser grain: build
+    (type, day, register) once, then roll registers up by max to per-type,
+    per-day, and global estimates — three grains, zero re-reads of the raw
+    data (the composition of :func:`hll_merge_demo`'s merge property with
+    grouping). Output: (grain, type_key, day_key, estimate) rows.
+    """
+    h = md5_long(F.col(value).cast("string"))
+    hashed = (
+        df.select(
+            F.col(type_col).alias("__ty"),
+            day_col.alias("__dy"),
+            (h % _HLL_M).alias("__j"),
+            h.alias("__h"),
+        )
+        .withColumn("__w", F.expr(f"__h DIV {_HLL_M}"))
+        .drop("__h")
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_WBITS) - F.length(F.bin(F.col("__w"))) + 1
+    )
+    from pyspark import StorageLevel
+
+    fine = (
+        hashed.groupBy("__ty", "__dy", "__j")
+        .agg(F.max(rho).alias("__mj"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # three rollups read it
+    )
+
+    def estimate_over(regs: DataFrame, keys: list, grain: str) -> DataFrame:
+        term = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - __mj AS INT))"
+        )
+        agg = regs.groupBy(*keys).agg(
+            F.count("*").alias("__present"), F.sum(term).alias("__s_present")
+        )
+        s_total = F.col("__s_present") + (
+            (F.lit(_HLL_M) - F.col("__present")) * F.lit(2**_HLL_RMAX)
+        )
+        null_str = F.lit(None).cast("string")
+        return agg.select(
+            F.lit(grain).alias("grain"),
+            (F.col("__ty") if "__ty" in keys else null_str).alias("type_key"),
+            (F.col("__dy") if "__dy" in keys else null_str).alias("day_key"),
+            fround(F.lit(_HLL_NUM) / s_total.cast("double"), 4).alias("estimate"),
+        )
+
+    per_type = estimate_over(
+        fine.groupBy("__ty", "__j").agg(F.max("__mj").alias("__mj")), ["__ty"], "type"
+    )
+    per_day = estimate_over(
+        fine.groupBy("__dy", "__j").agg(F.max("__mj").alias("__mj")), ["__dy"], "day"
+    )
+    overall = estimate_over(
+        fine.groupBy("__j").agg(F.max("__mj").alias("__mj")), [], "global"
+    )
+    return per_type.unionByName(per_day).unionByName(overall)
+
+
+def duckdb_hll_rollup(table: str, type_col: str, day_sql: str, value: str) -> str:
+    h = duck_md5_long(f"{value}::VARCHAR")
+    est = (
+        f"{_HLL_NUM!r} / CAST(s_present + ({_HLL_M} - present) * "
+        f"{2**_HLL_RMAX}::BIGINT AS DOUBLE)"
+    )
+
+    def grain(keys_sel: str, group: str, grain_name: str, ty: str, dy: str) -> str:
+        g = f"GROUP BY {group}" if group else ""
+        return f"""
+            SELECT '{grain_name}' AS grain, {ty} AS type_key, {dy} AS day_key,
+                   {duck_fround(est, 4)} AS estimate
+            FROM (
+                SELECT {keys_sel + ', ' if keys_sel else ''}count(*) AS present,
+                       CAST(sum(1::BIGINT << ({_HLL_RMAX} - mj)) AS BIGINT) AS s_present
+                FROM ({{regs}}) {g}
+            )"""
+
+    regs_ty = "SELECT ty, j, max(mj) AS mj FROM fine GROUP BY ty, j"
+    regs_dy = "SELECT dy, j, max(mj) AS mj FROM fine GROUP BY dy, j"
+    regs_all = "SELECT j, max(mj) AS mj FROM fine GROUP BY j"
+    return f"""
+        WITH hashed AS (
+            SELECT {type_col} AS ty, {day_sql} AS dy,
+                   {h} % {_HLL_M} AS j,
+                   {h} // {_HLL_M} AS w
+            FROM {table}
+        ),
+        fine AS (
+            SELECT ty, dy, j,
+                   max(CASE WHEN w = 0 THEN {_HLL_RMAX}
+                            ELSE {_HLL_WBITS} - length(bin(w)) + 1 END) AS mj
+            FROM hashed GROUP BY ty, dy, j
+        )
+        {grain("ty", "ty", "type", "ty", "NULL::VARCHAR").format(regs=regs_ty)}
+        UNION ALL
+        {grain("dy", "dy", "day", "NULL::VARCHAR", "dy").format(regs=regs_dy)}
+        UNION ALL
+        {grain("", "", "global", "NULL::VARCHAR", "NULL::VARCHAR").format(regs=regs_all)}
+    """

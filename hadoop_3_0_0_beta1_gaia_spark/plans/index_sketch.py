@@ -766,3 +766,32 @@ def hll_merge_daily(spark, sf_dir):
     return hll_merge_demo(
         T(spark, sf_dir, "events"), F.date_trunc("day", F.col("ts")), "user_id"
     )
+
+
+@register(
+    "hll_rollup_grains",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.sketch",
+        fromlist=["duckdb_hll_rollup"],
+    ).duckdb_hll_rollup(
+        "events", "event_type", "strftime(date_trunc('day', ts), '%Y-%m-%d')",
+        "user_id",
+    ),
+    ref="sketch x grouping composition: ONE fine-grained (type, day, register) "
+    "HLL table serves per-type, per-day, AND global distinct-user estimates "
+    "via register-wise max rollups — the cube/rollup idiom applied to a "
+    "mergeable sketch instead of an additive sum (hll_merge_daily proves the "
+    "merge law; this entry exploits it across grains). At 100 TB: the raw "
+    "stream is read ONCE into |types|x|days|x256 ints, every coarser grain "
+    "is a rollup over that bounded table — the fine table persists (three "
+    "consumers, no exchange reuse otherwise)",
+)
+def hll_rollup_grains(spark, sf_dir):
+    from ..functions.sketch import hll_rollup
+
+    return hll_rollup(
+        T(spark, sf_dir, "events"),
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+        "user_id",
+    )
