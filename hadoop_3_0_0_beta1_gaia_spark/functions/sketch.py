@@ -408,3 +408,142 @@ def duckdb_hll_rollup(table: str, type_col: str, day_sql: str, value: str) -> st
         UNION ALL
         {grain("", "", "global", "NULL::VARCHAR", "NULL::VARCHAR").format(regs=regs_all)}
     """
+
+
+def kmv_set_overlap(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    value: str,
+    k: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate |A ∪ B|,
+    |A ∩ B| and Jaccard(A, B) from the two k-minimum-value sketches ALONE —
+    the audience-overlap query at 100 TB, where A and B are distinct-value
+    sets too large to intersect exactly and only their k-hash sketches are
+    retained.
+
+    Construction (every step deterministic integer/md5 arithmetic):
+    - sketch each side: k smallest distinct md5 hashes;
+    - Kθ = the k smallest of the UNION of the two sketches (a valid KMV
+      sketch of A ∪ B — the standard closure property);
+    - union_est from Kθ's kth minimum (the usual KMV estimator);
+    - jaccard_est = |{h ∈ Kθ : h ∈ sketch(A) ∧ h ∈ sketch(B)}| / |Kθ|;
+    - inter_est = round-half-up of jaccard_est × union_est.
+
+    Exact |A|, |B|, |A ∩ B| are emitted alongside for error visibility
+    (the hll_distinct/cms pattern). Output: one row.
+    """
+    ha = dfa.select(md5_long(F.col(value).cast("string")).alias("h")).distinct()
+    hb = dfb.select(md5_long(F.col(value).cast("string")).alias("h")).distinct()
+
+    def sketch(h: DataFrame) -> DataFrame:
+        w = Window.orderBy("h")
+        # bounded input: the window runs over distinct hashes of one side —
+        # at true 100 TB scale replace with the two-phase k-smallest
+        # (per-partition top-k then merge), same result by exactness of top-k
+        return h.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+
+    sa = sketch(ha).select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    sb = sketch(hb).select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    merged = (
+        sa.join(sb, "h", "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    w = Window.orderBy("h")
+    ktheta = merged.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    stats = ktheta.agg(
+        F.count("*").alias("n_seen"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(_TWO_60)))
+    exact = (
+        dfa.select(F.col(value).alias("v"))
+        .distinct()
+        .withColumn("ea", F.lit(1))
+        .join(
+            dfb.select(F.col(value).alias("v")).distinct().withColumn("eb", F.lit(1)),
+            "v",
+            "full",
+        )
+        .agg(
+            F.sum("ea").cast("long").alias("n_a_exact"),
+            F.sum("eb").cast("long").alias("n_b_exact"),
+            F.sum(F.col("ea") * F.col("eb")).cast("long").alias("n_inter_exact"),
+        )
+    )
+    jac = F.col("n_both").cast("double") / F.col("n_seen")
+    return stats.crossJoin(F.broadcast(exact)).select(
+        fround(union_est, round_digits).alias("union_est"),
+        fround(jac, round_digits).alias("jaccard_est"),
+        F.floor(jac * union_est + F.lit(0.5)).cast("long").alias("inter_est"),
+        F.col("n_both").cast("long").alias("sketch_overlap"),
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+    )
+
+
+def duckdb_kmv_set_overlap(
+    a_sql: str,
+    b_sql: str,
+    value: str,
+    k: int = 64,
+    round_digits: int = 4,
+) -> str:
+    h = duck_md5_long(f"{value}::VARCHAR")
+    est = (
+        f"CASE WHEN n_seen < {k} THEN n_seen::DOUBLE "
+        f"ELSE {float(k - 1)} / (kth::DOUBLE / {_TWO_60}) END"
+    )
+    return f"""
+        WITH ha AS (SELECT DISTINCT {h} AS h FROM ({a_sql})),
+        hb AS (SELECT DISTINCT {h} AS h FROM ({b_sql})),
+        sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM ha)
+               WHERE r <= {k}),
+        sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM hb)
+               WHERE r <= {k}),
+        merged AS (
+            SELECT coalesce(sa.h, sb.h) AS h,
+                   CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                   CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+            FROM sa FULL JOIN sb ON sa.h = sb.h
+        ),
+        ktheta AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (ORDER BY h) AS r FROM merged
+            ) WHERE r <= {k}
+        ),
+        stats AS (
+            SELECT count(*) AS n_seen, max(h) AS kth,
+                   sum(in_a * in_b) AS n_both
+            FROM ktheta
+        ),
+        ex AS (
+            SELECT CAST(sum(ea) AS BIGINT) AS n_a_exact,
+                   CAST(sum(eb) AS BIGINT) AS n_b_exact,
+                   CAST(sum(ea * eb) AS BIGINT) AS n_inter_exact
+            FROM (
+                SELECT coalesce(a.v, b.v) AS v,
+                       CASE WHEN a.v IS NULL THEN NULL ELSE 1 END AS ea,
+                       CASE WHEN b.v IS NULL THEN NULL ELSE 1 END AS eb
+                FROM (SELECT DISTINCT {value} AS v FROM ({a_sql})) a
+                FULL JOIN (SELECT DISTINCT {value} AS v FROM ({b_sql})) b
+                  ON a.v = b.v
+            )
+        )
+        SELECT {duck_fround(est, round_digits)} AS union_est,
+               {duck_fround("n_both::DOUBLE / n_seen", round_digits)} AS jaccard_est,
+               CAST(floor(n_both::DOUBLE / n_seen * ({est}) + 0.5) AS BIGINT)
+                   AS inter_est,
+               CAST(n_both AS BIGINT) AS sketch_overlap,
+               n_a_exact, n_b_exact, n_inter_exact
+        FROM stats, ex
+    """

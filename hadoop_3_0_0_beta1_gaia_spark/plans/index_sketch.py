@@ -795,3 +795,32 @@ def hll_rollup_grains(spark, sf_dir):
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
         "user_id",
     )
+
+
+@register(
+    "kmv_set_overlap",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.sketch",
+        fromlist=["duckdb_kmv_set_overlap"],
+    ).duckdb_kmv_set_overlap(
+        "SELECT user_id FROM events WHERE event_type = 'click'",
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "user_id",
+    ),
+    ref="KMV sketch SET ALGEBRA (Beyer et al. 2007): union size, intersection "
+    "size and Jaccard of clicker-users vs purchaser-users estimated from the "
+    "two k-min sketches ALONE — the audience-overlap query where only sketches "
+    "are retained at 100 TB. Kθ = k smallest of the merged sketches is itself "
+    "a valid union sketch (KMV closure), jaccard = in-both fraction of Kθ. "
+    "Exact |A|, |B|, |A∩B| emitted alongside (error-visibility pattern); "
+    "every step is md5/integer-exact so both engines agree to the bit",
+)
+def kmv_set_overlap(spark, sf_dir):
+    from ..functions.sketch import kmv_set_overlap
+
+    ev = T(spark, sf_dir, "events")
+    return kmv_set_overlap(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
