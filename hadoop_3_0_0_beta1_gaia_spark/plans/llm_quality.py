@@ -830,3 +830,107 @@ def domain_quota_filter(spark, sf_dir):
     return totals.join(kept, "source").select(
         "source", "n_docs", "n_kept", "min_kept_doc", "kept_id_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (crawl-pipeline identity)
+# ---------------------------------------------------------------------------
+
+# Synthetic-but-deterministic URLs (the documents table has no URL column —
+# same derivation on both engines, the doc_pii_scrub precedent): scheme and
+# host case vary, some carry www., a tracking query string, a fragment, or a
+# trailing slash — exactly the noise URL canonicalization exists to remove.
+_DUCK_URL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END "
+    "|| source || '.example.com/Docs/' || (doc_id % 100)::VARCHAR "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x&ref=' "
+    "|| (doc_id % 7)::VARCHAR ELSE '' END "
+    "|| CASE WHEN doc_id % 6 = 0 THEN '#sec' || (doc_id % 3)::VARCHAR ELSE '' END"
+)
+
+
+def _spark_url() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/Docs/"),
+        (did % 100).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x&ref="),
+                (did % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0, F.concat(F.lit("#sec"), (did % 3).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+
+
+# Canonicalization, one regex pipeline on both engines:
+# 1. strip the fragment;  2. strip the query string entirely (tracking-only
+# params in this corpus — a param allowlist is the same replace with a
+# keep-group);  3. lowercase scheme+host (path case is significant, RFC 3986);
+# 4. drop www.;  5. drop a trailing slash.
+
+
+@register(
+    "url_normalize_dedup",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, source, {_DUCK_URL} AS url FROM documents),
+        c AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_extract(url, '^[^:]+://[^/]*', 0))
+                         || regexp_replace(
+                              regexp_replace(regexp_replace(url, '#.*$', ''),
+                                             '\\?.*$', ''),
+                              '^[^:]+://[^/]*', ''),
+                       '^(https?)://www\\.', '\\1://'),
+                     '/$', '') AS canon
+            FROM u
+        )
+        SELECT canon,
+               CAST(count(*) AS BIGINT) AS n_variants,
+               CAST(min(doc_id) AS BIGINT) AS kept_doc,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+        FROM c GROUP BY canon
+    """,
+    ref="URL canonicalization + dedup — the crawl-pipeline identity step "
+    "(strip fragment, strip tracking query, lowercase scheme+host ONLY — "
+    "path case is significant per RFC 3986 — drop www., drop trailing "
+    "slash) collapsing scheme/case/www/tracking variants of one page to one "
+    "canonical key; keep = min doc_id per key (dedup_exact's rule applied to "
+    "the URL identity instead of the text fingerprint). Pure map-side "
+    "string expressions + one groupBy — zero joins; the same regex pipeline "
+    "evaluates in both engines (character classes only, no \\d/\\w)",
+)
+def url_normalize_dedup(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    url = _spark_url()
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    no_query = F.regexp_replace(no_frag, r"\?.*$", "")
+    hostpart = F.lower(F.regexp_extract(url, "^[^:]+://[^/]*", 0))
+    rest = F.regexp_replace(no_query, "^[^:]+://[^/]*", "")
+    canon = F.regexp_replace(
+        F.regexp_replace(F.concat(hostpart, rest), r"^(https?)://www\.", "$1://"),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", url.alias("url"), canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("kept_doc"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+    )
