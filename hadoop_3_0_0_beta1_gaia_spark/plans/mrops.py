@@ -1243,3 +1243,46 @@ def asof_nearest_purchase(spark, sf_dir):
         clicks, purchases, key="user_id", ts="ts", right_value="value",
         tolerance_micros=3 * 86400 * 1000000,
     ).select("event_id", "user_id", "nearest_value", "direction", "dist_micros")
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+            FROM events GROUP BY user_id
+        ),
+        per_day AS (
+            SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+        )
+        SELECT day,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        FROM per_day
+    """,
+    ref="cumulative distinct count (the running-unique-users dashboard "
+    "query): COUNT(DISTINCT) OVER a growing window is unbounded state and "
+    "unsupported in both engines — the scale-safe identity is first-seen "
+    "attribution: each user collapses to min(day) (one hash agg with "
+    "map-side partials), per-day new-user counts are bounded by |days|, and "
+    "the running sum windows over that bounded frame only. Same "
+    "bounded-frame discipline as record_breaking_orders; the HLL-register "
+    "variant (hll_rollup_grains) is the approximate twin when even the "
+    "user->min(day) agg is too hot",
+)
+def cumulative_unique_users(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")).alias(
+            "day"
+        )
+    )
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
