@@ -1892,3 +1892,58 @@ def orc_roundtrip_scan(spark, sf_dir):
     stage = stage_dir("/tmp/gaia_spark_orc", sf_dir, "orders")
     o.write.mode("overwrite").orc(stage)
     return spark.read.orc(stage).filter(F.col("o_orderkey") % 7 == 0)
+
+
+@register(
+    "jsonl_roundtrip_extract",
+    oracle="""
+        SELECT event_id, event_type, user_id,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS value_micro
+        FROM events
+    """,
+    ref="JSON-lines source/sink round trip (completes the text-container "
+    "family next to csv/orc/xml: newline-delimited JSON is THE interchange "
+    "format crawl dumps and API exports arrive in): events write as .jsonl "
+    "(distributed, one JSON object per line), read back with an EXPLICIT "
+    "schema + FAILFAST (inference re-scans and silently widens at 100 TB), "
+    "and project. Doubles canonicalize through DECIMAL(18,6) micro-units "
+    "because a raw double survives the decimal-text round trip to the "
+    "shortest representation — exact — but must be compared as exact "
+    "integers across engines (the cents rule at 6 digits)",
+)
+def jsonl_roundtrip_extract(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    stage = stage_dir("/tmp/gaia_spark_jsonl", sf_dir, "events")
+    ev.write.mode("overwrite").json(stage)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(stage)
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .alias("value_micro"),
+        )
+    )
