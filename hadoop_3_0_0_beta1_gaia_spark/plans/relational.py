@@ -1947,3 +1947,47 @@ def jsonl_roundtrip_extract(spark, sf_dir):
             .alias("value_micro"),
         )
     )
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 1
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               END AS price_cents,
+               CAST(o_orderkey % 2 AS BIGINT) AS batch_v
+        FROM orders
+    """,
+    ref="schema evolution on read (the lakehouse reality the reference's rigid "
+    "Writable containers cannot express — SURVEY §1.3): batch v0 wrote "
+    "(orderkey, status), a later batch v1 added price_cents; mergeSchema=true "
+    "reconciles the union schema at scan time and v0 rows surface the new "
+    "column as NULL — no rewrite of old files, the append-only contract at "
+    "100 TB. The oracle derives the same union from the source table (price "
+    "present iff the row shipped in v1). Money through DECIMAL(18,2) cents",
+)
+def schema_evolution_merge(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    stage = stage_dir("/tmp/gaia_spark_evolve", sf_dir, "orders")
+    v0 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    v0.write.mode("overwrite").parquet(stage + "/v=0")
+    v1.write.mode("overwrite").parquet(stage + "/v=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        stage + "/v=0", stage + "/v=1"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+        (F.col("o_orderkey") % 2).cast("long").alias("batch_v"),
+    )
