@@ -1286,3 +1286,103 @@ def cumulative_unique_users(spark, sf_dir):
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+        WITH days AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day
+            FROM events GROUP BY 1, 2
+        ),
+        cohorts AS (
+            SELECT user_id, min(day) // 7 AS cohort_week FROM days GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST(d.day // 7 - cohort_week AS BIGINT) AS age_weeks,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_users
+        FROM days d JOIN cohorts USING (user_id)
+        GROUP BY cohort_week, age_weeks
+    """,
+    ref="cohort retention triangle — THE product-analytics rollup: users "
+    "cohort by first-active week (first-seen attribution, one hash agg), "
+    "then (cohort, age) cells count distinct active users. Scale shape: the "
+    "per-(user, day) dedup collapses the event stream FIRST (bounded "
+    "|users|x|days| rows), the cohort map is user-sized and joins on "
+    "user_id (co-partitioned with the groupBy that made it), and the output "
+    "is a |weeks|² triangle regardless of corpus size. Integer epoch-day "
+    "//7 week buckets — no date-format or tz dependence anywhere",
+)
+def cohort_retention_matrix(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = F.expr(
+        "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01') AS BIGINT)"
+    )
+    days = ev.select("user_id", day.alias("day")).distinct()
+    cohorts = days.groupBy("user_id").agg(
+        F.expr("min(day) DIV 7").alias("cohort_week")
+    )
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.expr("day DIV 7") - F.col("cohort_week")).cast("long").alias(
+                "age_weeks"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT))
+                       AS last_day,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r_quintile,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_quintile,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT)
+                   AS m_quintile,
+               o_custkey, monetary_cents
+        FROM rfm
+    """,
+    ref="RFM segmentation — recency/frequency/monetary quintiles per "
+    "customer, the classic marketing-analytics scoring. One grouped pass "
+    "builds the three exact integer measures (epoch-day recency, count, "
+    "DECIMAL-cents monetary); three ntile windows rank the CUSTOMER-sized "
+    "frame (not the fact table — orders collapse first). Deterministic "
+    "tie-break on custkey in every window so quintile boundaries are "
+    "engine-stable. The global-ORDER ntile windows run on the aggregated "
+    "frame; for a customer dimension too large for one partition, the "
+    "two-phase global rank (operators/sort.py) substitutes — same result",
+)
+def customer_rfm_segments(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    day = F.expr(
+        "CAST(datediff(CAST(date_trunc('day', o_orderdate) AS DATE), DATE '1970-01-01') AS BIGINT)"
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count("*").alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    wr = Window.orderBy("last_day", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary_cents", "o_custkey")
+    return rfm.select(
+        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
+        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
+        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+        "o_custkey",
+        "monetary_cents",
+    )
