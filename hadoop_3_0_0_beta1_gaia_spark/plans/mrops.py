@@ -1386,3 +1386,103 @@ def customer_rfm_segments(spark, sf_dir):
         "o_custkey",
         "monetary_cents",
     )
+
+
+@register(
+    "ab_test_conversion",
+    oracle=f"""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 15))::BIGINT) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY 1, 2
+        ),
+        arms AS (
+            SELECT arm, count(*) AS n_users,
+                   CAST(sum(converted) AS BIGINT) AS n_converted
+            FROM assign GROUP BY arm
+        ),
+        w AS (
+            SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                   max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+                   max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                   max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+            FROM arms
+        )
+        SELECT na AS n_a, CAST(ca AS BIGINT) AS conv_a,
+               nb AS n_b, CAST(cb AS BIGINT) AS conv_b,
+               {{rate_a}} AS rate_a, {{rate_b}} AS rate_b,
+               {{z}} AS z_score
+        FROM w
+    """.format(
+        rate_a=__import__(
+            "hadoop_3_0_0_beta1_gaia_spark.functions.rounding",
+            fromlist=["duck_fround"],
+        ).duck_fround("ca::DOUBLE / na", 6),
+        rate_b=__import__(
+            "hadoop_3_0_0_beta1_gaia_spark.functions.rounding",
+            fromlist=["duck_fround"],
+        ).duck_fround("cb::DOUBLE / nb", 6),
+        z="CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN "
+        "round((cb::DOUBLE / nb - ca::DOUBLE / na) / "
+        "sqrt((ca + cb)::DOUBLE / (na + nb) * (1 - (ca + cb)::DOUBLE / (na + nb)) "
+        "* (1.0 / na + 1.0 / nb)), 4) END",
+    ),
+    ref="A/B experiment readout — the two-proportion z-test from exact integer "
+    "counts: users assign to arms by md5 hash (the deterministic experiment "
+    "bucketing every platform uses — stable under reprocessing, no rand()), "
+    "per-user conversion folds map-side, per-arm counts are two rows, and the "
+    "z statistic computes from six exact integers in ONE IEEE expression — "
+    "sqrt is correctly-rounded (portable; pow/exp are not, NOTES rule), "
+    "division and the final round(4) evaluate identically on identical bits. "
+    "Nothing beyond the 2-row arm table ever leaves the aggregation",
+)
+def ab_test_conversion(spark, sf_dir):
+    from ..functions.dedup import md5_long
+    from ..functions.rounding import fround
+
+    ev = T(spark, sf_dir, "events")
+    arm = F.when(
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    p = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    # degenerate experiment (0% or 100% pooled conversion): variance is 0,
+    # the z statistic is undefined -> NULL on both engines, never a /0 error
+    tot_c = F.col("ca") + F.col("cb")
+    tot_n = F.col("na") + F.col("nb")
+    z = F.when(
+        (tot_c > 0) & (tot_c < tot_n),
+        (rb - ra)
+        / F.sqrt(
+            p * (1 - p) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        ),
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        fround(ra, 6).alias("rate_a"),
+        fround(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
