@@ -73,6 +73,14 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # (SemDeDup, quantile sketch, quality classifier, cluster-canonical) — all
 # eight pre-validated under the plain driver-protocol session (NY tz, 200
 # shuffle partitions, sf0.01) with Arrow-type equality.
+# Rotation #4 (close of round 3): four more twice-green entries with
+# in-window siblings out (join_theta -> 5 remaining join reps; range_join ->
+# asof family keeps both as-of variants; doc_winnow -> doc_quality/doc_lang/
+# word_count; knn_cosine_topk -> ivf_topk_search + dedup_embedding_cosine
+# anchor similarity) for four NEW operator families: bpe_train_merges
+# (tokenizer training loop), asof_nearest_purchase (merge_asof nearest),
+# kmv_set_overlap (sketch set algebra), ab_test_conversion (experiment
+# analysis) — all driver-protocol pre-validated with Arrow-type equality.
 _WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -80,11 +88,11 @@ _WINDOW: list[str] = [
     "local_supplier_volume",
     "volume_shipping_nations",
     "join_semi",
-    "join_theta_datajoin",
+    "bpe_train_merges",
     "join_broadcast_parts",
     "join_salted_custsales",
     "asof_purchase_value",
-    "range_join_ship_windows",
+    "asof_nearest_purchase",
     "terasort_rank",
     "global_sort_rank",
     "waiting_suppliers",
@@ -116,14 +124,14 @@ _WINDOW: list[str] = [
     "value_quantile_sketch",
     "doc_quality",
     "doc_lang_id",
-    "doc_winnow_near_dup",
+    "kmv_set_overlap",
     "inverted_index_postings",
     "dedup_minhash_lsh",
     "dedup_substring_spans",
     "dedup_embedding_cosine",
     "cms_token_freq",
     "ivf_topk_search",
-    "knn_cosine_topk",
+    "ab_test_conversion",
 ]
 
 
