@@ -314,3 +314,82 @@ def image_decode_roundtrip(spark, sf_dir):
     from ..functions.multimodal import png_roundtrip_stats
 
     return png_roundtrip_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "session_path_topk",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000 AS t
+            FROM events
+        ),
+        m AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                                OR t - lag(t) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ),
+        paths AS (
+            SELECT user_id, sid,
+                   string_agg(event_type, '>' ORDER BY t, event_id) AS path
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT path, n_sessions, rank FROM (
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT)
+                       AS rank
+            FROM paths GROUP BY path
+        ) WHERE rank <= 20
+    """,
+    ref="clickstream path analysis — top event-type PATHS per inactivity "
+    "session (the sequence-mining readout on top of sessionize_events' "
+    "session assignment): sessions form via the lag-gap + running-sum "
+    "construction at exact integer micros, each session's path is its "
+    "chronological event-type string with (t, event_id) total order — "
+    "deterministic under micro-timestamp ties on both engines — and top-20 "
+    "paths come from TakeOrdered with a path tie-break. Per-session state "
+    "is bounded by session length; the path groupBy is a plain hash agg",
+)
+def session_path_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..session import instant_ts
+
+    ev = instant_ts(T(spark, sf_dir, "events"), "ts").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("t") - F.lag("t").over(w)
+    s = (
+        ev.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap >= 1800 * 1000000), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wc))
+    )
+    paths = (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("t", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ).alias("seq")
+        )
+        .select(F.array_join("seq", ">").alias("path"))
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counted.orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+    )
