@@ -1991,3 +1991,108 @@ def schema_evolution_merge(spark, sf_dir):
         "price_cents",
         (F.col("o_orderkey") % 2).cast("long").alias("batch_v"),
     )
+
+
+@register(
+    "copurchase_lift_rules",
+    oracle="""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        tot AS (SELECT count(*) AS n_baskets FROM baskets),
+        item AS (
+            SELECT part, count(*) AS n_item
+            FROM (SELECT l_orderkey, unnest(parts) AS part FROM baskets)
+            GROUP BY part
+        ),
+        pairs AS (
+            SELECT parts[i] AS part_a, parts[j] AS part_b
+            FROM baskets,
+                 unnest(generate_series(1, len(parts))) AS t1(i),
+                 unnest(generate_series(1, len(parts))) AS t2(j)
+            WHERE i < j
+        ),
+        counted AS (
+            SELECT part_a, part_b, count(*) AS n_ab
+            FROM pairs GROUP BY part_a, part_b
+        ),
+        rules AS (
+            SELECT part_a, part_b, n_ab,
+                   ia.n_item AS n_a, ib.n_item AS n_b, n_baskets,
+                   (1000000 * n_ab) // n_baskets AS support_ppm,
+                   (1000000 * n_ab) // ia.n_item AS confidence_ppm,
+                   (1000000 * n_ab * n_baskets) // (ia.n_item * ib.n_item)
+                       AS lift_ppm
+            FROM counted
+            JOIN item ia ON ia.part = part_a
+            JOIN item ib ON ib.part = part_b
+            CROSS JOIN tot
+            WHERE n_ab >= 3
+        )
+        SELECT part_a, part_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(support_ppm AS BIGINT) AS support_ppm,
+               CAST(confidence_ppm AS BIGINT) AS confidence_ppm,
+               CAST(lift_ppm AS BIGINT) AS lift_ppm,
+               rank
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY lift_ppm DESC, part_a, part_b
+                   ) AS BIGINT) AS rank
+            FROM rules
+        ) WHERE rank <= 20
+    """,
+    ref="association rules on top of copurchase_part_pairs' co-occurrence "
+    "counts: support / confidence(A->B) / LIFT in exact integer ppm — "
+    "(1e6*n_ab*n_baskets) DIV (n_a*n_b) never touches a float, so the rule "
+    "ranking is bit-identical across engines (a float lift would tie-break "
+    "nondeterministically). min-support n_ab >= 3 prunes the rule set "
+    "BEFORE the item joins (the a-priori downward-closure shortcut); item "
+    "counts broadcast (|parts|-sized); top-20 by lift via TakeOrdered",
+)
+def copurchase_lift_rules(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.dedup import expand_bucket_pairs
+
+    li = T(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+    )
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("ids").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_item"))
+    )
+    counted = (
+        expand_bucket_pairs(baskets.filter(F.size("ids") >= 2))
+        .groupBy(F.col("id_a").alias("part_a"), F.col("id_b").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))
+    rules = (
+        counted.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr("(1000000 * n_ab) DIV n_baskets").alias("support_ppm"),
+            F.expr("(1000000 * n_ab) DIV n_a").alias("confidence_ppm"),
+            F.expr("(1000000 * n_ab * n_baskets) DIV (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
+    return (
+        rules.orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
