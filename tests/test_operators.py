@@ -1131,3 +1131,88 @@ class TestNewInventorySemantics:
         assert got["a a a a"] == ("aa aa", "a a a a")
         assert got["a b a b"] == ("a b a b", "ab ab")
         assert got["b a a b"] == ("b aa b", "b a ab")
+
+    def test_asof_nearest_matches_bruteforce(self, spark):
+        """asof_nearest_join vs a per-row brute-force nearest over adversarial
+        data: equal timestamps, exact-tie distances (backward must win),
+        out-of-tolerance gaps, keys with no right rows."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from hadoop_3_0_0_beta1_gaia_spark.operators.skew import asof_nearest_join
+
+        base = dt.datetime(2000, 1, 1)
+
+        def ts(sec):
+            return base + dt.timedelta(seconds=sec)
+
+        # left: (key, ts) probes; right: (key, ts, value)
+        left_rows = [
+            (1, ts(100)), (1, ts(200)), (1, ts(305)),
+            (2, ts(50)),                       # no right rows for key 2
+            (3, ts(100)),                      # exact tie: right at 90 and 110
+            (4, ts(100)),                      # right at same instant
+            (5, ts(1000)),                     # nearest beyond tolerance
+        ]
+        right_rows = [
+            (1, ts(90), 1.0), (1, ts(210), 2.0), (1, ts(300), 3.0),
+            (3, ts(90), 4.0), (3, ts(110), 5.0),
+            (4, ts(100), 6.0),
+            (5, ts(1500), 7.0),
+        ]
+        tol = 120 * 1000000  # 120 s
+        left = spark.createDataFrame(left_rows, "key long, ts timestamp")
+        right = spark.createDataFrame(right_rows, "key long, ts timestamp, value double")
+        got = {
+            (r.key, r.ts): (r.nearest_value, r.direction)
+            for r in asof_nearest_join(
+                left, right, key="key", ts="ts", right_value="value",
+                tolerance_micros=tol,
+            ).collect()
+        }
+
+        def brute(k, t):
+            cands = [
+                (abs((t - rt).total_seconds()), rt <= t, v)
+                for (rk, rt, v) in right_rows if rk == k
+                if abs((t - rt).total_seconds()) * 1000000 <= tol
+            ]
+            if not cands:
+                return (None, None)
+            # min distance; backward (rt <= t) wins exact ties
+            d, back, v = min(cands, key=lambda c: (c[0], not c[1]))
+            return (v, "backward" if back else "forward")
+
+        for (k, t) in left_rows:
+            assert got[(k, t)] == brute(k, t), (k, t, got[(k, t)], brute(k, t))
+
+    def test_quantile_sketch_degenerate_constant_column(self, spark, tmp_path):
+        """All-equal values: hi == lo makes every row bucket 0 and the error
+        bound 0 — estimates must equal the constant exactly."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+            value_quantile_sketch,
+        )
+
+        src = "/root/testdata/sf0.001"
+        dst = tmp_path / "sfconst"
+        dst.mkdir()
+        for t in ("events",):
+            df = spark.read.parquet(f"{src}/{t}.parquet").withColumn(
+                "value", F.lit(7.25)
+            )
+            df.write.mode("overwrite").parquet(str(dst / f"{t}.parquet"))
+        for t in (
+            "region nation customer supplier part orders lineitem documents embeddings"
+        ).split():
+            shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+        rows = value_quantile_sketch(spark, str(dst)).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.bucket == 0
+            assert r.est_micro == 7250000
+            assert r.err_bound_micro == 0
