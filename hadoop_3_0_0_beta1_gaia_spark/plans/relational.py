@@ -2096,3 +2096,79 @@ def copurchase_lift_rules(spark, sf_dir):
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        delta AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+        base_mv AS (
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM base GROUP BY o_orderstatus
+        ),
+        delta_agg AS (
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM delta GROUP BY o_orderstatus
+        ),
+        merged AS (
+            SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM (SELECT * FROM base_mv UNION ALL SELECT * FROM delta_agg)
+            GROUP BY o_orderstatus
+        ),
+        full_mv AS (
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT m.o_orderstatus, m.n_orders, m.cents,
+               m.n_orders = f.n_orders AND m.cents = f.cents AS matches_recompute
+        FROM merged m JOIN full_mv f USING (o_orderstatus)
+    """,
+    ref="incremental view maintenance — the materialized-view refresh a "
+    "warehouse runs on every ingest batch: the stored per-status aggregate "
+    "absorbs a delta batch by MERGING partial aggregates (count/sum are "
+    "algebraic — merge = sum of partials, never a rescan of the base), and "
+    "the query VERIFIES the maintained view equals a full recompute "
+    "in-query (matches_recompute column, the hll_merge_daily verify-not-"
+    "assert pattern). At 100 TB the base aggregate is |statuses| rows and "
+    "the refresh touches only the delta — the entire point of IVM; "
+    "complements cdc_upsert_orders (row-level MERGE) with aggregate-level "
+    "maintenance. Exact BIGINT cents via DECIMAL(18,2)",
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    cents = (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)).cast("long")
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), cents.alias("cents")
+        )
+
+    base_mv = agg(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta_agg = agg(o.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base_mv.unionByName(delta_agg)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").cast("long").alias("n_orders"), F.sum("cents").cast("long").alias("cents"))
+    )
+    full_mv = agg(o).select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("f_n"),
+        F.col("cents").alias("f_cents"),
+    )
+    return merged.join(full_mv, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_orders",
+        "cents",
+        (
+            (F.col("n_orders") == F.col("f_n"))
+            & (F.col("cents") == F.col("f_cents"))
+        ).alias("matches_recompute"),
+    )
