@@ -1486,3 +1486,46 @@ def ab_test_conversion(spark, sf_dir):
         fround(rb, 6).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@register(
+    "first_last_order_per_customer",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_order,
+               nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    ref="first_value / last_value / nth_value window surface (completes the "
+    "ranking-window family next to ntile/percent_rank/lag): each customer's "
+    "first, last, and second order key in (o_orderdate, o_orderkey) total "
+    "order — the key tie-break makes same-day orders deterministic on both "
+    "engines, and last/nth use the full-partition frame (the default "
+    "running frame would return the CURRENT row's value — the classic "
+    "last_value trap). Windows partition per customer — bounded",
+)
+def first_last_order_per_customer(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wrun = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(wrun).alias("first_order"),
+            F.last("o_orderkey").over(wfull).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        )
+        .distinct()
+    )
