@@ -365,7 +365,14 @@ def hll_rollup(df: DataFrame, type_col: str, day_col: "F.Column", value: str) ->
     overall = estimate_over(
         fine.groupBy("__j").agg(F.max("__mj").alias("__mj")), [], "global"
     )
-    return per_type.unionByName(per_day).unionByName(overall)
+    # The rollup output is tiny (one row per grain key); materialize it
+    # eagerly so the shared register table can be unpersisted here instead of
+    # leaking for the session lifetime (ADVICE r3).
+    result = (
+        per_type.unionByName(per_day).unionByName(overall).localCheckpoint(eager=True)
+    )
+    fine.unpersist()
+    return result
 
 
 def duckdb_hll_rollup(table: str, type_col: str, day_sql: str, value: str) -> str:

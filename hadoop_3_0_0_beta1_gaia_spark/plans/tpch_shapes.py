@@ -193,8 +193,9 @@ def volume_shipping_nations(spark, sf_dir):
     "k rows per partition and merges on the driver (no global sort, no single "
     "reducer — SURVEY §2.7 limit/top-k). Deterministic tie-break on c_custkey "
     "so LIMIT is stable across engines. Grouping carries c_name/n_name as keys "
-    "(functionally dependent on c_custkey); acctbal via any_value (single "
-    "customer row per group).",
+    "(functionally dependent on c_custkey); acctbal_cents is likewise carried "
+    "as a grouping key — one customer row per group, so the group is "
+    "unchanged.",
 )
 def returned_item_customers(spark, sf_dir):
     c = T(spark, sf_dir, "customer").select(
