@@ -445,6 +445,7 @@ def duckdb_minhash_lsh(
     threshold: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> str:
     if num_hashes % rows_per_band != 0:
         raise ValueError(
@@ -468,10 +469,18 @@ def duckdb_minhash_lsh(
                    string_agg(mh::VARCHAR, '_' ORDER BY seed) AS bsig
             FROM sig GROUP BY 1, 2
         ),
+        kept AS (
+            -- bucket-size cap: buckets with more co-bucketed ids than the cap
+            -- are DROPPED before pair expansion (lsh_candidate_pairs'
+            -- max_bucket_size rule); uncapped = every >=2 bucket kept
+            SELECT band, bsig FROM banded GROUP BY band, bsig
+            HAVING count(*) >= 2{f" AND count(*) <= {max_bucket_size}" if max_bucket_size is not None else ""}
+        ),
         cands AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+            JOIN kept k ON k.band = a.band AND k.bsig = a.bsig
         ),
         sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
         inter AS (

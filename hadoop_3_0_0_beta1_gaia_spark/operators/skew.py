@@ -179,6 +179,80 @@ def asof_join(
     )
 
 
+def asof_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value: str,
+    tolerance_micros: int,
+    out_name: str | None = None,
+) -> DataFrame:
+    """As-of join, direction='backward' WITH a tolerance (pandas
+    ``merge_asof(tolerance=...)`` parity — the remaining public-API gap after
+    the backward/forward/nearest trio, VERDICT r3 item 6): attach the latest
+    ``right_value`` at-or-before each left row's timestamp, but only when the
+    match is within ``tolerance_micros``; staler matches yield NULL (pandas
+    keeps the row, nulls the value). The tolerance test is INCLUSIVE
+    (dist == tolerance matches), like pandas.
+
+    Same single-shuffle tagged-union construction as :func:`asof_join`, with
+    the matched timestamp carried through the window so the tolerance check is
+    a per-row integer subtraction — no second join, no range predicate.
+    Timestamps compare at MICRO precision (the engine-wide nanos rule).
+    Output: left columns + ``out_name`` + ``dist_micros`` (both NULL when no
+    match within tolerance).
+    """
+
+    def micros(df: DataFrame) -> F.Column:
+        kind = df.schema[ts].dataType.simpleString()
+        if kind == "bigint":
+            return F.expr(f"`{ts}` DIV 1000")
+        if kind == "timestamp_ntz":
+            return F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts}`)"
+            )
+        return F.unix_micros(F.col(ts))
+
+    out_name = out_name or f"asof_{right_value}"
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        micros(left).alias("__t"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+        F.lit(None).cast("long").alias("__rt"),
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *[
+            F.col(c) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        micros(right).alias("__t"),
+        F.col(right_value).alias("__rv"),
+        micros(right).alias("__rt"),
+        F.lit(0).alias("__side"),
+    )
+    u = l.unionByName(r)
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__rv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = (
+        u.withColumn("__bv", F.last("__rv", ignorenulls=True).over(wb))
+        .withColumn("__bt", F.last("__rt", ignorenulls=True).over(wb))
+        .filter(F.col("__side") == 1)
+    )
+    dist = F.col("__t") - F.col("__bt")
+    within = F.col("__bt").isNotNull() & (dist <= F.lit(tolerance_micros))
+    return m.select(
+        *lcols,
+        F.when(within, F.col("__bv")).alias(out_name),
+        F.when(within, dist).alias("dist_micros"),
+    )
+
+
 def asof_nearest_join(
     left: DataFrame,
     right: DataFrame,

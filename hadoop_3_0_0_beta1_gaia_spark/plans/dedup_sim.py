@@ -72,6 +72,26 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_lsh_capped",
+    oracle=duckdb_minhash_lsh("documents", **_MINHASH, max_bucket_size=2),
+    ref="the 100 TB CONFIGURATION of dedup_minhash_lsh, itself oracle-gated "
+    "(VERDICT r3 item 2): max_bucket_size caps degenerate hot buckets — "
+    "boilerplate-heavy corpora co-bucket thousands of ids and pair expansion "
+    "over them is k² noise — by DROPPING any bucket with more co-bucketed "
+    "ids than the cap before pair expansion (functions/dedup.py "
+    "lsh_candidate_pairs). The cap CHANGES the answer (pairs surfaced only "
+    "through an oversized bucket disappear), so the DuckDB oracle reproduces "
+    "the drop rule exactly; dropped buckets/ids are counted via the "
+    "lsh_drop_counter observation. Cap=2 is deliberately tight so the rule "
+    "demonstrably fires at gate SF (sf0.01 has size-3 buckets)",
+)
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    return minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), **_MINHASH, max_bucket_size=2
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=duckdb_simhash32("documents"),
     ref="32-bit SimHash per document over distinct tokens",

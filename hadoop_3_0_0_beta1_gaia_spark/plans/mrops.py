@@ -1246,6 +1246,60 @@ def asof_nearest_purchase(spark, sf_dir):
 
 
 @register(
+    "asof_tolerance_purchase",
+    oracle="""
+        WITH u AS (
+            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t,
+                   NULL AS rv, NULL::BIGINT AS rt, 1 AS side
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT NULL, user_id, epoch_ns(ts) // 1000 AS t,
+                   value AS rv, epoch_ns(ts) // 1000 AS rt, 0 AS side
+            FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT *,
+                   last_value(rv IGNORE NULLS) OVER wb AS bv,
+                   last_value(rt IGNORE NULLS) OVER wb AS bt
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, rv
+                          ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN bt IS NOT NULL AND t - bt <= 3600000000
+                    THEN bv END AS asof_value,
+               CASE WHEN bt IS NOT NULL AND t - bt <= 3600000000
+                    THEN t - bt END AS dist_micros
+        FROM m WHERE side = 1
+    """,
+    ref="as-of join, backward WITH TOLERANCE (pandas merge_asof(tolerance=...) "
+    "parity — VERDICT r3 item 6, the public-API variant a pipeline user hits "
+    "first after the backward/forward/nearest trio): each click gets the "
+    "user's latest at-or-before purchase value only if it is at most 1 hour "
+    "stale, else NULL — the row survives, the value nulls, exactly pandas. "
+    "The tolerance test is INCLUSIVE (dist == tolerance matches; "
+    "tests/test_nanos_ties.py pins the exact-boundary micro). Same "
+    "single-shuffle tagged-union window as asof_purchase_value with the "
+    "matched timestamp carried, so tolerance costs one per-row subtraction — "
+    "no second join. Distances exact integer micros on both engines",
+)
+def asof_tolerance_purchase(spark, sf_dir):
+    from ..operators.skew import asof_tolerance_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_tolerance_join(
+        clicks, purchases, key="user_id", ts="ts", right_value="value",
+        tolerance_micros=3600 * 1000000, out_name="asof_value",
+    ).select("event_id", "user_id", "asof_value", "dist_micros")
+
+
+@register(
     "cumulative_unique_users",
     oracle="""
         WITH first_seen AS (

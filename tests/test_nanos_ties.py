@@ -64,14 +64,19 @@ def tie_dir(tmp_path_factory):
 
     # events: user 1 has a purchase NANO-later but MICRO-equal to the click —
     # prior-or-equal at the engine's (micro) precision on both sides.
+    HOUR = 3_600_000_000_000  # asof_tolerance_purchase's tolerance, in ns
     events = pa.table(
         {
-            "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
-            "user_id": pa.array([1, 1, 2, 2, 3, 3], type=pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], type=pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3, 4, 4, 5, 5], type=pa.int64()),
             "event_type": pa.array(
-                ["click", "purchase", "click", "purchase", "click", "purchase"]
+                ["click", "purchase", "click", "purchase", "click", "purchase",
+                 "click", "purchase", "click", "purchase"]
             ),
-            "value": pa.array([0.0, 10.0, 0.0, 7.5, 0.0, 99.0], type=pa.float64()),
+            "value": pa.array(
+                [0.0, 10.0, 0.0, 7.5, 0.0, 99.0, 0.0, 11.0, 0.0, 12.0],
+                type=pa.float64(),
+            ),
             "ts": _ns_array(
                 [
                     T0 + 100,              # u1 click
@@ -80,6 +85,10 @@ def tie_dir(tmp_path_factory):
                     T0 - 5 * 10**9,        # u2 purchase: clearly before
                     T0,                    # u3 click
                     T0 + 2 * 10**9,        # u3 purchase: clearly after (no match)
+                    T0 + HOUR + 100,       # u4 click: EXACTLY tolerance after
+                    T0 + 100,              # u4 purchase (dist == tolerance)
+                    T0 + HOUR + MICRO + 100,  # u5 click: one micro PAST it
+                    T0 + 100,              # u5 purchase (dist == tolerance + 1)
                 ]
             ),
         }
@@ -205,6 +214,20 @@ def test_asof_nano_tie(spark, tie_dir):
     assert vals[1] == 10.0
     assert vals[3] == 7.5
     assert vals[5] is None
+
+
+def test_asof_tolerance_boundary(spark, tie_dir):
+    """The tolerance test is INCLUSIVE at exact micro precision: a purchase
+    exactly one hour stale matches; one micro staler nulls out (pandas
+    merge_asof(tolerance=...) semantics). Oracle parity checked on the same
+    adversarial fixture."""
+    rows = _compare("asof_tolerance_purchase", spark, tie_dir)
+    vals = {r[0]: (r[2], r[3]) for r in rows}
+    assert vals[1] == (10.0, 0)                 # micro-tied: distance 0
+    assert vals[3] == (7.5, 5_000_000)          # 5 s stale, well within
+    assert vals[5] == (None, None)              # no prior purchase at all
+    assert vals[7] == (11.0, 3_600_000_000)     # dist == tolerance: kept
+    assert vals[9] == (None, None)              # one micro past: nulled
 
 
 def test_range_join_nano_tie(spark, tie_dir):
