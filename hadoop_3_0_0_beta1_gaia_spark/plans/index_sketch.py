@@ -498,7 +498,12 @@ def zorder_layout_orders(spark, sf_dir):
     keyed = instant_ts(T(spark, sf_dir, "orders"), "o_orderdate").select(
         "o_orderkey",
         F.col("o_custkey").alias("a"),
-        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)").alias("b"),
+        # epoch-day via exact integer micros, NOT CAST(ts AS DATE): the cast
+        # renders the instant in the SESSION timezone, so under the driver's
+        # America/New_York session every midnight-UTC orderdate slid back one
+        # day (caught by tools/driver_check.py — the engine session's UTC tz
+        # masked it in the pytest gate)
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("b"),
     )
     bounds = keyed.agg(
         F.min("a").alias("amin"), F.max("a").alias("amax"),

@@ -81,57 +81,78 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # (tokenizer training loop), asof_nearest_purchase (merge_asof nearest),
 # kmv_set_overlap (sketch set algebra), ab_test_conversion (experiment
 # analysis) — all driver-protocol pre-validated with Arrow-type equality.
+# Rotation #5 (round 4) — the VERDICT r3 priority: burn down the
+# never-driver-validated backlog. 45 of the 50 slots go to FIRST-CONTACT
+# entries (none has ever had a CORRECTNESS row), every one pre-validated
+# under the exact driver protocol by tools/driver_check.py (plain session,
+# America/New_York tz, default 200 shuffle partitions, sf0.01, Arrow-type
+# equality) — which caught and fixed a real divergence the engine-session
+# pytest gate masked (zorder_layout_orders' session-tz-dependent DATE cast).
+# The 5 anchors keep a thrice-green representative of each core family
+# in-window (flagship agg, N-way join, LSH dedup, text, global sort); every
+# rotated-out entry remains covered by the repo oracle gate and its r1-r3
+# driver greens.
 _WINDOW: list[str] = [
+    # anchors (driver-green r1+r2+r3)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "join_inner_nway",
-    "local_supplier_volume",
-    "volume_shipping_nations",
-    "join_semi",
-    "bpe_train_merges",
-    "join_broadcast_parts",
-    "join_salted_custsales",
-    "asof_purchase_value",
-    "asof_nearest_purchase",
-    "terasort_rank",
-    "global_sort_rank",
-    "waiting_suppliers",
-    "top_k_orders",
-    "union_multi_input",
-    "returned_item_customers",
-    "set_intersect",
-    "dedup_cluster_canonical",
-    "keyfield_sorted_lines",
-    "pipe_typedbytes_sum",
-    "grouping_comparator_orders",
-    "word_count",
-    "quality_classifier_score",
-    "semantic_dedup_keep",
-    "cube_orders_pricing",
-    "running_total_supplier",
-    "orders_monthly_delta",
-    "events_hour_rollup",
-    "mapfile_point_lookup",
-    "partitioned_output_lookup",
-    "codec_roundtrip_gzip",
-    "xml_records_parse",
-    "doc_pii_scrub",
-    "pack_training_sequences",
-    "corpus_temperature_sample",
-    "doc_bigram_logprob",
-    "pq_encode_vectors",
-    "ann_recall_at_k",
-    "value_quantile_sketch",
-    "doc_quality",
-    "doc_lang_id",
-    "kmv_set_overlap",
-    "inverted_index_postings",
     "dedup_minhash_lsh",
-    "dedup_substring_spans",
-    "dedup_embedding_cosine",
-    "cms_token_freq",
-    "ivf_topk_search",
-    "ab_test_conversion",
+    "word_count",
+    "global_sort_rank",
+    # streaming + multimodal (the only family with pending first contact)
+    "stream_interval_join",
+    "stream_sliding_topk",
+    "image_decode_roundtrip",
+    "session_path_topk",
+    # lakehouse / layout / decontamination (VERDICT r3 named set)
+    "cdc_upsert_orders",
+    "scd2_order_history",
+    "zorder_layout_orders",
+    "decontaminate_eval_overlap",
+    "fuzzy_match_customers",
+    # new this round (capped-LSH twin, merge_asof tolerance)
+    "dedup_minhash_lsh_capped",
+    "asof_tolerance_purchase",
+    # ANN / similarity
+    "dedup_simhash_hamming",
+    "ivf_topk_multiprobe",
+    "pq_topk_search_adc",
+    "knn_filtered_topk",
+    "lsh_recall_vs_exact",
+    "kmeans_lloyd_refine",
+    "embed_quantize_int8",
+    # dedup variants
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_containment",
+    "url_normalize_dedup",
+    # corpus prep / LLM pipeline
+    "doc_repetition",
+    "doc_chunk_tokens",
+    "corpus_filter_pipeline",
+    "corpus_global_shuffle",
+    "corpus_split_assign",
+    "mix_domain_weights",
+    "domain_quota_filter",
+    "bm25_search_topk",
+    "sample_docs_per_lang",
+    # sketches / indexes
+    "hll_rollup_grains",
+    "bloom_filter_probe",
+    "user_hour_bitmap",
+    # relational / subquery shapes
+    "promo_revenue_monthly",
+    "supplier_cnt_notin",
+    "large_volume_customers",
+    "top_supplier_per_part",
+    # time-series / stats / segments / graph / formats / validation / MV
+    "events_daily_gapfill",
+    "price_qty_corr_by_flag",
+    "customer_rfm_segments",
+    "copurchase_pagerank",
+    "orc_roundtrip_scan",
+    "validate_orders_constraints",
+    "incremental_agg_maintenance",
 ]
 
 
