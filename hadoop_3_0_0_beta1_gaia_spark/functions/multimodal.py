@@ -74,17 +74,23 @@ _COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # PNG color type → samples
 
 
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG to ``(width, height, channels, interleaved pixels)``.
+    """Decode a PNG to ``(width, height, channels, interleaved 8-bit pixels)``.
 
     Standard-library-only: chunk walk + zlib inflate + per-scanline
     unfilter (all five filter types: None/Sub/Up/Average/Paeth). Supports
-    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA,
+    8- and 16-bit depth, color types gray/RGB/palette/gray+alpha/RGBA,
     non-interlaced (Adam7 rejected). Palette images are expanded to RGB.
+    16-bit samples unfilter at full precision — the PNG spec defines the
+    filters on BYTES with the pixel offset in bytes-per-pixel, not samples —
+    and are then downsampled to their high byte (the standard 16→8
+    approximation), so downstream feature code sees one byte per sample
+    regardless of source depth.
     """
     if not data.startswith(PNG_MAGIC):
         raise NotImplementedError(
-            "real decode implemented for PNG only; plug a jpeg/ffmpeg codec "
-            "here — the batching/schema contract is final"
+            "real decode implemented for PNG (here) and baseline JPEG "
+            "(functions.jpeg via image_decode); plug an ffmpeg codec here "
+            "for video — the batching/schema contract is final"
         )
     pos, ihdr, plte, idat = len(PNG_MAGIC), None, None, []
     while pos + 8 <= len(data):
@@ -102,13 +108,19 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in _COLOR_CHANNELS:
+    if (
+        depth not in (8, 16)
+        or interlace != 0
+        or color not in _COLOR_CHANNELS
+        or (depth == 16 and color == 3)  # 16-bit palette is not a PNG variant
+    ):
         raise NotImplementedError(
             f"PNG variant not supported (depth={depth}, color={color}, "
-            f"interlace={interlace}): 8-bit non-interlaced only"
+            f"interlace={interlace}): 8/16-bit non-interlaced only"
         )
     ch = _COLOR_CHANNELS[color]
-    stride = w * ch
+    bpp = ch * (depth // 8)  # filter offset is in BYTES per pixel (spec §9)
+    stride = w * bpp
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG data length mismatch")
@@ -120,20 +132,20 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         line = bytearray(raw[p + 1 : p + 1 + stride])
         p += 1 + stride
         if ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 pp = a + b - c
                 pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                 line[i] = (
@@ -143,6 +155,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ft}")
         out += line
         prev = line
+    if depth == 16:  # big-endian sample pairs → high byte
+        out = out[0::2]
     if color == 3:  # palette → RGB
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -236,21 +250,32 @@ def _real_audio_features(data: bytes, dim: int) -> list[float]:
     return feats
 
 
+def image_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode image bytes by container magic: baseline JPEG (SOI) via
+    functions.jpeg, else PNG via :func:`png_decode` (which raises the
+    NotImplementedError plug point for any other format)."""
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    return png_decode(data)
+
+
 def _real_features(data: bytes, dim: int) -> list[float]:
-    """Dispatch real decode by container magic: PNG → image statistics,
+    """Dispatch real decode by container magic: PNG/JPEG → image statistics,
     RIFF/WAVE → audio statistics; anything else raises at the plug point
-    where a jpeg/mp3/ffmpeg codec would go."""
+    where an mp3/ffmpeg codec would go."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _real_audio_features(data, dim)
     return _real_image_features(data, dim)
 
 
 def _real_image_features(data: bytes, dim: int) -> list[float]:
-    """Actual image statistics from a decoded PNG: [w/4096, h/4096, ch/4,
-    per-channel mean/255 (4 slots, zero-padded), 9-bin luminance histogram
-    (normalized)] — deterministic, resolution-independent, and genuinely a
-    function of the pixels."""
-    w, h, ch, px = png_decode(data)
+    """Actual image statistics from a decoded PNG/JPEG: [w/4096, h/4096,
+    ch/4, per-channel mean/255 (4 slots, zero-padded), 9-bin luminance
+    histogram (normalized)] — deterministic, resolution-independent, and
+    genuinely a function of the pixels."""
+    w, h, ch, px = image_decode(data)
     n = w * h
     feats = [w / 4096.0, h / 4096.0, ch / 4.0]
     for c in range(4):
@@ -463,5 +488,71 @@ def png_roundtrip_stats(
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
             )
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drive the REAL baseline-JPEG codec end-to-end inside a distributed
+    Arrow kernel (the jpeg twin of :func:`png_roundtrip_stats`): per row,
+    derive four flat 8x8 block levels from the md5 digest of the id, tile
+    them into a 16x16 grayscale image, ENCODE with functions.jpeg at
+    quality=100 and DECODE the byte stream back through the full
+    Huffman/dequant/IDCT path.
+
+    At quality 100 every quantizer is 1 and a flat block is DC-only, so the
+    lossy codec round-trips these images BIT-EXACTLY — which is what lets the
+    stats carry an exact SQL oracle: sum over the decoded 256 pixels is
+    64 * sum(levels), min/max are the level extremes, all reproducible
+    hex-pair by hex-pair from the same md5. roundtrip_ok asserts the decoded
+    buffer equals the constructed one byte for byte.
+    """
+    import hashlib
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .jpeg import jpeg_decode, jpeg_encode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("px_sum", LongType()),
+            StructField("px_min", LongType()),
+            StructField("px_max", LongType()),
+            StructField("roundtrip_ok", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                levels = hashlib.md5(f"{int(did)}:jb".encode()).digest()[:4]
+                buf = bytearray(256)
+                for b, (by, bx) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                    for y in range(8):
+                        row = (by + y) * 16 + bx
+                        for x in range(8):
+                            buf[row + x] = levels[b]
+                data = jpeg_encode(16, 16, 1, bytes(buf), quality=100)
+                dw, dh, ch, back = jpeg_decode(data)
+                ok = (dw, dh, ch) == (16, 16, 1) and back == bytes(buf)
+                rows.append(
+                    (
+                        int(did),
+                        int(sum(back)),
+                        int(min(back)),
+                        int(max(back)),
+                        bool(ok),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col).mapInPandas(kernel, schema)

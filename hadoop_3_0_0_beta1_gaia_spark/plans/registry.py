@@ -93,16 +93,17 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # rotated-out entry remains covered by the repo oracle gate and its r1-r3
 # driver greens.
 _WINDOW: list[str] = [
-    # anchors (driver-green r1+r2+r3)
+    # anchors (driver-green r1+r2+r3; global_sort_rank rotated out for the
+    # new jpeg entry — §2.7 keeps its three prior driver greens + repo gate)
     "q1_pricing_summary",
     "join_inner_nway",
     "dedup_minhash_lsh",
     "word_count",
-    "global_sort_rank",
     # streaming + multimodal (the only family with pending first contact)
     "stream_interval_join",
     "stream_sliding_topk",
     "image_decode_roundtrip",
+    "jpeg_decode_blocks",
     "session_path_topk",
     # lakehouse / layout / decontamination (VERDICT r3 named set)
     "cdc_upsert_orders",

@@ -892,6 +892,137 @@ def test_png_codec_roundtrip_and_filters():
     # scanline = filter byte 0 then indices [1, 0] → green, red
     assert png_decode(pal) == (2, 1, 3, bytes([0, 255, 0, 255, 0, 0]))
 
+    # 16-bit grayscale (VERDICT r3 item 5): filters operate on BYTES with a
+    # 2-byte-per-pixel offset; decoded samples downsample to the high byte.
+    # row0 None: samples 0x0102 0x0304
+    # row1 Sub:  final bytes 05 06 07 08 → raw 05 06 (07-05) (08-06)
+    # row2 Up:   final bytes 15 16 17 18 → raw = final - row1 = 10 10 10 10
+    s16 = (
+        bytes([0, 0x01, 0x02, 0x03, 0x04])
+        + bytes([1, 0x05, 0x06, 0x02, 0x02])
+        + bytes([2, 0x10, 0x10, 0x10, 0x10])
+    )
+    png16 = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(s16))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(png16) == (2, 3, 1, bytes([0x01, 0x03, 0x05, 0x07, 0x15, 0x17]))
+
+    # 16-bit RGB: one Sub-filtered row, bpp = 6 bytes — the second pixel's
+    # deltas land on the FIRST pixel's bytes six back, not two back
+    rgb16 = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + chunk(
+            b"IDAT",
+            zlib.compress(
+                bytes([1])
+                + bytes([0x10, 0x00, 0x20, 0x00, 0x30, 0x00])  # pixel 0 raw
+                + bytes([0x01, 0x00, 0x02, 0x00, 0x03, 0x00])  # pixel 1 deltas
+            ),
+        )
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(rgb16) == (2, 1, 3, bytes([0x10, 0x20, 0x30, 0x11, 0x22, 0x33]))
+
+    # 16-bit palette is not a PNG variant — rejected, not mis-decoded
+    bad = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        png_decode(bad)
+
+
+def test_jpeg_codec_baseline():
+    """Pure-stdlib baseline JPEG codec (functions/jpeg.py): flat and
+    block-mosaic images are BIT-EXACT at quality=100 (DC-only blocks with
+    unit quantizers — the property jpeg_decode_blocks' oracle relies on);
+    gradients and RGB content round-trip within tight error bounds; 4:2:0
+    subsampled chroma decodes through the upsampling path; non-baseline
+    input is rejected, not mis-decoded."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    # flat gray: bit-exact at q100
+    px = bytes([77] * 64)
+    assert jpeg_decode(jpeg_encode(8, 8, 1, px, quality=100)) == (8, 8, 1, px)
+
+    # four flat 8x8 blocks: DC prediction chain across blocks, still exact
+    levels = [10, 200, 128, 55]
+    buf = bytearray(256)
+    for b, (by, bx) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+        for y in range(8):
+            for x in range(8):
+                buf[(by + y) * 16 + bx + x] = levels[b]
+    assert jpeg_decode(jpeg_encode(16, 16, 1, bytes(buf), quality=100)) == (
+        16, 16, 1, bytes(buf),
+    )
+
+    # gradient gray, quality 92: DCT quantization error stays tiny
+    grad = bytes([(x * 3 + y * 5) % 256 for y in range(24) for x in range(16)])
+    w, h, ch, back = jpeg_decode(jpeg_encode(16, 24, 1, grad, quality=92))
+    assert (w, h, ch) == (16, 24, 1)
+    assert max(abs(a - b) for a, b in zip(grad, back)) <= 4
+
+    # RGB 4:4:4 through YCbCr and back
+    rgb = bytes([200, 30, 40] * 64 + [20, 180, 220] * 64)  # 16x8
+    w, h, ch, back = jpeg_decode(jpeg_encode(16, 8, 3, rgb, quality=95))
+    assert (w, h, ch) == (16, 8, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, back)) <= 4
+
+    # RGB 4:2:0, non-multiple-of-16 dimensions (edge replication + upsample)
+    w0, h0 = 20, 12
+    smooth = bytes(
+        b
+        for y in range(h0)
+        for x in range(w0)
+        for b in (min(255, 100 + x * 4), min(255, 50 + y * 8), 90)
+    )
+    w, h, ch, back = jpeg_decode(
+        jpeg_encode(w0, h0, 3, smooth, quality=90, subsample=True)
+    )
+    assert (w, h, ch) == (w0, h0, 3)
+    assert max(abs(a - b) for a, b in zip(smooth, back)) <= 16
+
+    # progressive (SOF2) is rejected with a clear boundary error
+    baseline = bytearray(jpeg_encode(8, 8, 1, px, quality=90))
+    sof = baseline.find(b"\xff\xc0")
+    baseline[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(baseline))
+
+
+def test_multimodal_real_jpeg_features(spark):
+    """decode=real now extracts features from JPEG bytes through the same
+    mapInPandas kernel as PNG — the container dispatch is by magic bytes."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.jpeg import jpeg_encode
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+    )
+
+    solid = jpeg_encode(8, 8, 3, bytes([200, 100, 50] * 64), quality=100)
+    rows = [(1, "image", bytearray(solid), "jpeg", 8, 8, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in decode_features(df, decode="real").collect()}
+    f = feats[1]
+    assert abs(f[0] - 8 / 4096) < 1e-6 and abs(f[2] - 3 / 4) < 1e-6
+    # channel means within JPEG error of the source color
+    for slot, val in ((3, 200), (4, 100), (5, 50)):
+        assert abs(f[slot] * 255 - val) <= 4, (slot, f[slot] * 255)
+
 
 def test_multimodal_real_png_decode_end_to_end(spark):
     """decode=real runs a GENUINE PNG decode inside the mapInPandas kernel:
@@ -937,12 +1068,21 @@ def test_multimodal_real_png_decode_end_to_end(spark):
     assert px == bytes([200, 100, 50] * 4)  # solid stays solid
     assert (resized[1]["width"], resized[1]["height"]) == (2, 2)
 
+    # unknown container (neither JPEG SOI nor PNG magic) raises at the codec
+    # plug point; a JPEG-tagged stream with garbage after SOI raises a
+    # malformed-stream error from the real jpeg decoder
     bad = spark.createDataFrame(
-        [(3, "image", bytearray(b"\xff\xd8notapng"), "jpeg", 1, 1, None)],
+        [(3, "image", bytearray(b"GIF89anotanimg"), "gif", 1, 1, None)],
         MEDIA_SCHEMA,
     )
-    with _pytest.raises(Exception, match="PNG only|NotImplementedError"):
+    with _pytest.raises(Exception, match="PNG|NotImplementedError"):
         decode_features(bad, decode="real").collect()
+    badjpeg = spark.createDataFrame(
+        [(4, "image", bytearray(b"\xff\xd8notajpeg"), "jpeg", 1, 1, None)],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="marker|JPEG"):
+        decode_features(badjpeg, decode="real").collect()
 
 
 def test_multimodal_real_wav_decode_end_to_end(spark):
