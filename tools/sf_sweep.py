@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Scale-step the full inventory gate (VERDICT r3 item 4): run EVERY registry
+entry and its oracle at a big SF (default /tmp/sf1 from tools/scale_testdata.py
+— 10x the bench SF), under the ENGINE session, recording per-entry wall time
+and parity incrementally to a JSONL file. A watchdog cancels both engines past
+a per-entry cap so one superlinear entry cannot stall the sweep; timeouts are
+recorded, not hidden — a TIMEOUT at sf1 is exactly the "degrades
+superlinearly, gets a named fix (or a documented by-contract anchor)" signal
+this sweep exists to surface.
+
+Usage: python tools/sf_sweep.py [out.jsonl] [cap_seconds] [names...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/tmp/sf1")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# Documented by-contract quadratic/procedural anchors + their known-heavy kin:
+# run LAST so the linear bulk of the sweep lands first.
+HEAVY_LAST = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "dedup_simhash_hamming",
+    "knn_cosine_topk",
+    "lsh_recall_vs_exact",
+    "ann_recall_at_k",
+    "dedup_embedding_cosine",
+    "order_gaps_pandas",
+]
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 9)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
+    from hadoop_3_0_0_beta1_gaia_spark.session import get_session
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_sweep.jsonl"
+    cap = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
+    entries = all_entries()
+    names = sys.argv[3:] or (
+        [n for n in entries if n not in HEAVY_LAST]
+        + [n for n in HEAVY_LAST if n in entries]
+    )
+
+    spark = get_session(app_name="gaia-spark-sf-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
+        )
+
+    done = sum(1 for _ in open(out_path)) if os.path.exists(out_path) else 0
+    if done:
+        seen = {json.loads(l)["name"] for l in open(out_path)}
+        names = [n for n in names if n not in seen]
+        print(f"resuming: {done} entries already recorded")
+
+    out = open(out_path, "a", buffering=1)
+    fails = 0
+    for idx, name in enumerate(names):
+        e = entries[name]
+        rec = {"name": name, "status": "PASS"}
+        timed_out = threading.Event()
+
+        def _kill():
+            timed_out.set()
+            spark.sparkContext.cancelAllJobs()
+            con.interrupt()
+
+        watchdog = threading.Timer(cap, _kill)
+        watchdog.start()
+        t0 = time.perf_counter()
+        try:
+            df = e.build(spark, SF_DIR)
+            spark_rows = [tuple(r) for r in df.collect()]
+            rec["spark_s"] = round(time.perf_counter() - t0, 1)
+            rec["rows"] = len(spark_rows)
+            if e.oracle is not None:
+                t1 = time.perf_counter()
+                res = con.execute(e.oracle)
+                duck_cols = [d[0] for d in res.description]
+                duck_rows = res.fetchall()
+                rec["duck_s"] = round(time.perf_counter() - t1, 1)
+                if len(duck_rows) != len(spark_rows):
+                    rec["status"] = "FAIL"
+                    rec["err"] = f"rows {len(spark_rows)} vs {len(duck_rows)}"
+                elif _norm(spark_rows, df.columns) != _norm(duck_rows, duck_cols):
+                    rec["status"] = "FAIL"
+                    rec["err"] = "values differ"
+        except Exception as ex:  # noqa: BLE001
+            rec["status"] = "TIMEOUT" if timed_out.is_set() else "ERROR"
+            rec["err"] = repr(ex)[:300]
+            rec["spark_s"] = round(time.perf_counter() - t0, 1)
+        finally:
+            watchdog.cancel()
+        spark.catalog.clearCache()
+        if rec["status"] != "PASS":
+            fails += 1
+        out.write(json.dumps(rec) + "\n")
+        print(f"[{idx + 1}/{len(names)}] {rec['status']} {name} "
+              f"spark={rec.get('spark_s')}s duck={rec.get('duck_s')}s "
+              f"rows={rec.get('rows')} {rec.get('err', '')}")
+    out.close()
+    print(f"done: {fails} non-pass")
+    con.close()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
