@@ -492,6 +492,71 @@ def png_roundtrip_stats(
     return df.select(id_col).mapInPandas(kernel, schema)
 
 
+def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drive the REAL PCM-WAV codec end-to-end inside a distributed Arrow
+    kernel (the audio member of the codec-proof family, next to
+    :func:`png_roundtrip_stats` / :func:`jpeg_roundtrip_stats`): per row,
+    derive eight signed 16-bit samples from the md5 digest of the id
+    (little-endian pairs — exactly how PCM lays them out), ENCODE them as a
+    mono 8 kHz WAV byte stream with the stdlib ``wave`` writer and DECODE
+    back through :func:`wav_decode`. PCM is lossless, so the round trip is
+    bit-exact by construction and the sample statistics carry an exact SQL
+    oracle reproducing the signed values hex-pair by hex-pair.
+    """
+    import hashlib
+    import io
+    import wave as wave_mod
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("s_sum", LongType()),
+            StructField("s_min", LongType()),
+            StructField("s_max", LongType()),
+            StructField("roundtrip_ok", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                raw = hashlib.md5(f"{int(did)}:wav".encode()).digest()  # 16 B
+                samples = [
+                    int.from_bytes(raw[i : i + 2], "little", signed=True)
+                    for i in range(0, 16, 2)
+                ]
+                bio = io.BytesIO()
+                with wave_mod.open(bio, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(raw)
+                ch, fr, sw, back = wav_decode(bio.getvalue())
+                ok = (ch, fr, sw) == (1, 8000, 2) and back == samples
+                rows.append(
+                    (
+                        int(did),
+                        int(sum(back)),
+                        int(min(back)),
+                        int(max(back)),
+                        bool(ok),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
 def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drive the REAL baseline-JPEG codec end-to-end inside a distributed
     Arrow kernel (the jpeg twin of :func:`png_roundtrip_stats`): per row,

@@ -317,6 +317,46 @@ def image_decode_roundtrip(spark, sf_dir):
 
 
 @register(
+    "wav_decode_roundtrip",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   list_transform(range(8), i ->
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':wav'),
+                                       CAST(4 * i + 1 AS INT), 2))::BIGINT
+                       + 256 * ('0x' || substr(md5(doc_id::VARCHAR || ':wav'),
+                                               CAST(4 * i + 3 AS INT), 2))::BIGINT
+                   ) AS us
+            FROM documents
+        ),
+        sg AS (
+            SELECT doc_id,
+                   list_transform(us,
+                       v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS ss
+            FROM u
+        )
+        SELECT doc_id,
+               CAST(list_sum(ss) AS BIGINT) AS s_sum,
+               CAST(list_min(ss) AS BIGINT) AS s_min,
+               CAST(list_max(ss) AS BIGINT) AS s_max,
+               TRUE AS roundtrip_ok
+        FROM sg
+    """,
+    ref="the audio member of the codec-proof family (PNG/JPEG/WAV): eight "
+    "md5-derived signed 16-bit PCM samples are written as a real mono WAV "
+    "byte stream (stdlib wave) and decoded back through wav_decode inside a "
+    "mapInPandas Arrow kernel. PCM is lossless so the trip is bit-exact; the "
+    "oracle rebuilds the little-endian signed samples hex-pair by hex-pair "
+    "from the same md5 — stats match only if the codec honors PCM byte "
+    "order and sign convention",
+)
+def wav_decode_roundtrip(spark, sf_dir):
+    from ..functions.multimodal import wav_roundtrip_stats
+
+    return wav_roundtrip_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
     "jpeg_decode_blocks",
     oracle="""
         WITH lv AS (
