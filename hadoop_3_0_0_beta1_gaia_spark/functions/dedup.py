@@ -661,12 +661,24 @@ def simhash_hamming_pairs(
     Classic banded exact-match (the web-dedup construction): split the
     32-bit fingerprint into ``radius + 1`` byte-aligned bands — by
     pigeonhole, two fingerprints within Hamming distance ``radius`` agree
-    EXACTLY on at least one band — bucket on (band index, band value) with
-    the same groupBy + in-row pair expansion every bucket-first candidate
-    generator here uses (one shuffle, never an all-pairs join), then verify
-    candidates with ``bit_count(a XOR b) <= radius``. Candidate volume is
-    linear in corpus size for real corpora; ``max_bucket_size`` guards the
-    degenerate boilerplate case exactly as in :func:`lsh_candidate_pairs`.
+    EXACTLY on at least one band — then generate candidates with an
+    EQUI-SELF-JOIN on (band index, band value) and verify with
+    ``bit_count(a XOR b) <= radius``.
+
+    Unlike the shingle-backed LSH generators, candidates here deliberately
+    do NOT use the groupBy + collect_set + in-row pair expansion shape: a
+    simhash band is only ~8 bits wide, so bucket populations scale as
+    n/2^width — at 50k docs the r4 sf1 sweep saw collect_set build
+    multi-thousand-id arrays whose in-row k² pair expansion OOMed the
+    executor heap outright. The equi-join produces the same pair set but
+    STREAMS through the hash join and spills; nothing is materialized per
+    row. The bucket-first shape stays correct for LSH, whose banded
+    signatures are ~wide-unique and whose upstream shingle chain makes join
+    re-computation expensive — here the joined frame is the one-row-per-doc
+    banded fingerprint off a persisted base, so the join costs one shuffle
+    of (band, bval, id). ``max_bucket_size`` still guards the degenerate
+    boilerplate case (oversized buckets dropped BEFORE the join, same
+    semantics as :func:`lsh_candidate_pairs`).
 
     radius must be 1..7 so bands stay byte-sized on a 32-bit fingerprint
     (radius+1 bands of ceil(32/(radius+1)) bits; bands are taken as equal
@@ -698,23 +710,28 @@ def simhash_hamming_pairs(
             ).alias("bval"),
         ),
     )
-    banded = sims.select("id", F.explode(bands).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
-    )
-    buckets = (
-        banded.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    banded = sims.select("id", "simhash", F.explode(bands).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    cands = expand_bucket_pairs(buckets).distinct()
-
-    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
-    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"))
+        kept = (
+            banded.groupBy("band", "bval")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "bval")
+        )
+        banded = banded.join(kept, ["band", "bval"])
+    x = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bval"
+    )
+    y = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bval"
+    )
+    # carry both fingerprints through the band join so the verify is a
+    # per-row bit_count — no second join back to sims, no per-row pair arrays
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        x.join(y, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -723,6 +740,7 @@ def simhash_hamming_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= radius)
+        .distinct()
     )
 
 

@@ -107,9 +107,24 @@ _COS = [
     for u in range(8)
 ]
 
+# numpy fast path for the 8x8 transforms (same math, matrix form; ~20x over
+# the pure-Python loops). The stdlib loops below remain the reference
+# implementation and the fallback — the codec stays dependency-free.
+try:
+    import numpy as _np
+
+    _COS_M = _np.array(_COS)  # C[u, x]
+    _COS_MT = _COS_M.T
+except Exception:  # pragma: no cover - numpy is baked into the container
+    _np = None
+
 
 def _idct8x8(coef: list) -> list:
     """2-D inverse DCT, rows then columns (floats; caller rounds)."""
+    if _np is not None:
+        S = _np.asarray(coef, dtype=_np.float64).reshape(8, 8)  # S[v, u]
+        # s[y, x] = Σ_u Σ_v S[v,u] C[u,x] C[v,y]  =  Cᵀ·S·C with C[u,x]
+        return (_COS_MT @ S @ _COS_M).ravel().tolist()
     tmp = [0.0] * 64
     for y in range(8):
         row = coef[y * 8 : y * 8 + 8]
@@ -124,6 +139,10 @@ def _idct8x8(coef: list) -> list:
 
 def _fdct8x8(px: list) -> list:
     """2-D forward DCT of level-shifted samples (floats; caller quantizes)."""
+    if _np is not None:
+        s = _np.asarray(px, dtype=_np.float64).reshape(8, 8)  # s[y, x]
+        # S[v, u] = c(u)c(v)/4 ΣΣ s cos cos = (C·s·Cᵀ) with the basis scaling
+        return (_COS_M @ s @ _COS_MT).ravel().tolist()
     tmp = [0.0] * 64
     for y in range(8):
         for u in range(8):

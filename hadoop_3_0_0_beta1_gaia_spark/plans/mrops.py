@@ -734,25 +734,33 @@ def topk_events_per_type(spark, sf_dir):
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY epoch_ns(l_shipdate) // 1000, l_orderkey, l_linenumber
+                   ORDER BY epoch_ns(l_shipdate) // 1000, l_orderkey, l_linenumber,
+                            l_extendedprice
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) * 100 AS BIGINT) AS running_revenue_cents
         FROM lineitem
     """,
     ref="running (cumulative) aggregate per key — the reference's answer is a stateful "
     "Reducer scan (Reducer.java:147-167); here a rows-unbounded-preceding window over a "
-    "total order (shipdate, orderkey, linenumber). Testdata carries TIMESTAMP(NANOS); "
-    "Spark's reader truncates to microseconds (timestamp_ntz), so the oracle orders by "
-    "epoch_ns // 1000 — the SAME micro-precision key — otherwise rows equal at micros "
-    "but distinct at nanos sort differently and the prefix sums genuinely diverge "
-    "(the r2 sf0.1 failure). Output is exact BIGINT cents (scale-2 sum x100 is "
+    "total order (shipdate, orderkey, linenumber, extendedprice). Testdata carries "
+    "TIMESTAMP(NANOS); Spark's reader truncates to microseconds (timestamp_ntz), so "
+    "the oracle orders by epoch_ns // 1000 — the SAME micro-precision key — otherwise "
+    "rows equal at micros but distinct at nanos sort differently and the prefix sums "
+    "genuinely diverge (the r2 sf0.1 failure). The SUMMED VALUE is the final sort key "
+    "because (orderkey, linenumber) is NOT unique in the testdata: sf0.1 carries one "
+    "group (sf1-scaled data ten) of rows identical in (suppkey, orderkey, linenumber, "
+    "shipdate) with DIFFERENT prices, and without the value in the key the "
+    "intermediate prefix sums are engine-nondeterministic — the r4 sf1 sweep caught "
+    "this exactly as r3's VERDICT predicted ('invisible at sf0.1, real at sf1'). "
+    "With the value as tiebreak, fully identical rows are interchangeable and every "
+    "prefix is well-defined. Output is exact BIGINT cents (scale-2 sum x100 is "
     "integral; int64 on both engines)",
 )
 def running_total_supplier(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w)
