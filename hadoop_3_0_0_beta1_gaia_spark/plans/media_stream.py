@@ -25,6 +25,7 @@ from ..functions.multimodal import (
 from ..session import instant_ts
 from ..session import table as T
 from ..streaming.events import (
+    _EVENTS_RAW,
     attribution_join,
     dedup_exactly_once,
     read_events_stream,
@@ -215,6 +216,78 @@ def stream_interval_join(spark, sf_dir):
     purchases = stream.filter(F.col("event_type") == "purchase")
     joined = attribution_join(clicks, purchases, window="30 minutes")
     return run_to_memory(joined, "stream_interval_join_sink", spark)
+
+
+_HOUR_US = 3_600_000_000
+_LATE_CUT_A_US = 5 * 86_400_000_000  # on-time horizon: last 5 days
+_LATE_CUT_B_US = 15 * 86_400_000_000  # straggler wave 1: 5-15 days old
+
+
+@register(
+    "stream_late_data_drop",
+    oracle=f"""
+        WITH m AS (SELECT max(epoch_ns(ts) // 1000) AS tmax FROM events),
+        c AS (SELECT ((tmax - {_LATE_CUT_B_US}) // {_HOUR_US}) * {_HOUR_US}
+                  AS cutb FROM m)
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events, c
+        WHERE epoch_ns(ts) // 1000 >= cutb
+        GROUP BY 1, 2
+    """,
+    ref="watermark LATE-DATA DROP — the streaming semantic no other entry "
+    "pins, replayed as THREE ordered files (maxFilesPerTrigger=1 + mtime "
+    "order): on-time rows (last 5 days), straggler wave 1 (5-15 days old), "
+    "straggler wave 2 (older still). Spark's streaming aggregation filters "
+    "late input against the PREVIOUS micro-batch's watermark (one-batch "
+    "propagation delay — pinned empirically on 4.1.2: "
+    "numRowsDroppedByWatermark is 0 for the first late batch, positive for "
+    "the second): wave 1 lands while the late-filter watermark is still "
+    "epoch 0, is admitted and immediately finalized; wave 2 faces the "
+    "watermark set 1 hour behind the on-time maximum and is DROPPED "
+    "entirely. The update-mode drain therefore equals the windowed counts "
+    "over on-time + wave-1 rows only — exactly the oracle, with every "
+    "split boundary HOUR-ALIGNED (no window straddles a file boundary, so "
+    "no window is ever update-emitted twice) and compared at exact integer "
+    "micros on both engines. At 100 TB this is the mechanism that bounds "
+    "streaming state: state tracks the watermark horizon, not history",
+)
+def stream_late_data_drop(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..session import stage_dir
+
+    stage = stage_dir("/tmp/gaia_spark_stream", sf_dir, "events_late3")
+    paths = [os.path.join(stage, n) for n in
+             ("a_ontime.parquet", "b_wave1.parquet", "c_wave2.parquet")]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        # split at MICRO precision — the same truncation Spark's parquet
+        # reader applies, so file membership matches the oracle's micro rule
+        ts_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        tmax = pc.max(ts_us).as_py()
+        cuta = ((tmax - _LATE_CUT_A_US) // _HOUR_US) * _HOUR_US
+        cutb = ((tmax - _LATE_CUT_B_US) // _HOUR_US) * _HOUR_US
+        masks = [
+            pc.greater_equal(ts_us, cuta),
+            pc.and_(pc.greater_equal(ts_us, cutb), pc.less(ts_us, cuta)),
+            pc.less(ts_us, cutb),
+        ]
+        for i, (p, m) in enumerate(zip(paths, masks)):
+            pq.write_table(t.filter(m), p)
+            os.utime(p, ((i + 1) * 1_000_000_000,) * 2)  # a < b < c: replay order
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    counted = windowed_counts(instant_ts(stream, "ts"), window="1 hour", watermark="1 hour")
+    return run_to_memory(
+        counted, "stream_late_drop_sink", spark, output_mode="update"
+    )
 
 
 @register(

@@ -710,6 +710,55 @@ def bpe_train_merges(spark, sf_dir):
     return bpe_merge_table(v, _BPE_ROUNDS)
 
 
+@register(
+    "bpe_apply_encode",
+    oracle=f"""
+        WITH v0 AS (
+            SELECT word, count(*) AS cnt,
+                   trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep0
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            GROUP BY word
+        ),
+        {", ".join(_duck_round(n) for n in range(1, _BPE_ROUNDS + 1))}
+        SELECT word, cnt,
+               CAST(len(string_split(rep{_BPE_ROUNDS}, ' ')) AS BIGINT) AS n_tokens
+        FROM v{_BPE_ROUNDS}
+    """,
+    ref="the ENCODE half of the tokenizer story (bpe_train_merges is the "
+    "train half): apply the trained merge table to the vocabulary, in merge "
+    "order, and emit each word's token count under the learned vocab. This "
+    "is how a tokenizer is USED on a 100 TB corpus: the merge table is a "
+    "tiny broadcast artifact, merges apply over the |V|-row VOCABULARY "
+    "(never the token stream) as the same greedy left fold as training, and "
+    "per-document token counts then follow from a words->docs join. The "
+    "oracle replays the identical fold chain in SQL, so train and encode "
+    "cannot drift",
+)
+def bpe_apply_encode(spark, sf_dir):
+    wc = word_counts(T(spark, sf_dir, "documents"))
+    v = wc.select(
+        "word",
+        "cnt",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
+    )
+    merges = bpe_merge_table(v, _BPE_ROUNDS)
+    enc = v
+    for n in range(1, _BPE_ROUNDS + 1):
+        pair_n = merges.filter(F.col("round") == n).select(
+            F.col("left_sym").alias("l"), F.col("right_sym").alias("r")
+        )
+        enc = enc.crossJoin(F.broadcast(pair_n)).select(
+            "word",
+            "cnt",
+            _spark_fold(F.col("rep"), F.col("l"), F.col("r")).alias("rep"),
+        )
+    return enc.select(
+        "word",
+        "cnt",
+        F.size(F.split("rep", " ")).cast("long").alias("n_tokens"),
+    )
+
+
 def bpe_merge_table(v, rounds, checkpoint_every=8):
     """Train ``rounds`` BPE merges over a (word, cnt, rep) vocabulary frame.
 

@@ -260,3 +260,44 @@ def test_checkpoint_restart_resumes_incrementally(spark, tmp_path):
     )
     # no reprocessing of a.parquet, both new rows present, all exactly once
     assert rows == [(1, 2), (2, 4), (3, 6), (10, 20), (11, 22)]
+
+
+def test_late_data_drop_semantics(spark, sf_dir):
+    """Pins Spark 4.1's actual late-data contract, which the
+    stream_late_data_drop oracle encodes: the late filter uses the PREVIOUS
+    micro-batch's watermark (one-batch propagation delay), so the first
+    straggler wave is ADMITTED (its windows appear) while the second wave —
+    arriving after the watermark has propagated — is DROPPED (its windows
+    are absent and never update-emitted twice)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.media_stream import (
+        _HOUR_US,
+        _LATE_CUT_A_US,
+        _LATE_CUT_B_US,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+
+    import duckdb
+
+    con = duckdb.connect()
+    tmax, tmin = con.execute(
+        f"SELECT max(epoch_ns(ts) // 1000), min(epoch_ns(ts) // 1000) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    con.close()
+    cuta = ((tmax - _LATE_CUT_A_US) // _HOUR_US) * _HOUR_US
+    cutb = ((tmax - _LATE_CUT_B_US) // _HOUR_US) * _HOUR_US
+    assert tmin < cutb  # wave 2 is nonempty: the drop is actually exercised
+
+    rows = queries()["stream_late_data_drop"](spark, sf_dir).collect()
+    import datetime as dt
+
+    def win_us(r):
+        t = dt.datetime.strptime(r["window_start"], "%Y-%m-%d %H:%M")
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+    assert all(win_us(r) >= cutb for r in rows)  # wave 2 fully dropped
+    assert any(win_us(r) < cuta for r in rows)  # wave 1 admitted (delay)
+    assert any(win_us(r) >= cuta for r in rows)  # on-time present
+    # hour-aligned splits: no window was update-emitted twice
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))
