@@ -136,7 +136,7 @@ _WINDOW: list[str] = [
     "mix_domain_weights",
     "domain_quota_filter",
     "bm25_search_topk",
-    "sample_docs_per_lang",
+    "stream_late_data_drop",
     # sketches / indexes
     "hll_rollup_grains",
     "bloom_filter_probe",
