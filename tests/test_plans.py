@@ -592,3 +592,42 @@ def test_asof_nearest_single_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "asof_nearest_purchase")
     ids = set(re.findall(r"\((\d+)\) Exchange", p))
     assert len(ids) == 1, f"expected one Exchange node, got {ids}"
+
+
+def test_simhash_hamming_streams_through_band_join(spark, sf_dir):
+    """Pins the r4 sf1 OOM fix structurally: candidate generation must be a
+    streaming equi-join on the banded key — NO collect_set mega-bucket
+    aggregation whose in-row pair expansion materializes k² arrays per row
+    (that shape OOMed the executor heap at 50k docs)."""
+    p = _plan(spark, sf_dir, "dedup_simhash_hamming")
+    assert "collect_set" not in p, "banded candidates regressed to bucket arrays"
+    assert "Join" in p  # the band equi-join is the candidate generator
+
+
+def test_asof_tolerance_single_exchange(spark, sf_dir):
+    """The tolerance as-of keeps the single-shuffle tagged-union shape: one
+    Exchange for the per-key window sort (plus nothing per tolerance — the
+    staleness test is a per-row subtraction, not a second join)."""
+    import re
+
+    p = _plan(spark, sf_dir, "asof_tolerance_purchase")
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1, p[:1500]
+    assert "Join" not in p
+
+
+def test_capped_lsh_filters_buckets_before_expansion(spark, sf_dir):
+    """The 100 TB LSH configuration must apply the bucket-size cap BEFORE
+    pair expansion (dropping a mega-bucket after expanding it would defeat
+    the point). In formatted explain, node ids are leaf-first — lower id
+    executes earlier — so the cap filter's id must be below the
+    pair-expansion Generate's, with the observation counter in between."""
+    import re
+
+    p = _plan(spark, sf_dir, "dedup_minhash_lsh_capped")
+    cap = re.search(
+        r"\((\d+)\) Filter\nInput[^\n]*\nCondition : \(size\(ids#\d+, false\) <= 2\)", p
+    )
+    gen = re.search(r"\((\d+)\) Generate\nInput[^\n]*\nArguments: explode\(flatten", p)
+    assert cap and gen, p[:2000]
+    assert int(cap.group(1)) < int(gen.group(1)), "cap applied after expansion"
+    assert "lsh_dropped_buckets" in p  # the drop counter rides the frame
