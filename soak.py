@@ -133,6 +133,24 @@ def main() -> None:
     }
     spark.catalog.clearCache()
 
+    # SimHash Hamming pair search: the r4 band-join shape (the collect_set
+    # form OOMed at 10x — this stage keeps the streaming join honest at the
+    # output-bound word-soup scale, ~1.5M verified pairs at sf0.1).
+    t0 = time.perf_counter()
+    sh = _qs()["dedup_simhash_hamming"](spark, SF_DIR).count()
+    results["simhash"] = {"pairs": sh, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
+
+    # JPEG codec kernel: encode+decode a 16x16 image per document through
+    # the pure-Python T.81 path (numpy DCT) inside mapInPandas.
+    t0 = time.perf_counter()
+    jp = _qs()["jpeg_decode_blocks"](spark, SF_DIR)
+    jok = jp.filter("roundtrip_ok").count()
+    jn = jp.count()
+    assert jok == jn, (jok, jn)
+    results["jpeg"] = {"docs": jn, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
+
     # MRBench analog: latency of repeated tiny map+reduce jobs.
     reps = 10
     t0 = time.perf_counter()
