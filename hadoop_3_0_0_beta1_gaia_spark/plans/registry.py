@@ -168,6 +168,7 @@ def all_entries() -> dict[str, InventoryEntry]:
         relational,
         subquery,
         textops,
+        tpch_rest,
         tpch_shapes,
     )
 
