@@ -8,13 +8,16 @@ Arrow-batched Pandas UDFs over ``mapInPandas``.
 Decode paths:
 
 - ``decode=real`` — REAL decoders for PNG images (zlib inflate + scanline
-  unfilter; 8-bit gray/RGB/RGBA/palette) and PCM WAV audio (stdlib ``wave``;
-  8/16-bit), standard library alone. Features are actual signal statistics
-  (image: dimensions/channel means/luminance histogram; audio: duration/
-  RMS/zero-crossing rate/amplitude histogram) and resize is a genuine
-  nearest-neighbor resample re-encoded as PNG. Other formats raise
-  NotImplementedError at the exact point a jpeg/mp3/ffmpeg codec would
-  plug in (those codecs are not in this container).
+  unfilter; 8/16-bit gray/RGB/RGBA/palette), baseline JPEG (functions.jpeg,
+  ITU-T T.81), PCM WAV audio (stdlib ``wave``; 8/16-bit), and MJPEG-in-AVI
+  video (functions.video: RIFF container walk + per-frame JPEG decode),
+  standard library alone. Features are actual signal statistics (image:
+  dimensions/channel means/luminance histogram; audio: duration/RMS/
+  zero-crossing rate/amplitude histogram; video: frame count/fps/per-frame
+  luminance trajectory) and resize is a genuine nearest-neighbor resample
+  re-encoded as PNG. Remaining formats (mp3, interframe video codecs)
+  raise NotImplementedError at the exact plug point — entropy/motion
+  machinery outside pure-stdlib scope, the documented boundary.
 - ``decode=fake`` — deterministic md5-seeded features with a DuckDB codegen
   twin; this remains the ORACLE-CHECKED path (the registry entry), since the
   driver testdata has no real media bytes.
@@ -263,10 +266,15 @@ def image_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
 def _real_features(data: bytes, dim: int) -> list[float]:
     """Dispatch real decode by container magic: PNG/JPEG → image statistics,
-    RIFF/WAVE → audio statistics; anything else raises at the plug point
-    where an mp3/ffmpeg codec would go."""
+    RIFF/WAVE → audio statistics, RIFF/AVI (MJPEG) → video statistics over
+    every decoded frame; anything else raises at the plug point where an
+    mp3/interframe-video codec would go."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _real_audio_features(data, dim)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .video import video_features
+
+        return video_features(data, dim)
     return _real_image_features(data, dim)
 
 

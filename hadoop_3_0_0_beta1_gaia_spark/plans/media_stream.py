@@ -464,6 +464,46 @@ def jpeg_decode_blocks(spark, sf_dir):
 
 
 @register(
+    "video_frames_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, unnest([0, 2]) AS i FROM documents
+        ),
+        lv AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':vf'),
+                                   CAST(2 * i + 1 AS INT), 2))::BIGINT AS lvl
+            FROM f
+        )
+        SELECT doc_id, frame_idx,
+               CAST(256 * lvl AS BIGINT) AS px_sum,
+               lvl AS px_min, lvl AS px_max,
+               CAST(4 AS BIGINT) AS n_frames,
+               CAST(10 AS BIGINT) AS fps,
+               TRUE AS roundtrip_ok
+        FROM lv
+    """,
+    ref="the registered proof that the VIDEO path (functions/video.py — "
+    "MJPEG-in-AVI: RIFF container walk + per-frame baseline JPEG via the "
+    "repo's ITU-T T.81 codec) is real code, not a stub: four md5-derived "
+    "flat 16x16 grayscale frames encode at quality=100 (flat frames are "
+    "DC-only, so the lossy codec is bit-exact on this family), wrap in a "
+    "real AVI container, then the kernel parses the container back, samples "
+    "every 2nd frame, and entropy-decodes ONLY the sampled frames — frame "
+    "sampling exactly as a production pipeline runs it. The oracle "
+    "reproduces the per-frame levels hex-pair by hex-pair; interframe "
+    "codecs (H.264 etc.) remain the documented NotImplementedError "
+    "boundary. Completes the codec-proof family: PNG "
+    "(image_decode_roundtrip), JPEG (jpeg_decode_blocks), WAV "
+    "(wav_decode_roundtrip), video (here)",
+)
+def video_frames_sample(spark, sf_dir):
+    from ..functions.video import mjpeg_frame_sample_stats
+
+    return mjpeg_frame_sample_stats(T(spark, sf_dir, "documents"), every_n=2)
+
+
+@register(
     "session_path_topk",
     oracle="""
         WITH e AS (

@@ -1136,6 +1136,83 @@ def test_multimodal_real_wav_decode_end_to_end(spark):
     assert abs(f_sil[5] - 1.0) < 1e-9                # all samples in bin 0
 
 
+def test_avi_mjpeg_video_codec():
+    """Pure-stdlib MJPEG-in-AVI video codec (functions/video.py): the RIFF
+    container round-trips geometry/fps/frame-count exactly; flat frames at
+    quality=100 survive container + JPEG BIT-EXACTLY (the property the
+    video_frames_sample oracle relies on); gradient frames round-trip within
+    the JPEG error bound; non-MJPG handlers and non-AVI RIFF are rejected at
+    the documented boundary, not mis-decoded."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.video import (
+        avi_decode_mjpeg,
+        avi_encode_mjpeg,
+        video_features,
+    )
+
+    # flat frames: container + codec bit-exact at q100
+    levels = [17, 250, 0, 133]
+    frames = [jpeg_encode(16, 16, 1, bytes([lv]) * 256, quality=100) for lv in levels]
+    avi = avi_encode_mjpeg(16, 16, frames, fps=25)
+    w, h, fps, payloads = avi_decode_mjpeg(avi)
+    assert (w, h, fps, len(payloads)) == (16, 16, 25, 4)
+    for lv, p in zip(levels, payloads):
+        assert jpeg_decode(p) == (16, 16, 1, bytes([lv]) * 256)
+
+    # gradient frames survive the container unchanged (payload passthrough)
+    grad = bytes([(x * 7 + y * 3) % 256 for y in range(16) for x in range(16)])
+    gavi = avi_encode_mjpeg(16, 16, [jpeg_encode(16, 16, 1, grad, quality=92)])
+    _, _, _, (gp,) = avi_decode_mjpeg(gavi)
+    _, _, _, back = jpeg_decode(gp)
+    assert max(abs(a - b) for a, b in zip(grad, back)) <= 4
+
+    # video features are a genuine function of every frame's pixels
+    feats = video_features(avi, 16)
+    assert abs(feats[0] - 4 / 1000) < 1e-9          # n_frames
+    assert abs(feats[1] - 25 / 60) < 1e-9           # fps
+    assert abs(feats[5] - levels[0] / 255) < 1e-9   # first-frame luminance
+    assert abs(feats[7] - levels[-1] / 255) < 1e-9  # last-frame luminance
+
+    # a non-MJPG vids handler is a boundary, not a mis-decode
+    bad = bytearray(avi)
+    pos = bad.find(b"vidsMJPG")
+    bad[pos + 4 : pos + 8] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        avi_decode_mjpeg(bytes(bad))
+
+    # RIFF-but-not-AVI (e.g. WAV) routes to the plug point
+    with _pytest.raises(NotImplementedError):
+        avi_decode_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_multimodal_real_video_features(spark):
+    """decode=real dispatches RIFF/AVI bytes to the MJPEG video decoder
+    through the same mapInPandas kernel as image/audio."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.jpeg import jpeg_encode
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.video import avi_encode_mjpeg
+
+    frames = [jpeg_encode(8, 8, 1, bytes([lv]) * 64, quality=100) for lv in (0, 255)]
+    avi = avi_encode_mjpeg(8, 8, frames, fps=5)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "avi", 8, 8, 400)], MEDIA_SCHEMA
+    )
+    (row,) = decode_features(df, decode="real").collect()
+    f = row["features"]
+    assert abs(f[0] - 2 / 1000) < 1e-6   # two frames
+    assert abs(f[1] - 5 / 60) < 1e-6     # fps
+    assert abs(f[5] - 0.0) < 1e-6        # first frame black
+    assert abs(f[7] - 1.0) < 1e-6        # last frame white
+
+
 def test_simhash_hamming_pairs_equals_bruteforce(spark, sf_dir):
     """Pigeonhole completeness: the banded bucket search must find EXACTLY
     the pairs a brute-force scan of the fingerprints finds within the radius
