@@ -934,3 +934,117 @@ def url_normalize_dedup(spark, sf_dir):
             F.countDistinct("url").alias("n_distinct_raw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance resampling (data selection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+        ),
+        ex AS (
+            SELECT doc_id,
+                   (lang = 'en' AND source IN ('src0', 'src1', 'src2'))
+                       AS is_tgt,
+                   {{MD5B}} % 512 AS b
+            FROM (SELECT doc_id, lang, source, unnest(toks) AS tok FROM d)
+        ),
+        cnt AS (
+            SELECT b, count(*) AS cs,
+                   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct
+            FROM ex GROUP BY b
+        ),
+        tot AS (
+            SELECT count(*) AS ns,
+                   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS nt
+            FROM ex
+        ),
+        lr AS (
+            SELECT b, ln((ct + 1) * 1.0 / (nt + 512))
+                    - ln((cs + 1) * 1.0 / (ns + 512)) AS lr
+            FROM cnt, tot
+        ),
+        per_doc AS (
+            SELECT ex.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   list_reduce(list(lr ORDER BY lr), (a, x) -> a + x) AS w
+            FROM ex JOIN lr USING (b)
+            GROUP BY ex.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, n_toks,
+                   {duck_fround('w / n_toks', 4)} AS avg_weight
+            FROM per_doc
+        )
+        SELECT doc_id, n_toks, avg_weight,
+               CAST(row_number() OVER (ORDER BY avg_weight DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM ranked
+        ORDER BY avg_weight DESC, doc_id
+        LIMIT 100
+    """.replace("{MD5B}", "(('0x' || substr(md5(tok), 1, 15))::BIGINT)"),
+    ref="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling' — public paper): hashed "
+    "n-gram features (here unigrams into 512 md5 buckets), add-1-smoothed "
+    "bucket multinomials for a curated TARGET slice (en docs from "
+    "src0-src2) vs the RAW corpus, per-token importance log-ratio "
+    "ln p_T(b) - ln p_S(b), per-doc average weight, top-100 selection. "
+    "Plan shape for 100 TB: bucket counts are two CASE sums in ONE bounded "
+    "512-row groupBy; totals are a 1-row agg; the 512-row log-ratio table "
+    "broadcasts back onto the exploded tokens (no big-side shuffle beyond "
+    "the per-doc fold); top-k is TakeOrdered, then row_number on the "
+    "100-row result only. Portability per NOTES.md: ln on ratios of exact "
+    "integers, per-doc sum as the VALUE-SORTED left fold (identical IEEE "
+    "order on both engines), fround'd average, (weight, doc_id) total "
+    "order. DSIR's Gumbel-noise resampling step is replaced by the "
+    "deterministic top-k (seeded-hash noise would be the "
+    "corpus_temperature_sample pattern)",
+)
+def dsir_importance_select(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..functions.dedup import md5_long
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+    )
+    is_tgt = (F.col("lang") == "en") & F.col("source").isin("src0", "src1", "src2")
+    ex = d.select(
+        "doc_id", is_tgt.alias("is_tgt"), F.explode("toks").alias("tok")
+    ).select("doc_id", "is_tgt", (md5_long(F.col("tok")) % 512).alias("b"))
+    cnt = ex.groupBy("b").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = ex.agg(
+        F.count("*").alias("ns"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("nt"),
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) * 1.0 / (F.col("nt") + 512))
+            - F.log((F.col("cs") + 1) * 1.0 / (F.col("ns") + 512))
+        ).alias("lr"),
+    )
+    per_doc = (
+        ex.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.aggregate(
+                F.sort_array(F.collect_list("lr")), F.lit(0.0), lambda a, x: a + x
+            ).alias("w"),
+        )
+    )
+    ranked = per_doc.select(
+        "doc_id", "n_toks", fround(F.col("w") / F.col("n_toks"), 4).alias("avg_weight")
+    )
+    top = ranked.orderBy(F.col("avg_weight").desc(), "doc_id").limit(100)
+    wnd = Window.orderBy(F.col("avg_weight").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(wnd).cast("long"))
