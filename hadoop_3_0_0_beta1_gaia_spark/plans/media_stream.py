@@ -218,6 +218,54 @@ def stream_interval_join(spark, sf_dir):
     return run_to_memory(joined, "stream_interval_join_sink", spark)
 
 
+@register(
+    "stream_static_enrich",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+                   AS window_start,
+               c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events JOIN customer ON c_custkey = user_id
+        GROUP BY 1, 2
+    """,
+    ref="stream-STATIC enrichment join — the most common production "
+    "streaming pattern (each micro-batch joins against a slowly-changing "
+    "dimension snapshot, no join state kept): the events stream joins the "
+    "static customer table on user_id (the static side broadcasts — at "
+    "cluster scale the dimension is re-broadcast per batch, never "
+    "shuffle-materialized into state like a stream-stream join), then a "
+    "watermarked tumbling window rolls revenue up per market segment. "
+    "Window labels rebuild through TIMESTAMP_NTZ epoch arithmetic so the "
+    "drained result is session-timezone-independent; availableNow drain "
+    "must equal the batch join+rollup (SURVEY §2.11 engine extension)",
+)
+def stream_static_enrich(spark, sf_dir):
+    from ..session import table as _table
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ntz_start = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' "
+        "+ make_dt_interval(0, 0, 0, unix_timestamp(w.start))"
+    )
+    enriched = (
+        stream.join(cust, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.expr(ntz_start), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(enriched, "stream_static_enrich_sink", spark)
+
+
 _HOUR_US = 3_600_000_000
 _LATE_CUT_A_US = 5 * 86_400_000_000  # on-time horizon: last 5 days
 _LATE_CUT_B_US = 15 * 86_400_000_000  # straggler wave 1: 5-15 days old
