@@ -92,13 +92,22 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # in-window (flagship agg, N-way join, LSH dedup, text, global sort); every
 # rotated-out entry remains covered by the repo oracle gate and its r1-r3
 # driver greens.
+# Rotation #6 (round 4, session 2): two of the four thrice-green anchors
+# rotate out for this session's flagship first-contact entries, each family
+# keeping an in-window representative (dedup_minhash_lsh -> the capped twin
+# dedup_minhash_lsh_capped exercises the same shingle/signature/banding
+# pipeline; word_count -> doc_repetition/doc_chunk_tokens/corpus_filter_
+# pipeline/bm25 cover text). IN: video_frames_sample (completes the codec
+# family's first contact: PNG + JPEG in-window, video new) and
+# dsir_importance_select (the data-selection headliner). Both pre-validated
+# under the exact driver protocol (tools/driver_check.py), as were all 46
+# existing first-contact slots. Window = 48 first-contact + 2 anchors.
 _WINDOW: list[str] = [
-    # anchors (driver-green r1+r2+r3; global_sort_rank rotated out for the
-    # new jpeg entry — §2.7 keeps its three prior driver greens + repo gate)
+    # anchors (driver-green r1+r2+r3)
     "q1_pricing_summary",
     "join_inner_nway",
-    "dedup_minhash_lsh",
-    "word_count",
+    "video_frames_sample",
+    "dsir_importance_select",
     # streaming + multimodal (the only family with pending first contact)
     "stream_interval_join",
     "stream_sliding_topk",
