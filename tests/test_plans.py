@@ -631,3 +631,56 @@ def test_capped_lsh_filters_buckets_before_expansion(spark, sf_dir):
     assert cap and gen, p[:2000]
     assert int(cap.group(1)) < int(gen.group(1)), "cap applied after expansion"
     assert "lsh_dropped_buckets" in p  # the drop counter rides the frame
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape (forecast_revenue_change) is the I/O floor: the shipdate
+    range and quantity predicates must reach the parquet scan, and the scan
+    must not read columns the sum doesn't need."""
+    p = _plan(spark, sf_dir, "forecast_revenue_change")
+    pushed = p.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    read_schema = p.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q17_single_fact_scan(spark, sf_dir):
+    """Q17 shape (small_qty_order_revenue): the correlated per-part average
+    is ONE window over l_partkey — the lineitem parquet must be scanned
+    exactly once (the textbook join-back form scans it twice, which doubles
+    fact I/O at 100 TB)."""
+    p = _plan(spark, sf_dir, "small_qty_order_revenue")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_q20_single_fact_scan_and_window(spark, sf_dir):
+    """Q20 shape (promotion_part_suppliers): per-(part,supplier) aggregate
+    once, per-part total via window — one lineitem scan, never a grouped
+    self-join that scans the fact twice."""
+    p = _plan(spark, sf_dir, "promotion_part_suppliers")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_q15_revenue_computed_once(spark, sf_dir):
+    """Q15 shape (top_revenue_supplier): the max scalar must come from the
+    SAME grouped frame (1-row broadcast back), not a second scan+aggregate
+    of lineitem."""
+    p = _plan(spark, sf_dir, "top_revenue_supplier")
+    # the 1-row max comes back via broadcast: either a BNLJ cross join, or —
+    # better — Catalyst rewrites filter(total == max) into an equi-key
+    # BroadcastHashJoin with Cross type
+    assert "BroadcastNestedLoopJoin" in p or "Join type: Cross" in p
+    # both lineitem branches exist pre-AQE reuse, but the scan carries the
+    # pushed shipdate window either way
+    pushed = p.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed
+
+
+def test_q11_scalar_is_broadcast_not_rescan(spark, sf_dir):
+    """Q11 shape (important_nation_value): the global total joins back as a
+    1-row broadcast; the grouped per-nation frame must not be recomputed
+    from a second supplier-join of the fact."""
+    p = _plan(spark, sf_dir, "important_nation_value")
+    assert "BroadcastNestedLoopJoin" in p
