@@ -195,3 +195,37 @@ def test_wav_roundtrip_random_audio(samples, ch, fr):
         wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     got_ch, got_fr, sw, got = wav_decode(buf.getvalue())
     assert (got_ch, got_fr, sw, got) == (ch, fr, 2, samples)
+
+
+@given(
+    st.integers(1, 8),            # frame count
+    st.sampled_from([8, 16, 24]),  # square frame edge (8x8 JPEG blocks)
+    st.sampled_from([5, 10, 25, 30]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_mjpeg_roundtrip_random(n_frames, edge, fps, rng):
+    """avi_encode_mjpeg → avi_decode_mjpeg preserves geometry, fps, frame
+    count, and every JPEG payload byte-for-byte (container passthrough),
+    and flat random-level frames survive the full container+codec path
+    bit-exactly at quality 100."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.video import (
+        avi_decode_mjpeg,
+        avi_encode_mjpeg,
+    )
+
+    levels = [rng.randrange(256) for _ in range(n_frames)]
+    frames = [
+        jpeg_encode(edge, edge, 1, bytes([lv]) * (edge * edge), quality=100)
+        for lv in levels
+    ]
+    avi = avi_encode_mjpeg(edge, edge, frames, fps=fps)
+    w, h, got_fps, payloads = avi_decode_mjpeg(avi)
+    assert (w, h, got_fps, len(payloads)) == (edge, edge, fps, n_frames)
+    assert payloads == frames  # byte-exact container passthrough
+    for lv, p in zip(levels, payloads):
+        assert jpeg_decode(p) == (edge, edge, 1, bytes([lv]) * (edge * edge))
