@@ -9,7 +9,9 @@ Decode paths:
 
 - ``decode=real`` — REAL decoders for PNG images (zlib inflate + scanline
   unfilter; 8/16-bit gray/RGB/RGBA/palette), baseline JPEG (functions.jpeg,
-  ITU-T T.81), PCM WAV audio (stdlib ``wave``; 8/16-bit), and MJPEG-in-AVI
+  ITU-T T.81), WAV audio (stdlib ``wave`` for 8/16-bit PCM, plus G.711
+  µ-law/A-law telephony expansion — ITU formulas verified byte-for-byte
+  against the audioop reference), and MJPEG-in-AVI
   video (functions.video: RIFF container walk + per-frame JPEG decode),
   standard library alone. Features are actual signal statistics (image:
   dimensions/channel means/luminance histogram; audio: duration/RMS/
@@ -198,20 +200,74 @@ def png_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+def _ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 µ-law byte → linear sample on the 16-bit scale (the
+    biased-exponent expansion's constants already carry the 2-bit upscale;
+    matches the classic audioop convention byte for byte)."""
+    u = ~u & 0xFF
+    exponent = (u >> 4) & 7
+    mantissa = u & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -sample if u & 0x80 else sample
+
+
+def _alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law byte → linear sample on the 16-bit scale (the
+    expansion constants carry the 3-bit upscale; A-law transmits the sign
+    INVERTED relative to µ-law — bit 7 set means positive; matches the
+    classic audioop convention byte for byte)."""
+    a ^= 0x55
+    exponent = (a >> 4) & 7
+    mantissa = a & 0x0F
+    if exponent == 0:
+        sample = (mantissa << 4) + 8
+    else:
+        sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+    return sample if a & 0x80 else -sample
+
+
 def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
-    """Decode PCM WAV bytes to ``(channels, framerate, sampwidth,
-    interleaved samples)`` — standard-library only (the ``wave`` module).
-    16-bit (signed LE) and 8-bit (unsigned, re-centered) PCM supported."""
+    """Decode WAV bytes to ``(channels, framerate, sampwidth, interleaved
+    samples)`` — standard-library only. Formats: PCM 16-bit (signed LE),
+    PCM 8-bit (unsigned, re-centered), and G.711 µ-law / A-law telephony
+    encodings (format codes 7/6, decoded with the ITU expansion formulas to
+    the 16-bit scale, reported as sampwidth 2). The stdlib ``wave`` module
+    handles the PCM path; compressed-format WAVs bypass it via a manual
+    RIFF fmt/data chunk walk (``wave`` rejects non-PCM outright)."""
     import io
+    import struct as _struct
     import sys
     import wave
     from array import array
 
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
         raise NotImplementedError(
-            "real audio decode implemented for PCM WAV only; plug an "
-            "mp3/ffmpeg codec here — the batching/schema contract is final"
+            "real audio decode implemented for PCM and G.711 WAV only; plug "
+            "an mp3/ffmpeg codec here — the batching/schema contract is final"
         )
+    # fmt probe: G.711 needs the manual path (wave raises on non-PCM)
+    fmt_code = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt_code = _struct.unpack("<H", data[pos + 8 : pos + 10])[0]
+            break
+        pos += 8 + ln + (ln % 2)
+    if fmt_code in (6, 7):  # A-law / µ-law
+        table = _alaw_to_linear if fmt_code == 6 else _ulaw_to_linear
+        ch, fr = _struct.unpack("<HI", data[pos + 10 : pos + 16])
+        payload = b""
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"data":
+                payload = data[pos + 8 : pos + 8 + ln]
+                break
+            pos += 8 + ln + (ln % 2)
+        return ch, fr, 2, [table(b) for b in payload]
     with wave.open(io.BytesIO(data), "rb") as w:
         ch, sw, fr = w.getnchannels(), w.getsampwidth(), w.getframerate()
         frames = w.readframes(w.getnframes())

@@ -1509,3 +1509,43 @@ class TestNewInventorySemantics:
             assert r.bucket == 0
             assert r.est_micro == 7250000
             assert r.err_bound_micro == 0
+
+
+def test_wav_g711_decode_matches_reference():
+    """G.711 µ-law/A-law WAV decode: the pure-Python ITU expansion formulas
+    must agree with the platform reference (audioop, the battle-tested C
+    implementation) on ALL 256 code bytes, and a hand-built format-7 WAV
+    routes through the manual RIFF walk (the stdlib wave module rejects
+    non-PCM outright)."""
+    import struct
+    import warnings
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+        wav_decode,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop  # stdlib in 3.11 (removed in 3.13 — hence our own tables)
+
+    for code in range(256):
+        (ref_u,) = struct.unpack("<h", audioop.ulaw2lin(bytes([code]), 2))
+        (ref_a,) = struct.unpack("<h", audioop.alaw2lin(bytes([code]), 2))
+        assert _ulaw_to_linear(code) == ref_u, f"ulaw byte {code:#x}"
+        assert _alaw_to_linear(code) == ref_a, f"alaw byte {code:#x}"
+
+    def g711_wav(fmt_code, payload, ch=1, fr=8000):
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, fr, fr * ch, ch, 8)
+        chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    payload = bytes(range(0, 256, 16))
+    ch, fr, sw, samples = wav_decode(g711_wav(7, payload))
+    assert (ch, fr, sw) == (1, 8000, 2)
+    assert samples == [_ulaw_to_linear(b) for b in payload]
+    ch, fr, sw, samples = wav_decode(g711_wav(6, payload, ch=2, fr=16000))
+    assert (ch, fr, sw) == (2, 16000, 2)
+    assert samples == [_alaw_to_linear(b) for b in payload]
