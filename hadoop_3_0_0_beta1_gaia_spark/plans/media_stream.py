@@ -552,6 +552,54 @@ def video_frames_sample(spark, sf_dir):
 
 
 @register(
+    "mp3_probe_headers",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   1 + ('0x' || substr(md5(doc_id::VARCHAR || ':mp3'), 1, 2))
+                           ::BIGINT % 14 AS br_idx,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':mp3'), 3, 2))
+                           ::BIGINT % 3 AS sr_idx,
+                   2 + ('0x' || substr(md5(doc_id::VARCHAR || ':mp3'), 5, 2))
+                           ::BIGINT % 3 AS n
+            FROM documents
+        ),
+        v AS (
+            SELECT doc_id, n,
+                   list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                                 192, 224, 256, 320], CAST(br_idx AS INT))
+                       AS br,
+                   list_extract([44100, 48000, 32000], CAST(1 + sr_idx AS INT))
+                       AS sr
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(sr AS BIGINT) AS sample_rate,
+               CAST(br AS BIGINT) AS bitrate_kbps,
+               CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+               TRUE AS probe_ok
+        FROM v
+    """,
+    ref="MP3 frame-header PROBE (the ffprobe-style audio-corpus triage step): "
+    "per row, an md5-derived MPEG-1 Layer III frame chain is BUILT with real "
+    "sync words and header fields, then mp3_probe walks it back via the "
+    "header's own length formula (144*bitrate/samplerate + padding) and "
+    "reports frame count / sample rate / bitrate / duration from the "
+    "1152-samples-per-frame constant — exact integer arithmetic, hex-pair-"
+    "reproducible oracle. Sample DECODE (Huffman+IMDCT+filterbank) stays the "
+    "documented NotImplementedError boundary (functions/multimodal.py "
+    "mp3_probe); the metadata-triage plumbing a pipeline needs before "
+    "deciding what to decode is real and distributed (mapInPandas, "
+    "embarrassingly parallel)",
+)
+def mp3_probe_headers(spark, sf_dir):
+    from ..functions.multimodal import mp3_probe_stats
+
+    return mp3_probe_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
     "session_path_topk",
     oracle="""
         WITH e AS (

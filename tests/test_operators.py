@@ -1549,3 +1549,50 @@ def test_wav_g711_decode_matches_reference():
     ch, fr, sw, samples = wav_decode(g711_wav(6, payload, ch=2, fr=16000))
     assert (ch, fr, sw) == (2, 16000, 2)
     assert samples == [_alaw_to_linear(b) for b in payload]
+
+
+def test_mp3_probe_headers_walk():
+    """MP3 header probe: walks a multi-frame chain via the header length
+    formula (including VBR bitrate changes and padding bits), reports
+    duration from the 1152-samples/frame constant, stops at a broken sync,
+    and rejects non-MPEG bytes and non-Layer-III headers at the documented
+    boundary."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import mp3_probe
+
+    def frame(br_idx, sr_idx, pad=0):
+        from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+            _MP3_BITRATES,
+            _MP3_RATES,
+        )
+
+        flen = 144 * _MP3_BITRATES[br_idx] * 1000 // _MP3_RATES[sr_idx] + pad
+        return bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0]) + (
+            b"\x00" * (flen - 4)
+        )
+
+    # CBR: 3 frames at 128 kbps / 44100 Hz
+    n, sr, br, dur = mp3_probe(frame(9, 0) * 3)
+    assert (n, sr, br) == (3, 44100, 128)
+    assert dur == 3 * 1152 * 1000 // 44100
+
+    # VBR chain with padding: lengths come from each frame's own header
+    chain = frame(9, 0) + frame(14, 0, pad=1) + frame(1, 2)
+    n, sr, br, dur = mp3_probe(chain)
+    assert (n, br) == (3, 128)  # reported bitrate = first frame's
+
+    # trailing garbage after the chain stops the walk, doesn't crash it
+    n, _, _, _ = mp3_probe(frame(9, 0) * 2 + b"\x12\x34")
+    assert n == 2
+
+    with _pytest.raises(NotImplementedError):
+        mp3_probe(b"ID3\x04garbage")  # not a frame sync
+    bad_layer = bytearray(frame(9, 0))
+    bad_layer[1] = 0xFD  # Layer II
+    with _pytest.raises(NotImplementedError):
+        mp3_probe(bytes(bad_layer))
+    bad_rate = bytearray(frame(9, 0))
+    bad_rate[2] |= 0x0C  # reserved samplerate index 3
+    with _pytest.raises(ValueError):
+        mp3_probe(bytes(bad_rate))
