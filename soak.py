@@ -151,6 +151,16 @@ def main() -> None:
     results["jpeg"] = {"docs": jn, "sec": round(time.perf_counter() - t0, 2)}
     spark.catalog.clearCache()
 
+    # Video stage: per-doc MJPEG-AVI container build + frame-sampled decode
+    # (the full RIFF walk + Huffman/IDCT path under sustained load).
+    t0 = time.perf_counter()
+    vf = _qs()["video_frames_sample"](spark, SF_DIR)
+    vok = vf.filter("roundtrip_ok").count()
+    vn = vf.count()
+    assert vok == vn, (vok, vn)
+    results["video"] = {"frames": vn, "sec": round(time.perf_counter() - t0, 2)}
+    spark.catalog.clearCache()
+
     # MRBench analog: latency of repeated tiny map+reduce jobs.
     reps = 10
     t0 = time.perf_counter()
