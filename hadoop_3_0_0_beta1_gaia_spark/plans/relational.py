@@ -815,6 +815,66 @@ def codec_roundtrip_gzip(spark, sf_dir):
 
 
 @register(
+    "skip_bad_records_audit",
+    oracle="""
+        SELECT lang,
+               CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_good,
+               CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad,
+               CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE n_chars END)
+                    AS BIGINT) AS sum_chars_kept
+        FROM documents
+        GROUP BY lang
+    """,
+    ref="SkipBadRecords (reference: mapred/SkipBadRecords.java + the skip-"
+    "range machinery in mapred/MapRunner.java:60-80, exercised by "
+    "TestBadRecords.java): a job survives unparseable input records by "
+    "skipping and COUNTING them instead of failing. Spark analog: "
+    "PERMISSIVE parse mode with columnNameOfCorruptRecord — every record "
+    "whose typed parse fails surfaces as a row with the raw line captured "
+    "(fields that did parse are retained, so the audit can still group by "
+    "them), and the per-group good/bad counts are the reference's "
+    "skipped-record counters. The staged file deterministically corrupts "
+    "the numeric field of every doc_id % 17 == 3 row, so the oracle "
+    "reproduces the audit from the corruption rule without parsing "
+    "anything. DROPMALFORMED (= the reference's skip-and-continue mode) is "
+    "pinned equal to the good set in tests. CAVEAT (test-pinned): corrupt "
+    "detection happens at PARSE time and CSV column pruning skips "
+    "unreferenced fields — a consumer that prunes away every typed column "
+    "sees zero corrupt rows; this audit always carries the n_chars-"
+    "dependent sum so the full parse runs. At 100 TB this is the "
+    "difference between a 3-day job dying at hour 70 and a complete run "
+    "with a quantified bad-record report",
+)
+def skip_bad_records_audit(spark, sf_dir):
+    stage = stage_dir("/tmp/gaia_spark_badrec", sf_dir, "docs_csv")
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 17 == 3,
+        F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.lit("#corrupt#")),
+    ).otherwise(F.concat_ws(",", "doc_id", "lang", "n_chars"))
+    d.select(line.alias("value")).repartition(4).write.mode("overwrite").text(stage)
+    back = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(stage)
+    )
+    return back.groupBy("lang").agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_good"
+        ),
+        F.sum(F.when(F.col("_bad").isNull(), 0).otherwise(1)).cast("long").alias(
+            "n_bad"
+        ),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
+        ).cast("long").alias("sum_chars_kept"),
+    )
+
+
+@register(
     "partitioned_output_lookup",
     oracle="""
         SELECT event_id, user_id, event_type FROM events

@@ -1596,3 +1596,49 @@ def test_mp3_probe_headers_walk():
     bad_rate[2] |= 0x0C  # reserved samplerate index 3
     with _pytest.raises(ValueError):
         mp3_probe(bytes(bad_rate))
+
+
+def test_skip_bad_records_dropmalformed_equals_good(spark, sf_dir):
+    """The reference's skip-and-continue mode (SkipBadRecords) maps to
+    DROPMALFORMED: reading the deterministically-corrupted staging file with
+    DROPMALFORMED must yield exactly the PERMISSIVE audit's good records —
+    same count, same doc_id set, no corrupt row leaking through."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+    from hadoop_3_0_0_beta1_gaia_spark.session import stage_dir
+
+    # Collect the FULL audit rows: corrupt-record detection happens at parse
+    # time and Spark's CSV column pruning skips unreferenced fields — a
+    # consumer that re-aggregates only n_bad would prune n_chars away, the
+    # malformed field would never be parsed, and every row would read as
+    # good (pinned below; the entry's own output always carries the
+    # n_chars-dependent column, so the driver gate parses fully).
+    rows = queries()["skip_bad_records_audit"](spark, sf_dir).collect()
+    n_good = sum(r["n_good"] for r in rows)
+    n_bad = sum(r["n_bad"] for r in rows)
+    assert n_bad > 0  # the corruption rule fires at every SF
+
+    # the pruning gotcha itself, pinned: aggregating ONLY n_bad re-parses
+    # just (lang, _bad), the corrupt field is never typed, n_bad reads 0
+    audit2 = queries()["skip_bad_records_audit"](spark, sf_dir)
+    pruned_bad = audit2.agg(F.sum("n_bad")).collect()[0][0]
+    assert pruned_bad == 0, "CSV pruning semantics changed — revisit entry docs"
+
+    stage = stage_dir("/tmp/gaia_spark_badrec", sf_dir, "docs_csv")
+    dropped = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .option("mode", "DROPMALFORMED")
+        .csv(stage)
+    )
+    # DROPMALFORMED shares the parse-time semantics: a bare count() parses
+    # no typed column, detects nothing, and returns the raw line count —
+    # pinned first, then the real skip behavior via a full-parse aggregate.
+    assert dropped.count() == n_good + n_bad
+    assert dropped.agg(F.count("n_chars")).collect()[0][0] == n_good
+    assert (
+        dropped.filter(
+            F.col("n_chars").isNotNull() & (F.col("doc_id") % 17 == 3)
+        ).count()
+        == 0
+    )
