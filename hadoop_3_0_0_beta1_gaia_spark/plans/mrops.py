@@ -1591,3 +1591,70 @@ def first_last_order_per_customer(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exhaustive search (dancing-links family analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nqueens_search_count",
+    oracle="""
+        WITH RECURSIVE s AS (
+          SELECT CAST([] AS BIGINT[]) AS q, 0 AS n
+          UNION ALL
+          SELECT array_append(q, c), n + 1
+          FROM s, range(8) t(c)
+          WHERE n < 8
+            AND len(list_filter(q,
+                    (x, i) -> x = c OR abs(x - c) = n - (i - 1))) = 0
+        )
+        SELECT CAST(q[1] AS BIGINT) AS first_col,
+               CAST(count(*) AS BIGINT) AS n_solutions
+        FROM s WHERE n = 8 GROUP BY first_col
+    """,
+    ref="distributed exhaustive search — the dancing-links example family "
+    "(examples/dancing/DistributedPentomino.java:100-135 generates prefix "
+    "placements on the driver at a fixed depth, distributes one prefix per "
+    "map task, and each mapper backtracks its subtree; Sudoku.java is the "
+    "single-node variant). Same pattern as 8-queens frontier expansion, "
+    "fully declarative: each round crossJoins the 8-row candidate frame "
+    "(broadcast — no exchange) and prunes conflicts with an indexed array "
+    "lambda; ONE repartition at depth 3 is the analog of the reference's "
+    "prefix distribution (spreads ~hundreds of prefixes across the "
+    "cluster so every task backtracks a subtree), and the only other "
+    "shuffle is the final count. At n=16 the frontier is millions of rows "
+    "and the same plan parallelizes naturally; the oracle is DuckDB's "
+    "recursive CTE over the identical pruning rule (92 solutions, "
+    "grouped by first-queen column)",
+)
+def nqueens_search_count(spark, sf_dir):
+    frontier = spark.range(1).select(
+        F.array().cast("array<long>").alias("q")
+    )
+    cand = spark.range(8).select(F.col("id").alias("c"))
+    for depth in range(8):
+        frontier = (
+            frontier.crossJoin(F.broadcast(cand))
+            .filter(
+                F.size(
+                    F.filter(
+                        F.col("q"),
+                        lambda x, i: (x == F.col("c"))
+                        | (F.abs(x - F.col("c")) == F.size(F.col("q")) - i),
+                    )
+                )
+                == 0
+            )
+            .select(F.array_append(F.col("q"), F.col("c")).alias("q"))
+        )
+        if depth == 2:  # prefix distribution (DistributedPentomino depth)
+            frontier = frontier.repartition(
+                spark.sparkContext.defaultParallelism
+            )
+    return (
+        frontier.select(F.element_at("q", 1).alias("first_col"))
+        .groupBy("first_col")
+        .agg(F.count("*").alias("n_solutions"))
+    )
