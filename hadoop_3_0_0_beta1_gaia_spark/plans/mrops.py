@@ -1658,3 +1658,124 @@ def nqueens_search_count(spark, sf_dir):
         .groupBy("first_col")
         .agg(F.count("*").alias("n_solutions"))
     )
+
+
+_BBP_MODPOW = (
+    "aggregate(sequence(9, 0, -1), CAST(1 AS BIGINT), (acc, b) -> "
+    "CASE WHEN (ec DIV CAST(pow(2, b) AS BIGINT)) % 2 = 1 "
+    "THEN (((acc * acc) % m) * 16) % m ELSE (acc * acc) % m END)"
+)
+
+_BBP_ORACLE_MP = "\n".join(
+    f"mp{i + 1} AS (SELECT pos, j, k, d, m, ec, "
+    f"CASE WHEN ((ec >> {bit}) & 1) = 1 "
+    f"THEN (((a{i} * a{i}) % m) * 16) % m "
+    f"ELSE (a{i} * a{i}) % m END AS a{i + 1} "
+    f"FROM mp{i}),"
+    for i, bit in enumerate(range(9, -1, -1))
+)
+
+
+@register(
+    "bbp_pi_hex_digits",
+    oracle=f"""
+        WITH pos AS (SELECT unnest([1,2,3,4,5,6,7,8,100,1000]) AS pos),
+        ks AS (SELECT pos, unnest(range(pos + 8)) AS k FROM pos),
+        tj AS (SELECT pos, k, unnest([1,4,5,6]) AS j FROM ks),
+        base AS (
+            SELECT pos, j, k, pos - 1 AS d, 8*k + j AS m,
+                   greatest(pos - 1 - k, 0) AS ec
+            FROM tj
+        ),
+        mp0 AS (SELECT *, CAST(1 AS BIGINT) AS a0 FROM base),
+        {_BBP_ORACLE_MP}
+        terms AS (
+            SELECT pos, j,
+                   CASE WHEN k <= d THEN CAST(a10 AS BIGINT) / m
+                        ELSE 1.0 / ((CAST(1 AS BIGINT) << (4*(k - d))) * m)
+                   END AS term
+            FROM mp10
+        ),
+        s AS (
+            SELECT pos, j,
+                   list_reduce(list(term ORDER BY term), (a, x) -> a + x) AS sj
+            FROM terms GROUP BY pos, j
+        ),
+        x AS (
+            SELECT pos,
+                   4*max(CASE WHEN j=1 THEN sj END)
+                 - 2*max(CASE WHEN j=4 THEN sj END)
+                 - max(CASE WHEN j=5 THEN sj END)
+                 - max(CASE WHEN j=6 THEN sj END) AS x
+            FROM s GROUP BY pos
+        )
+        SELECT CAST(pos AS BIGINT) AS pos,
+               CAST(floor(16 * (x - floor(x))) AS BIGINT) AS hex_digit
+        FROM x
+    """,
+    ref="Bailey-Borwein-Plouffe hex digits of pi — the reference's second pi "
+    "family (examples/BaileyBorweinPlouffe.java maps digit ranges across "
+    "tasks; examples/pi/DistBbp.java distributes the modular-exponentiation "
+    "summations). Digit d+1 comes from frac(4*S1 - 2*S4 - S5 - S6) with "
+    "S_j = sum_k 16^(d-k) mod (8k+j) / (8k+j): every term is a SINGLE "
+    "division of exact integers (modpow by runtime square-and-multiply "
+    "fold, 16^(d-k) for tail terms as an exact bit shift), so both engines "
+    "hold bit-identical term values, and the per-(pos,j) float sum folds "
+    "over the VALUE-SORTED term list (the doc_bigram_logprob rule — "
+    "identical IEEE order). The term table partitions k across the cluster "
+    "exactly as DistBbp partitions summation ranges; the unit test pins "
+    "digits 1-8 against pi's known hex expansion 243F6A88. The DuckDB "
+    "modpow unrolls as CHAINED CTE layers — inline lateral aliases "
+    "double the (acc*acc) tree per step, a 2^10 expression blowup "
+    "discovered the hard way",
+)
+def bbp_pi_hex_digits(spark, sf_dir):
+    pos = spark.createDataFrame(
+        [(p,) for p in (1, 2, 3, 4, 5, 6, 7, 8, 100, 1000)], "pos long"
+    )
+    ks = pos.select(
+        "pos", F.explode(F.sequence(F.lit(0), F.col("pos") + 7)).alias("k")
+    )
+    tj = ks.select(
+        "pos", "k",
+        F.explode(F.array(*[F.lit(j) for j in (1, 4, 5, 6)])).alias("j"),
+    )
+    base = tj.select(
+        "pos",
+        "j",
+        "k",
+        (F.col("pos") - 1).alias("d"),
+        (8 * F.col("k") + F.col("j")).cast("long").alias("m"),
+        F.greatest(F.col("pos") - 1 - F.col("k"), F.lit(0))
+        .cast("long")
+        .alias("ec"),
+    )
+    terms = base.select(
+        "pos",
+        "j",
+        F.when(
+            F.col("k") <= F.col("d"),
+            F.expr(_BBP_MODPOW) / F.col("m"),
+        )
+        .otherwise(
+            F.lit(1.0) / (F.expr("CAST(pow(16, k - d) AS BIGINT)") * F.col("m"))
+        )
+        .alias("term"),
+    )
+    s = terms.groupBy("pos", "j").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        ).alias("sj")
+    )
+    x = s.groupBy("pos").agg(
+        (
+            F.lit(4) * F.max(F.when(F.col("j") == 1, F.col("sj")))
+            - F.lit(2) * F.max(F.when(F.col("j") == 4, F.col("sj")))
+            - F.max(F.when(F.col("j") == 5, F.col("sj")))
+            - F.max(F.when(F.col("j") == 6, F.col("sj")))
+        ).alias("x")
+    )
+    return x.select(
+        "pos",
+        F.floor(16 * (F.col("x") - F.floor("x"))).cast("long").alias("hex_digit"),
+    )

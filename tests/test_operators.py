@@ -1642,3 +1642,17 @@ def test_skip_bad_records_dropmalformed_equals_good(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_bbp_digits_match_known_pi_hex(spark, sf_dir):
+    """The BBP entry's digits must equal pi's KNOWN hex expansion
+    3.243F6A88... — an external ground truth, not just engine agreement."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
+
+    rows = {
+        r["pos"]: r["hex_digit"]
+        for r in queries()["bbp_pi_hex_digits"](spark, sf_dir).collect()
+    }
+    known = "243F6A88"  # first 8 hex digits of pi after the point
+    for i, ch in enumerate(known, start=1):
+        assert rows[i] == int(ch, 16), (i, ch, rows[i])
