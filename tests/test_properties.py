@@ -229,3 +229,38 @@ def test_avi_mjpeg_roundtrip_random(n_frames, edge, fps, rng):
     assert payloads == frames  # byte-exact container passthrough
     for lv, p in zip(levels, payloads):
         assert jpeg_decode(p) == (edge, edge, 1, bytes([lv]) * (edge * edge))
+
+
+@given(
+    st.integers(1, 50),
+    st.lists(st.integers(1, 50), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_q17_integer_rewrite_equals_float_avg(qty, group):
+    """The Q17 entry's exact rewrite 5*qty*cnt < sum_qty must decide exactly
+    like qty < 0.2*avg(group) for every integer quantity profile — the
+    algebraic lemma small_qty_order_revenue's correctness rests on.
+    (Float form computed with Fraction to avoid float-boundary ambiguity —
+    the integer rewrite exists precisely because 0.2*avg is inexact.)"""
+    from fractions import Fraction
+
+    cnt, s = len(group), sum(group)
+    integer_form = 5 * qty * cnt < s
+    exact_float_form = Fraction(qty) < Fraction(1, 5) * Fraction(s, cnt)
+    assert integer_form == exact_float_form
+
+
+@given(
+    st.lists(st.integers(0, 10**12), min_size=1, max_size=30),
+    st.integers(2, 100),
+)
+@settings(max_examples=200, deadline=None)
+def test_fraction_of_total_rewrite(values, denom):
+    """The Q11-style HAVING rewrite value*N > total must decide exactly like
+    value > total/N for any integer values (important_nation_value,
+    idle_customers_topbal, promotion_part_suppliers share the pattern)."""
+    from fractions import Fraction
+
+    total = sum(values)
+    for v in values:
+        assert (v * denom > total) == (Fraction(v) > Fraction(total, denom))
