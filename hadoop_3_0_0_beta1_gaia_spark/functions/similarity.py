@@ -565,6 +565,10 @@ def cosine_near_dup_lsh(
     result oracle-reproducible."""
     from pyspark import StorageLevel
 
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
     buckets = simhash_buckets(df, num_planes, id_col, vec_col)
     # keyed feeds both sides of the bucket self-join; the norm+projection
@@ -577,15 +581,47 @@ def cosine_near_dup_lsh(
         F.col("bucket"), F.col("id").alias("b_id"), F.col("__v").alias("bv"), F.col("__n2").alias("bn")
     )
     pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
-    # same zero-norm epsilon floor as cosine_near_dup / the numpy kernels
-    cos = fround(
-        dot(F.col("av"), F.col("bv"))
-        / F.sqrt(F.greatest(F.col("an") * F.col("bn"), F.lit(1e-300))),
-        round_digits,
+    # Vectorized verify: the candidate stream (equi-join output — streams and
+    # spills, never a per-bucket mega-row) flows through an Arrow kernel that
+    # applies the bit-identical per-dimension fold batch-wise (same IEEE op
+    # order as the `dot` expression fold and the numpy knn kernels, equality
+    # test-pinned). Per-task memory is 2·batch·d doubles — bounded by the
+    # Arrow batch size regardless of bucket skew.
+    scale = float(10**round_digits)
+    schema = StructType(
+        [
+            StructField("a_id", LongType(), False),
+            StructField("b_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
     )
-    return (
-        pairs.select("a_id", "b_id", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["av"]), dtype=np.float64)
+            B = np.array(list(pdf["bv"]), dtype=np.float64)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * B[:, d]
+            n2 = np.maximum(
+                pdf["an"].to_numpy(dtype=np.float64)
+                * pdf["bn"].to_numpy(dtype=np.float64),
+                1e-300,
+            )
+            cos = np.floor(acc / np.sqrt(n2) * scale + 0.5) / scale
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(dtype=np.int64)[keep],
+                    "b_id": pdf["b_id"].to_numpy(dtype=np.int64)[keep],
+                    "cos": cos[keep],
+                }
+            )
+
+    return pairs.select("a_id", "b_id", "av", "bv", "an", "bn").mapInPandas(
+        kernel, schema
     )
 
 
