@@ -2232,3 +2232,198 @@ def incremental_agg_maintenance(spark, sf_dir):
             & (F.col("cents") == F.col("f_cents"))
         ).alias("matches_recompute"),
     )
+
+
+@register(
+    "events_daily_ewma",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT event_type,
+                   list(struct_pack(day := day, n := n) ORDER BY day) AS xs
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, xs,
+                   list_reduce(
+                       list_transform(xs, v -> [CAST(v.n AS DOUBLE)]),
+                       (acc, x) -> list_append(
+                           acc,
+                           CAST(0.3 AS DOUBLE) * x[1]
+                           + CAST(0.7 AS DOUBLE) * acc[len(acc)])
+                   ) AS arr
+            FROM packed
+        )
+        SELECT event_type, xs[CAST(i AS INT)].day AS day,
+               xs[CAST(i AS INT)].n AS n,
+               (floor(arr[CAST(i AS INT)] * 1000000 + 0.5) / 1000000) AS ewma
+        FROM folded, unnest(generate_series(1, len(arr))) AS u(i)
+    """,
+    ref="exponentially-weighted moving average per event type (alpha=0.3, "
+    "seeded at the first observed day) — the recursive smoother no window "
+    "frame can express (each value depends on the PREVIOUS smoothed value, "
+    "not a fixed frame of inputs). Per type the day-ordered daily counts "
+    "collect into one bounded array (|days| elements — thousands at any "
+    "corpus scale, the same bound as events_weekly_moving_avg) and ONE "
+    "left fold produces the full EWMA trajectory; both engines fold in "
+    "identical day order with the identical a = 0.3*x + 0.7*a expression, "
+    "so the floats are bit-identical (the value-sorted-fold rule's sibling: "
+    "here the fold order is the KEYED order, deterministic because days "
+    "are unique per type). DuckDB's list_reduce has no initial-accumulator "
+    "form, so the fold runs over single-element lists ([v] elements, list "
+    "accumulator) — the element-type trick; Spark mirrors with "
+    "F.aggregate(slice(xs, 2, n-1), array(x0), append). Complements "
+    "events_weekly_moving_avg (frame-based) and events_anomaly_zscore",
+)
+def events_daily_ewma(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    packed = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    folded = packed.withColumn(
+        "arr",
+        F.aggregate(
+            F.expr("slice(xs, 2, size(xs) - 1)"),
+            F.array(F.col("xs")[0]["n"].cast("double")),
+            lambda acc, x: F.array_append(
+                acc,
+                F.lit(0.3) * x["n"].cast("double")
+                + F.lit(0.7) * F.element_at(acc, -1),
+            ),
+        ),
+    )
+    exploded = folded.select(
+        "event_type", F.posexplode("arr").alias("i0", "ewma_raw"), F.col("xs")
+    )
+    return exploded.select(
+        "event_type",
+        F.col("xs")[F.col("i0")]["day"].alias("day"),
+        F.col("xs")[F.col("i0")]["n"].alias("n"),
+        (F.floor(F.col("ewma_raw") * 1000000 + F.lit(0.5)) / 1000000).alias("ewma"),
+    )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(sum(n) AS BIGINT) / CAST(count(*) AS BIGINT) AS mu,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type
+        ),
+        packed AS (
+            SELECT d.event_type, s.n_days,
+                   list(CAST(d.n AS DOUBLE) - s.mu ORDER BY d.day) AS devs
+            FROM daily d JOIN stats s ON s.event_type = d.event_type
+            GROUP BY d.event_type, s.n_days
+        ),
+        folded AS (
+            SELECT event_type, n_days,
+                   list_reduce(
+                       [[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]]
+                           || list_transform(devs, d -> [d, CAST(0 AS DOUBLE)]),
+                       (acc, x) -> [greatest(acc[1] + x[1], 0),
+                                    greatest(acc[2], greatest(acc[1] + x[1], 0))]
+                   ) AS st
+            FROM packed
+        )
+        SELECT event_type, n_days,
+               (floor(st[1] * 1000000 + 0.5) / 1000000) AS cusum_final,
+               (floor(st[2] * 1000000 + 0.5) / 1000000) AS cusum_max
+        FROM folded
+    """,
+    ref="one-sided CUSUM drift detection per event type — the sequential "
+    "change-point statistic s_t = max(0, s_{t-1} + (x_t - mean)): another "
+    "recursive fold no window frame expresses (the EWMA sibling; together "
+    "with events_anomaly_zscore these are the monitoring readouts over the "
+    "daily rollup). The per-type mean is ONE division of exact integer "
+    "sums; deviations are a single subtraction each; the fold carries a "
+    "2-slot [s, s_max] accumulator over day-ordered deviations with "
+    "identical IEEE op order on both engines. DuckDB's list_reduce takes "
+    "no initial accumulator, so a [0,0] seed element is prepended and the "
+    "deviations ride as [d, 0] two-slot elements (the same element-type "
+    "trick as events_daily_ewma). State is |days| per type — bounded at "
+    "any corpus scale",
+)
+def events_cusum_drift(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("n").cast("long") / F.count("*").cast("long")).alias("mu"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    packed = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("day", (F.col("n").cast("double") - F.col("mu")).alias("d"))
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias("devs")
+        )
+    )
+    # DuckDB has no explicit init, so its fold prepends a [0,0] seed element;
+    # Spark's F.aggregate takes the same [0,0] as the real init and folds the
+    # two-slot deviations directly — identical iteration sequence.
+    two_slot = F.transform(F.col("devs"), lambda d: F.array(d, F.lit(0.0)))
+    folded = packed.withColumn(
+        "st",
+        F.aggregate(
+            two_slot,
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.greatest(F.element_at(acc, 1) + F.element_at(x, 1), F.lit(0.0)),
+                F.greatest(
+                    F.element_at(acc, 2),
+                    F.greatest(
+                        F.element_at(acc, 1) + F.element_at(x, 1), F.lit(0.0)
+                    ),
+                ),
+            ),
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        (F.floor(F.element_at("st", 1) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cusum_final"
+        ),
+        (F.floor(F.element_at("st", 2) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cusum_max"
+        ),
+    )
