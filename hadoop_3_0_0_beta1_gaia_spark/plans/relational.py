@@ -2427,3 +2427,116 @@ def events_cusum_drift(spark, sf_dir):
             "cusum_max"
         ),
     )
+
+
+@register(
+    "incremental_agg_retraction",
+    oracle="""
+        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        inserts AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+        deletes AS (SELECT * FROM base WHERE o_orderkey % 7 = 0),
+        base_mv AS (
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM base GROUP BY o_orderstatus
+        ),
+        delta AS (
+            SELECT o_orderstatus,
+                   CAST(sum(sgn) AS BIGINT) AS n,
+                   CAST(sum(sgn * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                       AS BIGINT)) AS BIGINT) AS cents
+            FROM (
+                SELECT o_orderstatus, o_totalprice, 1 AS sgn FROM inserts
+                UNION ALL
+                SELECT o_orderstatus, o_totalprice, -1 AS sgn FROM deletes
+            )
+            GROUP BY o_orderstatus
+        ),
+        merged AS (
+            SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM (SELECT * FROM base_mv UNION ALL SELECT * FROM delta)
+            GROUP BY o_orderstatus
+            HAVING sum(n) > 0
+        ),
+        truth AS (
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM (
+                SELECT * FROM base WHERE o_orderkey % 7 <> 0
+                UNION ALL SELECT * FROM inserts
+            )
+            GROUP BY o_orderstatus
+        )
+        SELECT m.o_orderstatus, m.n_orders, m.cents,
+               m.n_orders = t.n_orders AND m.cents = t.cents
+                   AS matches_recompute
+        FROM merged m JOIN truth t USING (o_orderstatus)
+    """,
+    ref="incremental view maintenance WITH RETRACTIONS — the half of IVM "
+    "that incremental_agg_maintenance's insert-only delta doesn't cover: a "
+    "CDC batch carries deletes too, and algebraic aggregates absorb them "
+    "as SIGNED partials (sgn=+1 inserts / -1 deletes — count and sum are "
+    "self-inverse, so retraction is merge with negated partials, never a "
+    "base rescan; this is exactly how Flink/Materialize-style engines "
+    "retract). Groups whose count reaches zero drop out (HAVING n > 0 — "
+    "the retraction-to-empty edge). Verified in-query against a full "
+    "recompute of (base - deletes + inserts). Exact BIGINT cents "
+    "throughout; at 100 TB the refresh touches only the delta batch",
+)
+def incremental_agg_retraction(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    cents_col = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0)
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0)
+
+    base_mv = base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    signed = inserts.select(
+        "o_orderstatus", cents_col.alias("c"), F.lit(1).alias("sgn")
+    ).unionByName(
+        deletes.select(
+            "o_orderstatus", cents_col.alias("c"), F.lit(-1).alias("sgn")
+        )
+    )
+    delta = signed.groupBy("o_orderstatus").agg(
+        F.sum("sgn").cast("long").alias("n"),
+        F.sum(F.col("sgn") * F.col("c")).cast("long").alias("cents"),
+    )
+    merged = (
+        base_mv.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    truth = (
+        base.filter(F.col("o_orderkey") % 7 != 0)
+        .unionByName(inserts)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("t_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("t_cents"),
+        )
+    )
+    return merged.join(truth, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_orders",
+        "cents",
+        (
+            (F.col("n_orders") == F.col("t_n"))
+            & (F.col("cents") == F.col("t_cents"))
+        ).alias("matches_recompute"),
+    )
