@@ -855,3 +855,72 @@ def bpe_merge_table(v, rounds, checkpoint_every=8):
     for o in out[1:]:
         res = res.unionAll(o)
     return res
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH fps AS ({_WINNOW_ORACLE}),
+        sf AS (
+            SELECT DISTINCT d.source, f.fp
+            FROM fps f JOIN documents d USING (doc_id)
+        ),
+        sizes AS (SELECT source, count(*) AS sz FROM sf GROUP BY source),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_shared,
+               (floor(n_shared / (CAST(sa.sz AS BIGINT) + CAST(sb.sz AS BIGINT)
+                                  - n_shared) * 1000000 + 0.5) / 1000000)
+                   AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+    """,
+    ref="source-pair content-overlap matrix — the provenance-leakage "
+    "governance readout a corpus pipeline runs before mixing sources "
+    "(two 'independent' crawls sharing winnow fingerprints means shared "
+    "upstream content; weighting both up double-counts it): per-source "
+    "DISTINCT winnow fingerprint sets, fingerprint-keyed self-join for "
+    "pair co-occurrence counts, Jaccard from exact integer set sizes "
+    "(single division, fround). Output is bounded at |sources|² rows; the "
+    "only corpus-scale shuffles are the per-source distinct and the "
+    "fp-keyed join (same shape as dedup_containment's shingle join). "
+    "Builds on doc_winnow_fingerprints' map-side kernel",
+)
+def source_overlap_matrix(spark, sf_dir):
+    fps = _winnow_frame(spark, sf_dir)
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    sf = fps.join(src, "doc_id").select("source", "fp").distinct()
+    sizes = sf.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sf.select(F.col("source").alias("source_a"), "fp")
+    b = sf.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("jaccard"),
+        )
+    )
