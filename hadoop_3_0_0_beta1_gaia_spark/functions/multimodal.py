@@ -318,23 +318,25 @@ def mp3_probe(data: bytes) -> tuple[int, int, int, int]:
     triage an audio-corpus pipeline runs before deciding what to decode):
     walk the frame chain via the header's own length formula
     ``144 * bitrate / samplerate + padding`` and return
-    ``(n_frames, sample_rate, bitrate_kbps, duration_ms)`` with duration
-    from the Layer III constant of 1152 samples per frame, exact integer
-    arithmetic throughout.
+    ``(n_frames, sample_rate, bitrate_kbps, duration_ms)``: sample rate and
+    bitrate are the FIRST frame's (consistent headline metadata), duration
+    accumulates floor(1152·1000 / sr_i) milliseconds per frame (the Layer
+    III 1152-samples-per-frame constant, exact integer arithmetic) so
+    mixed-rate VBR chains are timed by each frame's own rate. A frame whose
+    declared length runs past the buffer is TRUNCATED and not counted.
 
     This is a PROBE, not a decoder — sample reconstruction (Huffman +
     IMDCT + synthesis filterbank) stays the documented NotImplementedError
     boundary; the header walk is the real, testable part a pure-stdlib
-    engine can own. Multi-bitrate (VBR) chains are followed frame by frame;
-    the reported bitrate is the first frame's."""
+    engine can own."""
     if not (len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
         raise NotImplementedError(
             "audio probe implemented for MPEG-1 Layer III frame chains; "
             "full mp3 DECODE (Huffman+IMDCT+filterbank) is the documented "
             "boundary — plug a codec at wav_decode's NotImplementedError"
         )
-    pos = n = 0
-    sr = br0 = None
+    pos = n = dur_ms = 0
+    sr0 = br0 = None
     while pos + 4 <= len(data):
         if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
             break
@@ -345,13 +347,17 @@ def mp3_probe(data: bytes) -> tuple[int, int, int, int]:
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("malformed mp3 header (free/bad bitrate or rate)")
         br, sr = _MP3_BITRATES[br_idx], _MP3_RATES[sr_idx]
+        flen = 144 * br * 1000 // sr + pad
+        if pos + flen > len(data):
+            break  # truncated final frame — do not count it
         if br0 is None:
-            br0 = br
+            sr0, br0 = sr, br
         n += 1
-        pos += 144 * br * 1000 // sr + pad
+        dur_ms += 1152 * 1000 // sr
+        pos += flen
     if n == 0:
         raise ValueError("no complete mp3 frame")
-    return n, sr, br0, n * 1152 * 1000 // sr
+    return n, sr0, br0, dur_ms
 
 
 def image_decode(data: bytes) -> tuple[int, int, int, bytes]:

@@ -163,6 +163,10 @@ def video_features(data: bytes, dim: int) -> list[float]:
     genuinely a function of every decoded frame."""
     w, h, fps, payloads = avi_decode_mjpeg(data)
     n = len(payloads)
+    if n == 0:
+        # a structurally valid container with an empty movi LIST — fail the
+        # same way other malformed media does, not with a bare IndexError
+        raise ValueError("malformed AVI: MJPG stream with zero video frames")
     means = []
     for p in payloads:
         fw, fh, ch, px = jpeg_decode(p)

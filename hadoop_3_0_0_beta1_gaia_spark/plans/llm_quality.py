@@ -1021,9 +1021,11 @@ def dsir_importance_select(spark, sf_dir):
         F.count("*").alias("cs"),
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
     )
-    tot = ex.agg(
-        F.count("*").alias("ns"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("nt"),
+    # totals derive from the bounded 512-row bucket frame — aggregating `ex`
+    # directly would re-run the whole tokenize+explode+md5 corpus scan
+    tot = cnt.agg(
+        F.sum("cs").alias("ns"),
+        F.sum("ct").alias("nt"),
     )
     lr = cnt.crossJoin(F.broadcast(tot)).select(
         "b",

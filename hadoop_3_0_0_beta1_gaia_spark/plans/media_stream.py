@@ -239,11 +239,10 @@ def stream_interval_join(spark, sf_dir):
     "must equal the batch join+rollup (SURVEY §2.11 engine extension)",
 )
 def stream_static_enrich(spark, sf_dir):
-    from ..session import table as _table
     from ..streaming.events import read_events_stream, run_to_memory
 
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    cust = _table(spark, sf_dir, "customer").select(
+    cust = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     ntz_start = (
@@ -577,7 +576,7 @@ def video_frames_sample(spark, sf_dir):
                CAST(n AS BIGINT) AS n_frames,
                CAST(sr AS BIGINT) AS sample_rate,
                CAST(br AS BIGINT) AS bitrate_kbps,
-               CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+               CAST(n * (1152 * 1000 // sr) AS BIGINT) AS duration_ms,
                TRUE AS probe_ok
         FROM v
     """,

@@ -106,6 +106,8 @@ _WINDOW: list[str] = [
     # anchors (driver-green r1+r2+r3)
     "q1_pricing_summary",
     "join_inner_nway",
+    # flagship FIRST-CONTACT entries (rotation #6 — zero driver greens yet;
+    # do NOT treat as validated anchors in a future rotation)
     "video_frames_sample",
     "dsir_importance_select",
     # streaming + multimodal (the only family with pending first contact)

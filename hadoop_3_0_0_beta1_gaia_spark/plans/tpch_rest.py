@@ -36,19 +36,11 @@ from ..functions.rounding import duck_fround, fround
 from ..session import table as T
 from .registry import register
 
-_CENTS = "CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)"
-_REV = (
-    f"{_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})"
-)
+# Money/quantity unit helpers are shared with tpch_shapes.py — one
+# definition of the cents convention, no drift between shape modules.
+from .tpch_shapes import _CENTS, _REV, _cents, _rev_units
+
 _QTY = "CAST(l_quantity AS BIGINT)"  # integral doubles — exact on both engines
-
-
-def _cents(col: str) -> F.Column:
-    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
-
-
-def _rev_units() -> F.Column:
-    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
 
 
 def _qty() -> F.Column:
@@ -270,7 +262,8 @@ def national_market_share(spark, sf_dir):
         SELECT n_name, o_year, CAST(sum(amount) AS BIGINT) AS profit_units
         FROM (
             SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   {_REV} - {_QTY} * {_CENTS.format(c='p_retailprice')} AS amount
+                   {_REV} - {_QTY} * {_CENTS.format(c='p_retailprice')} * 100
+                       AS amount
             FROM lineitem
             JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
             JOIN supplier ON s_suppkey = l_suppkey
@@ -281,11 +274,15 @@ def national_market_share(spark, sf_dir):
     """,
     ref="TPC-H Q9 shape — profit on a part-name-filtered product line, per "
     "supplier nation per year: amount = revenue - cost (cost analog = "
-    "quantity x part retail cents; no partsupp in the testdata). The "
-    "reference chains four join jobs + a sum job; Catalyst plans one chain "
-    "where the LIKE filter semi-prunes lineitem through the part join before "
-    "the wide orders join. All arithmetic in exact integer units — the "
-    "subtraction can go negative, which is exactly what Q9's profit asks.",
+    "quantity x part retail cents; no partsupp in the testdata). Both terms "
+    "are in the SAME cents-x-percent integer units (revenue carries the "
+    "(100 - discount) percent factor, so cost is scaled by 100 — a unit "
+    "mismatch here makes profit ~= revenue and masks the negative-profit "
+    "semantics; caught in review, value-pinned in tests). The reference "
+    "chains four join jobs + a sum job; Catalyst plans one chain where the "
+    "LIKE filter semi-prunes lineitem through the part join before the wide "
+    "orders join. Negative amounts (discounted price below retail) are "
+    "exactly what Q9's profit asks.",
 )
 def product_type_profit(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select(
@@ -311,7 +308,9 @@ def product_type_profit(spark, sf_dir):
         .select(
             "n_name",
             "o_year",
-            (F.col("rev") - F.col("qty") * F.col("retail_cents")).alias("amount"),
+            (F.col("rev") - F.col("qty") * F.col("retail_cents") * 100).alias(
+                "amount"
+            ),
         )
         .groupBy("n_name", "o_year")
         .agg(F.sum("amount").alias("profit_units"))

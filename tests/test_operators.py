@@ -1572,19 +1572,29 @@ def test_mp3_probe_headers_walk():
             b"\x00" * (flen - 4)
         )
 
-    # CBR: 3 frames at 128 kbps / 44100 Hz
+    # CBR: 3 frames at 128 kbps / 44100 Hz; duration floors per frame
     n, sr, br, dur = mp3_probe(frame(9, 0) * 3)
     assert (n, sr, br) == (3, 44100, 128)
-    assert dur == 3 * 1152 * 1000 // 44100
+    assert dur == 3 * (1152 * 1000 // 44100)
 
-    # VBR chain with padding: lengths come from each frame's own header
+    # VBR chain with padding and a mid-chain rate change: lengths come from
+    # each frame's own header, duration from each frame's own rate, and the
+    # headline sample rate/bitrate are the FIRST frame's
     chain = frame(9, 0) + frame(14, 0, pad=1) + frame(1, 2)
     n, sr, br, dur = mp3_probe(chain)
-    assert (n, br) == (3, 128)  # reported bitrate = first frame's
+    assert (n, sr, br) == (3, 44100, 128)
+    assert dur == 2 * (1152 * 1000 // 44100) + 1152 * 1000 // 32000
 
     # trailing garbage after the chain stops the walk, doesn't crash it
     n, _, _, _ = mp3_probe(frame(9, 0) * 2 + b"\x12\x34")
     assert n == 2
+
+    # a truncated final frame is NOT counted as complete
+    full = frame(9, 0)
+    n, _, _, dur = mp3_probe(full + full[:50])
+    assert n == 1 and dur == 1152 * 1000 // 44100
+    with _pytest.raises(ValueError):
+        mp3_probe(full[:50])  # no complete frame at all
 
     with _pytest.raises(NotImplementedError):
         mp3_probe(b"ID3\x04garbage")  # not a frame sync
@@ -1656,3 +1666,29 @@ def test_bbp_digits_match_known_pi_hex(spark, sf_dir):
     known = "243F6A88"  # first 8 hex digits of pi after the point
     for i, ch in enumerate(known, start=1):
         assert rows[i] == int(ch, 16), (i, ch, rows[i])
+
+
+def test_q9_profit_amounts_net_of_cost(spark, sf_dir):
+    """Q9's profit must be revenue NET of a same-unit cost: with the cost
+    term correctly scaled by the revenue's (100 - discount) percent factor,
+    some line items price below retail (negative amounts) — the semantics a
+    unit mismatch silently destroys (profit would be ~99% of revenue and
+    never negative; caught in review, pinned here at the line level)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.tpch_rest import _cents, _rev_units
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _rev_units().alias("rev"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", _cents("p_retailprice").alias("retail_cents")
+    )
+    amounts = li.join(p, li.l_partkey == p.p_partkey).select(
+        (F.col("rev") - F.col("qty") * F.col("retail_cents") * 100).alias("a")
+    )
+    row = amounts.agg(F.min("a").alias("lo"), F.max("a").alias("hi")).collect()[0]
+    assert row["lo"] < 0 < row["hi"]
