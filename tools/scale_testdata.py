@@ -35,6 +35,8 @@ STRIDES = {
     "s_suppkey": 1_000_000,
     "p_partkey": 1_000_000,
     "o_orderkey": 10_000_000,
+    "o_custkey": 1_000_000,  # must match c_custkey or replica-k orders all
+    # point at replica-0 customers (10x fan-in skew; caught in review)
     "l_orderkey": 10_000_000,
     "l_partkey": 1_000_000,
     "l_suppkey": 1_000_000,

@@ -66,7 +66,8 @@ def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_sweep.jsonl"
     cap = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
     entries = all_entries()
-    names = sys.argv[3:] or (
+    explicit = sys.argv[3:]
+    names = explicit or (
         [n for n in entries if n not in HEAVY_LAST]
         + [n for n in HEAVY_LAST if n in entries]
     )
@@ -79,8 +80,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
         )
 
+    # Resume skips only already-recorded names from an AUTO run; explicitly
+    # requested names always re-run (retrying a failed entry must not be
+    # silently filtered out by its own stale failure record).
     done = sum(1 for _ in open(out_path)) if os.path.exists(out_path) else 0
-    if done:
+    if done and not explicit:
         seen = {json.loads(l)["name"] for l in open(out_path)}
         names = [n for n in names if n not in seen]
         print(f"resuming: {done} entries already recorded")
