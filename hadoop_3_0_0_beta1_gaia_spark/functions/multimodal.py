@@ -258,15 +258,19 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     if fmt_code in (6, 7):  # A-law / µ-law
         table = _alaw_to_linear if fmt_code == 6 else _ulaw_to_linear
         ch, fr = _struct.unpack("<HI", data[pos + 10 : pos + 16])
-        payload = b""
+        payload = None
         pos = 12
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
             (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
             if cid == b"data":
+                if pos + 8 + ln > len(data):
+                    raise ValueError("malformed WAV: data chunk overruns buffer")
                 payload = data[pos + 8 : pos + 8 + ln]
                 break
             pos += 8 + ln + (ln % 2)
+        if payload is None:
+            raise ValueError("malformed WAV: no data chunk")
         return ch, fr, 2, [table(b) for b in payload]
     with wave.open(io.BytesIO(data), "rb") as w:
         ch, sw, fr = w.getnchannels(), w.getsampwidth(), w.getframerate()

@@ -147,6 +147,10 @@ def avi_decode_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                         )
                     handler_ok = True
             elif fourcc[2:4] in (b"dc", b"db"):
+                # compare against the REAL buffer, not the declared LIST
+                # extent — a truncated file keeps its declared sizes intact
+                if body + size > min(end, len(buf)):
+                    raise ValueError("malformed AVI: truncated frame chunk")
                 frames.append(bytes(buf[body : body + size]))
             pos = body + size + (size % 2)
 

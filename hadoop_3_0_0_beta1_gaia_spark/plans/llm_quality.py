@@ -998,7 +998,15 @@ def url_normalize_dedup(spark, sf_dir):
     "512-row groupBy; totals are a 1-row agg; the 512-row log-ratio table "
     "broadcasts back onto the exploded tokens (no big-side shuffle beyond "
     "the per-doc fold); top-k is TakeOrdered, then row_number on the "
-    "100-row result only. Portability per NOTES.md: ln on ratios of exact "
+    "100-row result only. DELIBERATE two-pass fit/apply: the "
+    "tokenize+explode+md5 chain runs once to FIT the 512-bucket model and "
+    "once to APPLY it — the exploded token stream is ~5x the corpus, so "
+    "persisting/checkpointing it to save the second columnar scan (which "
+    "reads only doc_id/lang/source/text, pruned at the parquet reader) "
+    "would trade cheap re-computation of a map-side explode for a "
+    "materialization LARGER than the input; canonical DSIR is fit-then-"
+    "apply two-pass for the same reason. Portability per NOTES.md: ln on "
+    "ratios of exact "
     "integers, per-doc sum as the VALUE-SORTED left fold (identical IEEE "
     "order on both engines), fround'd average, (weight, doc_id) total "
     "order. DSIR's Gumbel-noise resampling step is replaced by the "
@@ -1014,6 +1022,9 @@ def dsir_importance_select(spark, sf_dir):
         "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
     )
     is_tgt = (F.col("lang") == "en") & F.col("source").isin("src0", "src1", "src2")
+    # `ex` is deliberately consumed twice (fit the 512-bucket model, then
+    # apply it): the exploded token stream is ~5x the corpus, so a second
+    # pruned parquet scan beats materializing it — see ref text
     ex = d.select(
         "doc_id", is_tgt.alias("is_tgt"), F.explode("toks").alias("tok")
     ).select("doc_id", "is_tgt", (md5_long(F.col("tok")) % 512).alias("b"))

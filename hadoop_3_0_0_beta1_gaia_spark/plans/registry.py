@@ -102,69 +102,83 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # dsir_importance_select (the data-selection headliner). Both pre-validated
 # under the exact driver protocol (tools/driver_check.py), as were all 46
 # existing first-contact slots. Window = 48 first-contact + 2 anchors.
+# Rotation #7 (round 5): the final burn-down rotation. 48 of the 50 slots go
+# to the remaining FIRST-CONTACT entries (never a CORRECTNESS row across
+# r1-r4; verified by set-diff over CORRECTNESS_r01-r04). The 9 entries left
+# never-validated after this rotation each have a driver-green family
+# sibling: hll_distinct_users + cumulative_unique_users (hll_rollup_grains
+# r4; hll_merge_daily in-window), ivf_filtered_topk (ivf_topk_multiprobe +
+# knn_filtered_topk r4), order_gaps_arrow (cogroup_order_fill in-window —
+# same procedural-reducer family; order_gaps_pandas r1), bpe_top_merges
+# (bpe_train_merges r3; bpe_apply_encode in-window), copurchase_triangles
+# (copurchase_pagerank r4; part_pairs/bfs/lift in-window),
+# doc_winnow_fingerprints (doc_winnow_near_dup r1-r3),
+# events_weekly_moving_avg (events_daily_gapfill r4; ewma/cusum in-window),
+# sort_validator_stats (terasort_rank + global_sort_rank r1-r3). All 48
+# pre-validated under the exact driver protocol via tools/driver_check.py.
 _WINDOW: list[str] = [
-    # anchors (driver-green r1+r2+r3)
+    # anchors (driver-green r1+r2+r3+r4)
     "q1_pricing_summary",
     "join_inner_nway",
-    # flagship FIRST-CONTACT entries (rotation #6 — zero driver greens yet;
-    # do NOT treat as validated anchors in a future rotation)
-    "video_frames_sample",
-    "dsir_importance_select",
-    # streaming + multimodal (the only family with pending first contact)
-    "stream_interval_join",
-    "stream_sliding_topk",
-    "image_decode_roundtrip",
-    "jpeg_decode_blocks",
-    "session_path_topk",
-    # lakehouse / layout / decontamination (VERDICT r3 named set)
-    "cdc_upsert_orders",
-    "scd2_order_history",
-    "zorder_layout_orders",
-    "decontaminate_eval_overlap",
-    "fuzzy_match_customers",
-    # new this round (capped-LSH twin, merge_asof tolerance)
-    "dedup_minhash_lsh_capped",
-    "asof_tolerance_purchase",
-    # ANN / similarity
-    "dedup_simhash_hamming",
-    "ivf_topk_multiprobe",
-    "pq_topk_search_adc",
-    "knn_filtered_topk",
-    "lsh_recall_vs_exact",
-    "kmeans_lloyd_refine",
-    "embed_quantize_int8",
-    # dedup variants
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_containment",
-    "url_normalize_dedup",
-    # corpus prep / LLM pipeline
-    "doc_repetition",
-    "doc_chunk_tokens",
-    "corpus_filter_pipeline",
-    "corpus_global_shuffle",
-    "corpus_split_assign",
-    "mix_domain_weights",
-    "domain_quota_filter",
-    "bm25_search_topk",
-    "stream_late_data_drop",
-    # sketches / indexes
-    "hll_rollup_grains",
-    "bloom_filter_probe",
-    "user_hour_bitmap",
-    # relational / subquery shapes
-    "promo_revenue_monthly",
-    "supplier_cnt_notin",
-    "large_volume_customers",
-    "top_supplier_per_part",
-    # time-series / stats / segments / graph / formats / validation / MV
-    "events_daily_gapfill",
-    "price_qty_corr_by_flag",
-    "customer_rfm_segments",
-    "copurchase_pagerank",
-    "orc_roundtrip_scan",
-    "validate_orders_constraints",
-    "incremental_agg_maintenance",
+    # TPC-H completions (tpch_rest.py — decision-support, highest priority)
+    "min_cost_supplier_per_part",
+    "product_type_profit",
+    "national_market_share",
+    "important_nation_value",
+    "cust_order_count_distribution",
+    "top_revenue_supplier",
+    "small_qty_order_revenue",
+    "promotion_part_suppliers",
+    "forecast_revenue_change",
+    # multimodal / audio (media_stream.py)
+    "wav_decode_roundtrip",
+    "mp3_probe_headers",
+    # streaming
+    "stream_static_enrich",
+    # time-series / incremental-view maintenance
+    "events_daily_ewma",
+    "events_cusum_drift",
+    "incremental_agg_retraction",
+    "events_anomaly_zscore",
+    # quality / governance / search (VERDICT-named)
+    "skip_bad_records_audit",
+    "source_overlap_matrix",
+    "nqueens_search_count",
+    "bbp_pi_hex_digits",
+    # procedural reducers / sketch merge
+    "cogroup_order_fill",
+    "hll_merge_daily",
+    # joins / plans
+    "join_bucketed_colocated",
+    "join_expr_language",
+    "set_except_all_parts",
+    # analytics over customers/orders
+    "cohort_retention_matrix",
+    "first_last_order_per_customer",
+    "order_priority_transitions",
+    "order_priority_exists",
+    "idle_customers_topbal",
+    "customer_balance_percentile",
+    "customer_30d_order_value",
+    "record_breaking_orders",
+    "late_shipment_priority",
+    "discounted_revenue_brands",
+    "unpivot_flag_metrics",
+    "profile_orders_columns",
+    "price_qty_ols_by_flag",
+    # market-basket / graph family
+    "copurchase_part_pairs",
+    "copurchase_bfs_depth",
+    "copurchase_lift_rules",
+    # formats
+    "csv_roundtrip_parse",
+    "jsonl_roundtrip_extract",
+    "schema_evolution_merge",
+    # text / corpus
+    "lang_id_confusion",
+    "source_quality_report",
+    "sample_docs_per_lang",
+    "bpe_apply_encode",
 ]
 
 

@@ -1189,6 +1189,13 @@ def test_avi_mjpeg_video_codec():
     with _pytest.raises(NotImplementedError):
         avi_decode_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
 
+    # a truncated frame chunk is a clear malformed-container error, not a
+    # silently short payload that fails later inside jpeg_decode
+    # (rfind would hit the idx1 index, which repeats the fourcc)
+    truncated = avi[: avi.find(b"00dc", avi.find(b"movi")) + 8 + 4]  # mid-payload
+    with _pytest.raises(ValueError, match="truncated frame chunk"):
+        avi_decode_mjpeg(truncated)
+
 
 def test_multimodal_real_video_features(spark):
     """decode=real dispatches RIFF/AVI bytes to the MJPEG video decoder
@@ -1528,7 +1535,9 @@ def test_wav_g711_decode_matches_reference():
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop  # stdlib in 3.11 (removed in 3.13 — hence our own tables)
+        # stdlib in 3.11, removed in 3.13 (hence our own tables): skip the
+        # cross-check on newer interpreters, wav_decode tests keep coverage
+        audioop = pytest.importorskip("audioop")
 
     for code in range(256):
         (ref_u,) = struct.unpack("<h", audioop.ulaw2lin(bytes([code]), 2))
@@ -1549,6 +1558,20 @@ def test_wav_g711_decode_matches_reference():
     ch, fr, sw, samples = wav_decode(g711_wav(6, payload, ch=2, fr=16000))
     assert (ch, fr, sw) == (2, 16000, 2)
     assert samples == [_alaw_to_linear(b) for b in payload]
+
+    # malformed G.711 containers are clear errors, not silent truncation:
+    # a data chunk whose declared length overruns the buffer...
+    overrun = bytearray(g711_wav(7, payload))
+    dpos = bytes(overrun).rfind(b"data")
+    overrun[dpos + 4 : dpos + 8] = struct.pack("<I", len(payload) + 64)
+    with pytest.raises(ValueError, match="data chunk overruns"):
+        wav_decode(bytes(overrun))
+    # ...and a fmt-but-no-data file (would otherwise yield zero samples)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    nodata = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    nodata = b"RIFF" + struct.pack("<I", len(nodata)) + nodata
+    with pytest.raises(ValueError, match="no data chunk"):
+        wav_decode(nodata)
 
 
 def test_mp3_probe_headers_walk():
