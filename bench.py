@@ -37,7 +37,7 @@ HEADLINE = [
 
 def main() -> None:
     from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries
-    from hadoop_3_0_0_beta1_gaia_spark.session import get_session
+    from hadoop_3_0_0_beta1_gaia_spark.session import get_session, release_owned
 
     spark = get_session(app_name="gaia-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,13 +47,18 @@ def main() -> None:
     # not first-touch JIT/IO.
     qs["q1_pricing_summary"](spark, SF_DIR).count()
 
-    # Three measured passes per query, report the min: measures the plan's
-    # steady-state cost rather than first-touch page-cache/JIT noise
-    # (single-run variance on this host is ±20%, with co-tenant spikes to
-    # +50% — the min of three is the stable plan-cost estimate).
+    # One UNTIMED warm-up pass per query, then three measured passes, report
+    # the min: per-query JIT/codegen-compile/page-cache warm-up otherwise
+    # lands entirely in run 1 and dominates the spread (VERDICT r4 item 7:
+    # five queries carried first-run spreads >= their steady value, making
+    # regressions unattributable from the artifact). With the warm-up the
+    # spread measures steady-state host noise only.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
+        qs[name](spark, SF_DIR).count()  # untimed warm-up
+        release_owned()
+        spark.catalog.clearCache()
         reps = []
         for _rep in range(3):
             t0 = time.perf_counter()
@@ -65,6 +70,7 @@ def main() -> None:
         # drop persisted frames (LSH keyed buckets, two-phase rank frames)
         # so a long bench session can't accumulate executor-memory cache
         # across queries; within a query's reps caching behaves as in prod
+        release_owned()
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.pair import with_counter
+from ..session import owned_persist
 from .rounding import duck_fround, fround
 from .text_metrics import duck_tokens, tokens
 
@@ -152,13 +153,10 @@ def ngram_jaccard_pairs(
     ``max_df`` drops ubiquitous shingles before pairing (document-frequency
     cap) — essential at corpus scale, off by default for oracle parity.
     """
-    from pyspark import StorageLevel
 
     # a-side, b-side, and sizes all read the shingle frame; no exchange
     # reuse across them (measured 8 corpus scans unpersisted) — persist once
-    sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
@@ -404,11 +402,8 @@ def minhash_lsh_pairs(
             f"({rows_per_band}): a partial final band would band differently "
             "on the Spark and DuckDB sides"
         )
-    from pyspark import StorageLevel
 
-    sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
     cands = lsh_candidate_pairs(
         minhash_signatures(sh_arr, num_hashes),
         rows_per_band,
@@ -689,17 +684,13 @@ def simhash_hamming_pairs(
     num_bands = radius + 1
     width = (32 + num_bands - 1) // num_bands  # bits per band (last may be short)
 
-    from pyspark import StorageLevel
-
     # simhash32 is a pure map-side fold (tokenize + per-token md5 + 32-bit
     # fold) consumed THREE times below (banding + both verify sides); with no
     # exchange in its plan Spark recomputes it once per consumer — persist it
     # (measured ~15% at sf0.1: the verify join over ~1.5M candidate pairs
     # dominates on the synthetic word-soup corpus, so the shingle-persist
     # lesson applies but with a smaller constant than containment's 4x).
-    sims = simhash32(df, id_col=id_col, text_col=text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sims = owned_persist(simhash32(df, id_col=id_col, text_col=text_col))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda j: F.struct(
@@ -799,13 +790,10 @@ def containment_pairs(
     ``max_df`` capping ubiquitous shingles as in the Jaccard twin.
     Output: (id_a, id_b, cont_a, cont_b, cont_max) filtered on cont_max.
     """
-    from pyspark import StorageLevel
 
     # three consumers (a-side, b-side, sizes) and no exchange reuse across
     # them — persist the shingle frame once (minhash_lsh_pairs precedent)
-    sh_arr = shingle_arrays(df, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)

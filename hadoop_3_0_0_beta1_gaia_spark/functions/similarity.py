@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import owned_persist
 from .rounding import duck_fround, fround
 
 
@@ -563,7 +564,6 @@ def cosine_near_dup_lsh(
     construction (cross-bucket pairs are missed; more planes → smaller
     buckets → faster and lower recall). Deterministic hyperplanes keep the
     result oracle-reproducible."""
-    from pyspark import StorageLevel
 
     import numpy as np
     import pandas as pd
@@ -573,7 +573,7 @@ def cosine_near_dup_lsh(
     buckets = simhash_buckets(df, num_planes, id_col, vec_col)
     # keyed feeds both sides of the bucket self-join; the norm+projection
     # chain is map-side (no exchange to reuse) — persist computes it once.
-    keyed = base.join(buckets, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = owned_persist(base.join(buckets, "id"))
     a = keyed.select(
         F.col("bucket"), F.col("id").alias("a_id"), F.col("__v").alias("av"), F.col("__n2").alias("an")
     )
@@ -739,15 +739,17 @@ def ivf_topk(
     shrink by selectivity × (num_centroids/nprobe). The brute-force anchor
     is :func:`cosine_topk_filtered`.
     """
-    from pyspark import StorageLevel
 
     probes = ivf_probes(df, num_centroids, nprobe, id_col, vec_col, round_digits)
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
     # keyed feeds BOTH sides of the bucket join; the probe chain (broadcast
     # cross + window) would otherwise recompute once per side.
-    keyed = base.join(
-        probes.select(F.col("vec_id").alias("id"), "centroid_id", "probe"), "id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = owned_persist(
+        base.join(
+            probes.select(F.col("vec_id").alias("id"), "centroid_id", "probe"),
+            "id",
+        )
+    )
     q = keyed.filter(query_filter) if query_filter is not None else keyed
     q = q.select(
         F.col("id").alias("q_id"),
@@ -1437,9 +1439,8 @@ def semantic_dedup(
 
     Output: (vec_id, centroid_id, keep) for every input vector.
     """
-    from pyspark import StorageLevel
 
-    assigned = (
+    assigned = owned_persist(
         with_norm(df, vec_col)
         .select(F.col(id_col).alias("id"), "__v", "__n2")
         .join(
@@ -1448,7 +1449,6 @@ def semantic_dedup(
             ),
             "id",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hi = assigned.select(
         F.col("id").alias("i"),

@@ -16,9 +16,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import owned_persist
 
 from ..functions.dedup import md5_long
 
@@ -156,10 +157,9 @@ def global_rank(
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = (
+    part = owned_persist(
         df.repartitionByRange(n, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = dict(
         part.groupBy("__pid").count().collect()
@@ -216,10 +216,9 @@ def global_running_total(
         )
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = (
+    part = owned_persist(
         df.repartitionByRange(n, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sums = dict(
         part.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()

@@ -34,6 +34,7 @@ from ..functions.similarity import (
     ivf_assign,
     ivf_topk,
 )
+from ..session import owned_persist
 from ..session import table as T
 from .registry import register
 
@@ -342,7 +343,7 @@ def dedup_incremental_exact(spark, sf_dir):
     fp = d.select("doc_id", normalized_fp("text").alias("fp"))
     existing = fp.filter(F.col("doc_id") < _INCR_SPLIT).select("fp").distinct()
     batch = fp.filter(F.col("doc_id") >= _INCR_SPLIT)
-    fresh = batch.join(existing, "fp", "left_anti").persist()
+    fresh = owned_persist(batch.join(existing, "fp", "left_anti"))
     return batch.agg(F.count("*").cast("long").alias("batch_docs")).crossJoin(
         fresh.agg(
             F.count("*").cast("long").alias("novel_docs"),

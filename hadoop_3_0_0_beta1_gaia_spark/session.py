@@ -142,3 +142,54 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
+# Helper-persist ownership ledger
+# ---------------------------------------------------------------------------
+# One-shot query helpers persist an intermediate that several branches of the
+# RETURNED plan consume (shingle frames, bucket-keyed vector frames, range
+# partitionings). The helper cannot unpersist before returning — the caller's
+# action still needs the cache — so without an owner the entry outlives the
+# query and, in a long-lived session running many queries back-to-back,
+# cached partitions accumulate until executor-storage eviction. The ledger
+# makes release deterministic: helpers register through owned_persist();
+# callers (bench.py, soak.py, the oracle gate, any service embedding these
+# helpers) call release_owned() after each query's terminal action.
+# Unpersisting is always SAFE, never a correctness hazard: a live plan that
+# still references the cache falls back to recomputing its lineage.
+
+_OWNED_PERSISTS: list[DataFrame] = []
+
+
+def owned_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist a helper intermediate and record it for deterministic release.
+
+    Use for frames the RETURNED plan references (no in-function unpersist
+    possible); keep plain persist+unpersist for frames fully consumed inside
+    the helper (BPE vocab swap, components iteration, hll fine table).
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _OWNED_PERSISTS.append(df)
+    return df
+
+
+def release_owned() -> int:
+    """Unpersist every ledger entry (non-blocking); returns count released."""
+    n = 0
+    for f in _OWNED_PERSISTS:
+        try:
+            f.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    _OWNED_PERSISTS.clear()
+    return n
+
+
+def cached_entry_count(spark: SparkSession) -> int:
+    """Number of RDDs currently persisted in the session — the soak gate
+    asserts this returns to zero between stages (storage stays flat)."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()

@@ -47,9 +47,24 @@ def main() -> None:
     from hadoop_3_0_0_beta1_gaia_spark.session import get_session, table as T
     from hadoop_3_0_0_beta1_gaia_spark.sources.generators import teragen
 
+    from hadoop_3_0_0_beta1_gaia_spark.session import (
+        cached_entry_count,
+        release_owned,
+    )
+
     spark = get_session(app_name="gaia-spark-soak")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
+
+    def flat() -> None:
+        """Release helper-owned persists + cache between stages and ASSERT
+        storage is flat — a full soak pass must end every stage with zero
+        cached RDDs (VERDICT r4: returned-frame persists had no owner, so a
+        long-lived session accumulated cache until executor eviction)."""
+        release_owned()
+        flat()
+        n = cached_entry_count(spark)
+        assert n == 0, f"storage not flat after stage: {n} persisted RDDs"
 
     t0 = time.perf_counter()
     gen = teragen(spark, N_TERA, num_partitions=32)
@@ -65,14 +80,14 @@ def main() -> None:
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(T(spark, SF_DIR, "documents")).count()
     results["dedup"] = {"pairs": pairs, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()  # drop stage-persisted frames between stages
+    flat()  # drop stage-persisted frames between stages; assert flat storage
 
     t0 = time.perf_counter()
     from hadoop_3_0_0_beta1_gaia_spark.plans.registry import queries as _qs
 
     winnow = _qs()["doc_winnow_near_dup"](spark, SF_DIR).count()
     results["winnow"] = {"rows": winnow, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()
+    flat()
 
     t0 = time.perf_counter()
     li = T(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -82,6 +97,7 @@ def main() -> None:
     top = ranked.agg(F.max("rank").alias("m"), F.count("*").alias("n")).collect()[0]
     assert top["m"] == top["n"], (top["m"], top["n"])  # dense 1..N global rank
     results["rank"] = {"rows": int(top["n"]), "sec": round(time.perf_counter() - t0, 2)}
+    flat()
 
     # TestDFSIO analog: parquet write/read throughput over generated rows.
     io_dir = "/tmp/gaia_spark_soak_io"
@@ -115,12 +131,12 @@ def main() -> None:
     t0 = time.perf_counter()
     zrows = _qs()["zorder_layout_orders"](spark, SF_DIR).count()
     results["zorder"] = {"files": zrows, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()
+    flat()
 
     t0 = time.perf_counter()
     krows = _qs()["kmeans_lloyd_refine"](spark, SF_DIR).count()
     results["kmeans"] = {"rows": krows, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()
+    flat()
 
     # SemDeDup: the cluster-then-dedup embedding pipeline (bucketed O(n²/k)
     # within-cluster compares — the heaviest of the new similarity entries).
@@ -131,7 +147,7 @@ def main() -> None:
         "kept": skept,
         "sec": round(time.perf_counter() - t0, 2),
     }
-    spark.catalog.clearCache()
+    flat()
 
     # SimHash Hamming pair search: the r4 band-join shape (the collect_set
     # form OOMed at 10x — this stage keeps the streaming join honest at the
@@ -139,7 +155,7 @@ def main() -> None:
     t0 = time.perf_counter()
     sh = _qs()["dedup_simhash_hamming"](spark, SF_DIR).count()
     results["simhash"] = {"pairs": sh, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()
+    flat()
 
     # JPEG codec kernel: encode+decode a 16x16 image per document through
     # the pure-Python T.81 path (numpy DCT) inside mapInPandas.
@@ -149,7 +165,7 @@ def main() -> None:
     jn = jp.count()
     assert jok == jn, (jok, jn)
     results["jpeg"] = {"docs": jn, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()
+    flat()
 
     # Video stage: per-doc MJPEG-AVI container build + frame-sampled decode
     # (the full RIFF walk + Huffman/IDCT path under sustained load).
@@ -159,7 +175,7 @@ def main() -> None:
     vn = vf.count()
     assert vok == vn, (vok, vn)
     results["video"] = {"frames": vn, "sec": round(time.perf_counter() - t0, 2)}
-    spark.catalog.clearCache()
+    flat()
 
     # MRBench analog: latency of repeated tiny map+reduce jobs.
     reps = 10

@@ -684,3 +684,31 @@ def test_q11_scalar_is_broadcast_not_rescan(spark, sf_dir):
     from a second supplier-join of the fact."""
     p = _plan(spark, sf_dir, "important_nation_value")
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_owned_persist_ledger_releases_storage(spark):
+    """Helper-persisted frames referenced by RETURNED plans are registered in
+    the session ledger and released deterministically by release_owned():
+    storage returns to zero cached RDDs (the soak.py flat-storage contract),
+    and the released query still recomputes correctly afterwards."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import ngram_jaccard_pairs
+    from hadoop_3_0_0_beta1_gaia_spark.session import (
+        cached_entry_count,
+        release_owned,
+    )
+
+    release_owned()  # start clean regardless of earlier tests
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
+         (3, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.3)
+    n1 = pairs.count()
+    assert cached_entry_count(spark) > 0  # the shingle frame is cached...
+    assert release_owned() > 0            # ...and owned by the ledger
+    spark.catalog.clearCache()
+    assert cached_entry_count(spark) == 0
+    # unpersisting never breaks a live plan — it recomputes its lineage
+    assert pairs.count() == n1

@@ -58,6 +58,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
+    from hadoop_3_0_0_beta1_gaia_spark.session import release_owned
 
     entries = all_entries()
     args = sys.argv[1:]
@@ -135,6 +136,7 @@ def main() -> int:
             failures.append((name, [repr(ex)[:500]]))
             print(f"ERROR {name}: {repr(ex)[:300]}")
         spark.catalog.clearCache()
+        release_owned()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} pass")
     for name, problems in failures:

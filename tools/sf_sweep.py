@@ -61,6 +61,7 @@ def main() -> int:
     import duckdb
 
     from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
+    from hadoop_3_0_0_beta1_gaia_spark.session import release_owned
     from hadoop_3_0_0_beta1_gaia_spark.session import get_session
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_sweep.jsonl"
@@ -128,6 +129,7 @@ def main() -> int:
         finally:
             watchdog.cancel()
         spark.catalog.clearCache()
+        release_owned()
         if rec["status"] != "PASS":
             fails += 1
         out.write(json.dumps(rec) + "\n")
