@@ -158,40 +158,68 @@ def _fdct8x8(px: list) -> list:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 stuffing and
-    restart-marker awareness."""
+    restart-marker awareness. Bits live in a small integer accumulator filled
+    a byte at a time, so multi-bit receives and 16-bit Huffman peeks are one
+    shift/mask instead of per-bit loops; the fill is LAZY (pulls a byte only
+    when the current request needs it, stops at any non-stuffed marker), so
+    truncation/marker error behavior is identical to the per-bit reader."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.bit = 0
-        self.cur = 0
+        self.acc = 0
+        self.nbits = 0
+        self._reason = None  # why fill stopped: "truncated" | "marker"
+
+    def _fill(self) -> bool:
+        """Pull one more entropy byte into the accumulator; False if blocked
+        (end of data, or a non-stuffed marker byte is next)."""
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            self._reason = "JPEG entropy stream truncated"
+            return False
+        b = data[pos]
+        pos += 1
+        if b == 0xFF:
+            if pos < len(data) and data[pos] == 0x00:
+                pos += 1  # byte stuffing
+            else:
+                self._reason = "unexpected marker inside entropy data"
+                return False
+        self.pos = pos
+        self.nbits += 8
+        # keep only live bits: consumed high bits are masked away so the
+        # accumulator stays a machine-word-sized int (nbits <= ~24)
+        self.acc = ((self.acc << 8) | b) & ((1 << self.nbits) - 1)
+        return True
 
     def read_bit(self) -> int:
-        if self.bit == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1  # byte stuffing
-                else:
-                    raise ValueError("unexpected marker inside entropy data")
-            self.cur = b
-            self.bit = 8
-        self.bit -= 1
-        return (self.cur >> self.bit) & 1
+        return self.receive(1)
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill():
+                raise ValueError(self._reason)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> tuple[int, int]:
+        """Next 16 bits left-aligned (zero-padded past stream end) and how
+        many of them are real — does NOT consume."""
+        while self.nbits < 16:
+            if not self._fill():
+                break
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - self.nbits)) & 0xFFFF, self.nbits
 
     def align_to_marker(self) -> int:
         """Skip to and consume a marker (for RSTn); returns the marker byte."""
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+        self._reason = None
         while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
                 m = self.data[self.pos + 1]
@@ -206,25 +234,71 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _build_decode_table(bits: list, huffval: list) -> dict:
-    """(length, code) → symbol, canonical Huffman assignment (T.81 C.2)."""
-    table = {}
-    code = 0
-    k = 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            table[(ln, code)] = huffval[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _DecodeTable:
+    """Canonical Huffman decode table (T.81 C.2): the (length, code) → symbol
+    map plus a 16-bit prefix LUT (entry = length<<8 | symbol, -1 invalid) so
+    one peek resolves any code in a single list index. LUTs are cached
+    per-process keyed on the table definition — JPEG files overwhelmingly
+    reuse the Annex K tables, so the 64Ki build cost is paid once, not per
+    image (the multimodal kernels decode thousands of small tiles per task)."""
+
+    __slots__ = ("map", "lut")
+
+    _LUT_CACHE: dict = {}
+
+    def __init__(self, bits: list, huffval: list):
+        self.map = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.map[(ln, code)] = huffval[k]
+                code += 1
+                k += 1
+            code <<= 1
+        key = (tuple(bits), tuple(huffval))
+        lut = self._LUT_CACHE.get(key)
+        if lut is None:
+            lut = [-1] * 65536
+            code = 0
+            k = 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    start = code << (16 - ln)
+                    lut[start : start + (1 << (16 - ln))] = [
+                        (ln << 8) | huffval[k]
+                    ] * (1 << (16 - ln))
+                    code += 1
+                    k += 1
+                code <<= 1
+            self._LUT_CACHE[key] = lut
+        self.lut = lut
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
+_DECODE_TABLE_CACHE: dict = {}
+
+
+def _build_decode_table(bits: list, huffval: list) -> _DecodeTable:
+    key = (tuple(bits), tuple(huffval))
+    tab = _DECODE_TABLE_CACHE.get(key)
+    if tab is None:
+        tab = _DECODE_TABLE_CACHE[key] = _DecodeTable(bits, huffval)
+    return tab
+
+
+def _huff_decode(br: _BitReader, table: _DecodeTable) -> int:
+    peek, avail = br.peek16()
+    v = table.lut[peek]
+    if v >= 0:
+        ln = v >> 8
+        if ln <= avail:
+            br.nbits -= ln
+            return v & 0xFF
+    # slow path: stream tail shorter than the longest code, or invalid data
     code = 0
     for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((ln, code))
+        code = (code << 1) | br.receive(1)
+        sym = table.map.get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")
@@ -311,11 +385,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["cs"]] | {"dct": s["dc"], "act": s["ac"]} for s in scan]
-    planes = {}
+    # Huffman entropy decode is inherently serial (bit positions depend on
+    # every previous symbol) and stays scalar; everything after it — IDCT,
+    # level shift, clamp, block placement, upsample, color convert — is
+    # batched over ALL blocks at once on the numpy path. Batched matmul is
+    # bit-identical to the per-block form and np.rint to Python round()
+    # (half-even), pinned by test_jpeg_batch_idct_bit_identical.
+    coefs: dict[int, list] = {c["id"]: [] for c in order}
+    blkpos: dict[int, list] = {c["id"]: [] for c in order}
     for c in order:
-        cw, chh = mcux * c["h"] * 8, mcuy * c["v"] * 8
-        planes[c["id"]] = bytearray(cw * chh)
-        c["cw"] = cw
+        c["cw"] = mcux * c["h"] * 8
+        c["ch"] = mcuy * c["v"] * 8
     br = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in order}
     mcu_count = 0
@@ -349,18 +429,35 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                                 raise ValueError("AC index out of range")
                             coef[ZIGZAG[k]] = _extend(br.receive(s), s) * q[ZIGZAG[k]]
                             k += 1
-                        px = _idct8x8(coef)
-                        plane, cw = planes[c["id"]], c["cw"]
-                        bx, by = (mx * c["h"] + u) * 8, (my * c["v"] + v) * 8
-                        for yy in range(8):
-                            rowoff = (by + yy) * cw + bx
-                            for xx in range(8):
-                                val = int(round(px[yy * 8 + xx])) + 128
-                                plane[rowoff + xx] = 0 if val < 0 else (
-                                    255 if val > 255 else val
-                                )
+                        coefs[c["id"]].append(coef)
+                        blkpos[c["id"]].append(
+                            ((my * c["v"] + v) * 8, (mx * c["h"] + u) * 8)
+                        )
             mcu_count += 1
+    planes = {
+        c["id"]: _blocks_to_plane(coefs[c["id"]], blkpos[c["id"]], c["ch"], c["cw"])
+        for c in order
+    }
     # crop + upsample to full resolution, then color-convert
+    if _np is not None:
+        if len(order) == 1:
+            return w, h, 1, planes[order[0]["id"]][:h, :w].tobytes()
+        full = {}
+        for c in order:
+            sx, sy = hmax // c["h"], vmax // c["v"]
+            p = planes[c["id"]]
+            if sy > 1:
+                p = _np.repeat(p, sy, axis=0)
+            if sx > 1:
+                p = _np.repeat(p, sx, axis=1)
+            full[c["id"]] = p[:h, :w].astype(_np.float64)
+        ids = [c["id"] for c in order]
+        Y, Cb, Cr = full[ids[0]], full[ids[1]] - 128.0, full[ids[2]] - 128.0
+        r = _np.clip(_np.rint(Y + 1.402 * Cr), 0, 255)
+        g = _np.clip(_np.rint(Y - 0.344136 * Cb - 0.714136 * Cr), 0, 255)
+        b = _np.clip(_np.rint(Y + 1.772 * Cb), 0, 255)
+        rgb = _np.stack((r, g, b), axis=-1).astype(_np.uint8)
+        return w, h, 3, rgb.tobytes()
     if len(order) == 1:
         c = order[0]
         plane, cw = planes[c["id"]], c["cw"]
@@ -392,6 +489,34 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     return w, h, 3, bytes(out)
 
 
+def _blocks_to_plane(coef_blocks, positions, ph, pw):
+    """All of a component's dequantized blocks → uint8 plane.
+
+    numpy path: ONE batched IDCT over (n_blocks, 8, 8) + vectorized
+    rint/level-shift/clamp, then per-block 8x8 slice stores — bit-identical
+    to the scalar per-pixel path (batched matmul == per-slice matmul and
+    np.rint == round(), both half-even; test-pinned). Scalar fallback keeps
+    the codec dependency-free."""
+    if _np is not None:
+        plane = _np.zeros((ph, pw), dtype=_np.uint8)
+        if coef_blocks:
+            A = _np.asarray(coef_blocks, dtype=_np.float64).reshape(-1, 8, 8)
+            px = _np.matmul(_np.matmul(_COS_MT, A), _COS_M)
+            vals = _np.clip(_np.rint(px) + 128, 0, 255).astype(_np.uint8)
+            for i, (by, bx) in enumerate(positions):
+                plane[by : by + 8, bx : bx + 8] = vals[i]
+        return plane
+    plane = bytearray(pw * ph)
+    for coef, (by, bx) in zip(coef_blocks, positions):
+        px = _idct8x8(coef)
+        for yy in range(8):
+            rowoff = (by + yy) * pw + bx
+            for xx in range(8):
+                val = int(round(px[yy * 8 + xx])) + 128
+                plane[rowoff + xx] = 0 if val < 0 else (255 if val > 255 else val)
+    return plane
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -403,8 +528,15 @@ def _scale_quant(base: list, quality: int) -> list:
     return [min(255, max(1, (t * s + 50) // 100)) for t in base]
 
 
+_ENCODE_TABLE_CACHE: dict = {}
+
+
 def _build_encode_table(bits: list, huffval: list) -> dict:
-    """symbol → (code, length)."""
+    """symbol → (code, length); cached — the tables are fixed constants."""
+    key = (tuple(bits), tuple(huffval))
+    cached = _ENCODE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     out = {}
     code = 0
     k = 0
@@ -414,6 +546,7 @@ def _build_encode_table(bits: list, huffval: list) -> dict:
             code += 1
             k += 1
         code <<= 1
+    _ENCODE_TABLE_CACHE[key] = out
     return out
 
 
@@ -453,6 +586,43 @@ def _encode_block(bw, samples, quant, dc_tab, ac_tab, pred):
     for i in range(64):
         c = coef[ZIGZAG[i]] / quant[ZIGZAG[i]]
         qz[i] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+    return _emit_block(bw, qz, dc_tab, ac_tab, pred)
+
+
+def _plane_qz_batch(plane2d, quant, tw, th):
+    """All blocks of a plane → (n_blocks, 64) zigzag-quantized int64 array.
+
+    ONE batched FDCT over every block at once. Edge padding replicates the
+    last row/column (same as the scalar block()'s min() index clamp); the
+    round-half-away-from-zero quantizer floor(|c|+0.5)·sign(c) matches the
+    scalar int(c+0.5)/-int(-c+0.5) exactly. Returns blocks in raster order
+    over the (th//8, tw//8) grid."""
+    ph, pw = plane2d.shape
+    p = plane2d.astype(_np.float64) - 128.0
+    if th > ph or tw > pw:
+        p = _np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
+    blocks = p.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    S = _np.matmul(_np.matmul(_COS_M, blocks), _COS_MT).reshape(-1, 64)
+    zz = _np.asarray(ZIGZAG, dtype=_np.int64)
+    c = S[:, zz] / _np.asarray(quant, dtype=_np.float64)[zz]
+    av = _np.floor(_np.abs(c) + 0.5)
+    return _np.where(c >= 0, av, -av).astype(_np.int64)
+
+
+def _down2x2(p, w, h):
+    """2x2 box downsample with edge-partial cells — vectorized twin of the
+    scalar down() ((acc + cnt//2)//cnt integer rounding, exact)."""
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    vals = _np.zeros((ch * 2, cw * 2), dtype=_np.int64)
+    vals[:h, :w] = p
+    cnt = _np.zeros((ch * 2, cw * 2), dtype=_np.int64)
+    cnt[:h, :w] = 1
+    s = vals.reshape(ch, 2, cw, 2).sum(axis=(1, 3))
+    n = cnt.reshape(ch, 2, cw, 2).sum(axis=(1, 3))
+    return ((s + n // 2) // n).astype(_np.uint8)
+
+
+def _emit_block(bw, qz, dc_tab, ac_tab, pred):
     diff = qz[0] - pred
     t, mag = _mag_bits(diff)
     code, ln = dc_tab[t]
@@ -529,7 +699,83 @@ def jpeg_encode(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
-    # color transform to planes
+    enc_dc_l = _build_encode_table(*HUFF_DC_LUMA)
+    enc_ac_l = _build_encode_table(*HUFF_AC_LUMA)
+    enc_dc_c = _build_encode_table(*HUFF_DC_CHROMA)
+    enc_ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+    bw = _BitWriter()
+
+    if _np is not None:
+        # Batched path: color transform, 2x2 downsample, FDCT and
+        # quantization all vectorized over the whole image; only the
+        # (inherently serial) Huffman emit walks blocks one by one. Exact
+        # twin of the scalar path below — same IEEE expression order in the
+        # color transform, same rounding (test-pinned round trips).
+        if channels == 1:
+            comps = [(_np.frombuffer(pixels, dtype=_np.uint8).reshape(h, w), ql, "l")]
+        else:
+            px = _np.frombuffer(pixels, dtype=_np.uint8).reshape(h, w, 3)
+            r = px[..., 0].astype(_np.float64)
+            g = px[..., 1].astype(_np.float64)
+            b = px[..., 2].astype(_np.float64)
+            Yp = _np.clip(
+                _np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255
+            ).astype(_np.uint8)
+            Cbp = _np.clip(
+                _np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255
+            ).astype(_np.uint8)
+            Crp = _np.clip(
+                _np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255
+            ).astype(_np.uint8)
+            if subsample:
+                Cbp, Crp = _down2x2(Cbp, w, h), _down2x2(Crp, w, h)
+            comps = [(Yp, ql, "l"), (Cbp, qc, "c"), (Crp, qc, "c")]
+        if channels == 1 or not subsample:
+            mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+            qzs = [
+                _plane_qz_batch(p, q, mcux * 8, mcuy * 8) for p, q, _k in comps
+            ]
+            preds = [0] * len(comps)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    bi = my * mcux + mx
+                    for ci, (_p, _q, kind) in enumerate(comps):
+                        dc = enc_dc_l if kind == "l" else enc_dc_c
+                        ac = enc_ac_l if kind == "l" else enc_ac_c
+                        preds[ci] = _emit_block(
+                            bw, qzs[ci][bi].tolist(), dc, ac, preds[ci]
+                        )
+        else:
+            mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+            nbxl = mcux * 2
+            qzl = _plane_qz_batch(comps[0][0], ql, mcux * 16, mcuy * 16)
+            qzc = [
+                _plane_qz_batch(p, qc, mcux * 8, mcuy * 8) for p, _q, _k in comps[1:]
+            ]
+            preds = [0, 0, 0]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for v in range(2):
+                        for u in range(2):
+                            bi = (my * 2 + v) * nbxl + (mx * 2 + u)
+                            preds[0] = _emit_block(
+                                bw, qzl[bi].tolist(), enc_dc_l, enc_ac_l, preds[0]
+                            )
+                    for ci in (1, 2):
+                        preds[ci] = _emit_block(
+                            bw,
+                            qzc[ci - 1][my * mcux + mx].tolist(),
+                            enc_dc_c,
+                            enc_ac_c,
+                            preds[ci],
+                        )
+        bw.flush()
+        out += bw.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # color transform to planes (scalar fallback — keeps the codec
+    # dependency-free; identical math to the batched path above)
     n = w * h
     if channels == 1:
         Y = list(pixels)
@@ -566,11 +812,6 @@ def jpeg_encode(
         else:
             planes = [(Y, w, h, ql, "l"), (Cb, w, h, qc, "c"), (Cr, w, h, qc, "c")]
 
-    enc_dc_l = _build_encode_table(*HUFF_DC_LUMA)
-    enc_ac_l = _build_encode_table(*HUFF_AC_LUMA)
-    enc_dc_c = _build_encode_table(*HUFF_DC_CHROMA)
-    enc_ac_c = _build_encode_table(*HUFF_AC_CHROMA)
-
     def block(plane, pw, ph, bx, by):
         s = [0.0] * 64
         for yy in range(8):
@@ -580,7 +821,6 @@ def jpeg_encode(
                 s[yy * 8 + xx] = plane[sy * pw + sx] - 128
         return s
 
-    bw = _BitWriter()
     if channels == 1 or not subsample:
         # interleaved 4:4:4 (or single-component) — MCU is one block/component
         mcux, mcuy = (w + 7) // 8, (h + 7) // 8

@@ -1715,3 +1715,44 @@ def test_q9_profit_amounts_net_of_cost(spark, sf_dir):
     )
     row = amounts.agg(F.min("a").alias("lo"), F.max("a").alias("hi")).collect()[0]
     assert row["lo"] < 0 < row["hi"]
+
+
+def test_jpeg_batch_path_bit_identical_to_scalar():
+    """The numpy batched encode/decode path (batch IDCT/FDCT matmul, np.rint,
+    vectorized color transform/downsample/quantizer) produces BIT-IDENTICAL
+    bytes to the dependency-free scalar path, across gray/RGB, 4:4:4/4:2:0,
+    odd dimensions and the q100 flat-block oracle regime — so the LUT/batch
+    speedups can never drift the oracle-checked decode output."""
+    import random
+
+    import hadoop_3_0_0_beta1_gaia_spark.functions.jpeg as J
+
+    random.seed(7)
+    cases = []
+    for w, h, ch, sub, q in [
+        (16, 16, 1, False, 100),
+        (24, 17, 1, False, 85),
+        (16, 16, 3, False, 92),
+        (24, 18, 3, True, 75),
+        (33, 9, 3, True, 60),
+    ]:
+        px = bytes(random.randrange(256) for _ in range(w * h * ch))
+        cases.append((w, h, ch, sub, q, px))
+
+    fast_enc = [
+        J.jpeg_encode(w, h, ch, px, quality=q, subsample=sub)
+        for (w, h, ch, sub, q, px) in cases
+    ]
+    fast_dec = [J.jpeg_decode(e) for e in fast_enc]
+    saved = J._np
+    try:
+        J._np = None  # force the scalar fallback
+        slow_enc = [
+            J.jpeg_encode(w, h, ch, px, quality=q, subsample=sub)
+            for (w, h, ch, sub, q, px) in cases
+        ]
+        slow_dec = [J.jpeg_decode(e) for e in fast_enc]
+    finally:
+        J._np = saved
+    assert fast_enc == slow_enc  # byte-identical encodings
+    assert fast_dec == slow_dec  # byte-identical decodes of the same bytes
