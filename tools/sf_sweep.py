@@ -9,6 +9,19 @@ superlinearly, gets a named fix (or a documented by-contract anchor)" signal
 this sweep exists to surface.
 
 Usage: python tools/sf_sweep.py [out.jsonl] [cap_seconds] [names...]
+
+Per-entry comparison modes for VERY large SFs (sf10+), via env vars:
+  SWEEP_COUNT_ONLY=a,b  compare row COUNTS only (spark count vs
+                        SELECT count(*) FROM (<oracle>)) — for entries whose
+                        output explodes past what a full-row Python compare
+                        can hold (e.g. 100M+ pair sets); full-row parity for
+                        these is established by the sf1 sweep.
+  SWEEP_SPARK_ONLY=c,d  run the Spark side only (timing + row count) — for
+                        entries whose DuckDB oracle is itself super-linear
+                        (recursive-CTE graph iterations) and would measure
+                        the oracle, not the engine, at the target SF.
+Modes are recorded in the JSONL (mode field) so the artifact shows exactly
+which gate each entry got.
 """
 
 from __future__ import annotations
@@ -102,11 +115,38 @@ def main() -> int:
             spark.sparkContext.cancelAllJobs()
             con.interrupt()
 
+        count_only = name in os.environ.get("SWEEP_COUNT_ONLY", "").split(",")
+        spark_only = name in os.environ.get("SWEEP_SPARK_ONLY", "").split(",")
         watchdog = threading.Timer(cap, _kill)
         watchdog.start()
         t0 = time.perf_counter()
         try:
             df = e.build(spark, SF_DIR)
+            if count_only or spark_only:
+                rec["mode"] = "count" if count_only else "spark-only"
+                n_spark = df.count()
+                rec["spark_s"] = round(time.perf_counter() - t0, 1)
+                rec["rows"] = n_spark
+                if count_only and e.oracle is not None:
+                    t1 = time.perf_counter()
+                    (n_duck,) = con.execute(
+                        f"SELECT count(*) FROM ({e.oracle})"
+                    ).fetchone()
+                    rec["duck_s"] = round(time.perf_counter() - t1, 1)
+                    if n_duck != n_spark:
+                        rec["status"] = "FAIL"
+                        rec["err"] = f"counts {n_spark} vs {n_duck}"
+                watchdog.cancel()
+                spark.catalog.clearCache()
+                release_owned()
+                if rec["status"] != "PASS":
+                    fails += 1
+                out.write(json.dumps(rec) + "\n")
+                print(f"[{idx + 1}/{len(names)}] {rec['status']} {name} "
+                      f"({rec['mode']}) spark={rec.get('spark_s')}s "
+                      f"duck={rec.get('duck_s')}s rows={rec.get('rows')} "
+                      f"{rec.get('err', '')}")
+                continue
             spark_rows = [tuple(r) for r in df.collect()]
             rec["spark_s"] = round(time.perf_counter() - t0, 1)
             rec["rows"] = len(spark_rows)
