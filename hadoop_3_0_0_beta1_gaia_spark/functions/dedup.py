@@ -766,6 +766,206 @@ def duckdb_simhash_hamming_pairs(
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
     """
 
+
+def _simhash64_bands(radius: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``radius + 1`` bit-slices of the 63-bit
+    fingerprint, widest first (63 = 4x16 doesn't divide; pigeonhole only
+    needs the bands to PARTITION the bits, not to be equal)."""
+    num_bands = radius + 1
+    base, rem = divmod(63, num_bands)
+    widths = [base + (1 if j < rem else 0) for j in range(num_bands)]
+    offsets = [sum(widths[:j]) for j in range(num_bands)]
+    return list(zip(offsets, widths))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash — the SCALE path of :func:`simhash32`.
+
+    Why it exists: a 32-bit fingerprint is semantically inadequate past
+    ~100k docs. Its radius-3 bands are only 8 bits wide, so bucket
+    populations grow as n/256 and candidate generation is effectively
+    quadratic — AND the fingerprint itself saturates: at n = 500k docs the
+    EXPECTED number of random (non-duplicate) pairs within Hamming 3 of a
+    32-bit hash is C(n,2) * sum_k<=3 C(32,k) / 2^32 ~ 160M, so most reported
+    "near-dups" are hash noise, not similar documents (the r5 sf10 sweep
+    measured exactly this blow-up). 63 bits gives 15/16-bit bands (bucket
+    population n/2^15) and a random-collision expectation of ~1e-3 pairs at
+    the same n — the standard production configuration (Manku et al., WWW'07
+    use 64-bit simhash, k=3).
+
+    63 rather than 64 bits keeps every value in non-negative BIGINT range on
+    both engines (bit 63 is the sign bit; Spark ANSI mode errors on signed
+    overflow, DuckDB has no unsigned BIGINT in its default arithmetic), so
+    shifts/masks/xor/bit_count all stay exact and portable. Token hash = two
+    independent 32-bit md5 words (hex chars 1-8 and 9-16), so the per-bit
+    extraction arithmetic stays below 2^32 where floor(h / 2^b) is exact in
+    double on any engine — same trick as :func:`md5_int32`, one md5 call.
+
+    Entirely map-side, zero exchanges, same fold shape as simhash32.
+    """
+    hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+    bit_range = F.sequence(F.lit(0), F.lit(62))
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(zero, 63),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_range,
+            lambda a, b: a
+            + F.when(
+                F.when(
+                    b < 32,
+                    F.floor(h["lo"] / F.pow(F.lit(2.0), b)).cast("long") % 2,
+                ).otherwise(
+                    F.floor(h["hi"] / F.pow(F.lit(2.0), b - 32)).cast("long") % 2
+                )
+                == 1,
+                one,
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            bit_range,
+            # every power of two <= 2^62 is exactly representable in double,
+            # so the cast is lossless for all 63 bits
+            lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(zero),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    return df.filter(F.size(tokens(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), simhash.alias("simhash")
+    )
+
+
+def duckdb_simhash64(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`simhash64` — same two 32-bit md5 words, same
+    per-bit votes, same powers-of-two reassembly."""
+    toks = duck_tokens(text_col)
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+        ),
+        h AS (
+            SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+            FROM toks
+        ),
+        bits AS (
+            SELECT id, b,
+                   sum(CASE WHEN (CASE WHEN b < 32
+                                  THEN CAST(floor(lo / power(2, b)) AS BIGINT) % 2
+                                  ELSE CAST(floor(hi / power(2, b - 32)) AS BIGINT) % 2
+                             END) = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM h, range(0, 63) t(b)
+            GROUP BY id, b
+        )
+        SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY id
+    """
+
+
+def simhash64_hamming_pairs(
+    df: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hamming-radius pair search over the 63-bit fingerprint — the scale
+    twin of :func:`simhash_hamming_pairs` (same streaming equi-self-join on
+    (band, band value), same carried-fingerprint bit_count verify; see that
+    docstring for why candidates must NOT use in-row bucket expansion).
+
+    Bands are exact integer bit-slices (shiftright + mask on BIGINT — no
+    double arithmetic: bits above 52 would lose exactness in the
+    floor/power formulation the 32-bit variant uses). radius 1..7 keeps
+    every band >= 7 bits; at the standard radius 3 the bands are 16/16/16/15
+    bits, so bucket population scales as n/2^15 — candidate volume stays
+    ~linear in corpus size where the 32-bit construction (8-bit bands) goes
+    quadratic past ~100k docs.
+    """
+    if not 1 <= radius <= 7:
+        raise ValueError("radius must be in 1..7 for a 63-bit fingerprint")
+    sims = owned_persist(simhash64(df, id_col=id_col, text_col=text_col))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("band"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bval"),
+            )
+            for j, (off, w) in enumerate(_simhash64_bands(radius))
+        ]
+    )
+    banded = sims.select("id", "simhash", F.explode(bands).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    if max_bucket_size is not None:
+        kept = (
+            banded.groupBy("band", "bval")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "bval")
+        )
+        banded = banded.join(kept, ["band", "bval"])
+    x = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bval"
+    )
+    y = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bval"
+    )
+    return (
+        x.join(y, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+    )
+
+
+def duckdb_simhash64_hamming_pairs(
+    table: str,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`simhash64_hamming_pairs` — same bit-slice
+    bands (>> and & are exact BIGINT ops), same bit_count(xor) verify."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {j} AS band, (simhash >> {off}) & {(1 << w) - 1} AS bval FROM sims"
+        for j, (off, w) in enumerate(_simhash64_bands(radius))
+    )
+    return f"""
+        WITH sims AS ({duckdb_simhash64(table, id_col, text_col)}),
+        banded AS ({band_rows})
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bval = y.bval AND x.id < y.id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {radius}
+    """
+
+
 def containment_pairs(
     df: DataFrame,
     n: int = 3,

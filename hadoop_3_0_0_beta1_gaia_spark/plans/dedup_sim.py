@@ -120,6 +120,25 @@ def dedup_simhash_hamming(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash64_hamming",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.dedup",
+        fromlist=["duckdb_simhash64_hamming_pairs"],
+    ).duckdb_simhash64_hamming_pairs("documents", radius=3),
+    ref="SCALE twin of dedup_simhash_hamming: 63-bit SimHash (Manku et al. "
+    "WWW'07 production config) with 16/16/16/15-bit pigeonhole bands — bucket "
+    "population n/2^15 keeps candidates ~linear where 32-bit 8-bit bands go "
+    "quadratic past ~100k docs AND the 32-bit fingerprint itself drowns in "
+    "~C(n,2)*5489/2^32 random collisions; exact integer bit-slice banding "
+    "(shiftright+mask), streaming equi-self-join, bit_count(xor) verify",
+)
+def dedup_simhash64_hamming(spark, sf_dir):
+    from ..functions.dedup import simhash64_hamming_pairs
+
+    return simhash64_hamming_pairs(T(spark, sf_dir, "documents"), radius=3)
+
+
+@register(
     "knn_cosine_topk",
     oracle=duckdb_cosine_topk("embeddings", query_where="vec_id < 100", **_KNN),
     ref="brute-force cosine top-k ANN baseline over array<float> embeddings",

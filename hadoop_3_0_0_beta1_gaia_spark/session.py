@@ -193,3 +193,30 @@ def cached_entry_count(spark: SparkSession) -> int:
     """Number of RDDs currently persisted in the session — the soak gate
     asserts this returns to zero between stages (storage stays flat)."""
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def force_release_all(spark: SparkSession) -> int:
+    """Release EVERYTHING persisted in the session: ledger-owned helper
+    persists, catalog-cached relations, and any persistent RDD still left —
+    notably ``localCheckpoint`` residue, which ``clearCache()`` cannot reach
+    (it is not a catalog relation) and the ContextCleaner frees only after a
+    JVM+Python GC of the last reference. Iterative helpers (BPE vocab swap,
+    connected components, hll rollup) localCheckpoint per round precisely to
+    bound lineage, so a long session accrues these until GC.
+
+    Only safe at STAGE BOUNDARIES: a localCheckpoint'ed frame must not be
+    re-executed after this call (its lineage was truncated, so the fallback
+    recompute path of plain unpersist does not exist). bench/soak/sweep call
+    it between independent queries, where nothing is re-executed.
+
+    Returns the number of RDDs force-unpersisted (post-clearCache residue).
+    """
+    release_owned()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    n = 0
+    while it.hasNext():
+        it.next().unpersist(False)
+        n += 1
+    return n

@@ -49,7 +49,7 @@ def main() -> None:
 
     from hadoop_3_0_0_beta1_gaia_spark.session import (
         cached_entry_count,
-        release_owned,
+        force_release_all,
     )
 
     spark = get_session(app_name="gaia-spark-soak")
@@ -60,9 +60,11 @@ def main() -> None:
         """Release helper-owned persists + cache between stages and ASSERT
         storage is flat — a full soak pass must end every stage with zero
         cached RDDs (VERDICT r4: returned-frame persists had no owner, so a
-        long-lived session accumulated cache until executor eviction)."""
-        release_owned()
-        flat()
+        long-lived session accumulated cache until executor eviction).
+        force_release_all also sweeps localCheckpoint residue, which
+        clearCache cannot reach; stages are independent, so truncated
+        lineage is never re-executed."""
+        force_release_all(spark)
         n = cached_entry_count(spark)
         assert n == 0, f"storage not flat after stage: {n} persisted RDDs"
 

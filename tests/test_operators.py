@@ -1247,6 +1247,81 @@ def test_simhash_hamming_pairs_equals_bruteforce(spark, sf_dir):
     assert brute, "fixture produced no within-radius pairs; test is vacuous"
 
 
+def test_simhash64_matches_python_reference(spark):
+    """The 63-bit fingerprint must equal an INDEPENDENT pure-Python md5
+    construction (not the shared Spark/DuckDB formula — the
+    product_type_profit lesson: oracle parity cannot catch a bug both
+    engines share, only an external ground truth can)."""
+    import hashlib
+    import re
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import simhash64
+
+    def py_simhash64(text: str) -> int:
+        toks = {t for t in re.split(r"\s+", text.lower()) if t}
+        votes = [0] * 63
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            hi, lo = int(h[:8], 16), int(h[8:16], 16)
+            for b in range(63):
+                bit = (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+                votes[b] += 1 if bit else -1
+        return sum(1 << b for b in range(63) if votes[b] > 0)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "Sphinx of black quartz judge my vow",
+        "one",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert got == {i: py_simhash64(t) for i, t in enumerate(texts)}
+    # and the high bits are actually exercised (a 32-bit-truncation bug
+    # would still pass a small-value comparison)
+    assert any(v >> 32 for v in got.values())
+
+
+def test_simhash64_hamming_pairs_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness at 63 bits: banded search == brute force
+    within the radius. Crafted near-identical docs guarantee non-vacuity
+    (whitespace-only variation -> same token set -> hamming 0)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        simhash64,
+        simhash64_hamming_pairs,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "alpha beta gamma delta epsilon zeta"),
+                (9_000_002, "alpha  beta gamma\tdelta epsilon zeta"),
+                (9_000_003, "alpha beta gamma delta epsilon zeta eta"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    sims = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash64_hamming_pairs(docs, radius=3).collect()
+    }
+    assert got == brute
+    assert (9_000_001, 9_000_002, 0) in brute  # the crafted exact-token dup
+
+
 class TestNewInventorySemantics:
     """Semantics pins for the round-3 session-2 additions."""
 

@@ -694,11 +694,13 @@ def test_owned_persist_ledger_releases_storage(spark):
     from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import ngram_jaccard_pairs
     from hadoop_3_0_0_beta1_gaia_spark.session import (
         cached_entry_count,
+        force_release_all,
         release_owned,
     )
 
-    release_owned()  # start clean regardless of earlier tests
-    spark.catalog.clearCache()
+    # start clean regardless of earlier tests — force_release_all also sweeps
+    # localCheckpoint residue other tests leave, which clearCache cannot reach
+    force_release_all(spark)
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
          (3, "entirely different words here")],
