@@ -611,6 +611,85 @@ def corpus_split_assign(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Systematic PPS sampling (probability proportional to size)
+# ---------------------------------------------------------------------------
+
+_PPS_N = 1000  # sample points (a token budget expressed in draws)
+
+
+@register(
+    "corpus_pps_sample",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                   md5(doc_id::VARCHAR || ':pps:13') AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY h, doc_id) AS hi,
+                   sum(n_tok) OVER () AS total
+            FROM w
+        ),
+        m AS (
+            SELECT doc_id, n_tok,
+                   CAST(
+                     LEAST({_PPS_N}, GREATEST(0,
+                       ({2 * _PPS_N} * hi - total + 2 * total - 1) // (2 * total)))
+                     - LEAST({_PPS_N}, GREATEST(0,
+                       ({2 * _PPS_N} * (hi - n_tok) - total + 2 * total - 1) // (2 * total)))
+                     AS BIGINT) AS mult
+            FROM c
+        )
+        SELECT doc_id, n_tok, mult FROM m WHERE mult > 0
+    """,
+    ref="systematic PPS sampling (probability proportional to size) — the "
+    "survey-sampling way to draw a token-budgeted subset: docs line up on the "
+    "cumulative token axis in a deterministic md5 order, and the k-th of n "
+    "sample points lands at floor(total*(2k+1)/(2n)) (midpoint systematic); a "
+    "doc is drawn once per point inside its [hi-n_tok, hi) interval, so "
+    "inclusion probability is exactly proportional to token count and "
+    "sum(mult) == n by construction. Complements corpus_temperature_sample "
+    "(rate-based) and domain_quota_filter (top-N): PPS is how you downsample "
+    "a corpus to a fixed token budget without a rate sweep. All arithmetic is "
+    "exact BIGINT (points are never materialized: the count of points below x "
+    "is the closed form clamp(ceil((2n*x - total)/(2*total)), 0, n), portable "
+    "because both engines' integer division agrees after the clamp); prefix "
+    "sums via the two-phase global_running_total, never a single-partition "
+    "window; the 1-row total broadcasts. Exact while 2n*total < 2^63.",
+)
+def corpus_pps_sample(spark, sf_dir):
+    from ..operators.sort import global_running_total
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pps:13"))).alias(
+            "__h"
+        ),
+    )
+    run = global_running_total(
+        d, [F.col("__h"), F.col("doc_id")], "n_tok", total_name="hi"
+    )
+    total = d.agg(F.sum("n_tok").alias("__total"))
+    n, n2 = _PPS_N, 2 * _PPS_N
+    cnt_hi = (
+        f"least({n}, greatest(0, "
+        f"({n2} * hi - __total + 2 * __total - 1) div (2 * __total)))"
+    )
+    cnt_lo = (
+        f"least({n}, greatest(0, "
+        f"({n2} * (hi - n_tok) - __total + 2 * __total - 1) div (2 * __total)))"
+    )
+    return (
+        run.crossJoin(F.broadcast(total))
+        .withColumn("mult", F.expr(f"{cnt_hi} - {cnt_lo}").cast("long"))
+        .filter(F.col("mult") > 0)
+        .select("doc_id", "n_tok", "mult")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality-classifier inference (quantized linear model, integer-exact)
 # ---------------------------------------------------------------------------
 

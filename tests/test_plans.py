@@ -714,3 +714,26 @@ def test_owned_persist_ledger_releases_storage(spark):
     assert cached_entry_count(spark) == 0
     # unpersisting never breaks a live plan — it recomputes its lineage
     assert pairs.count() == n1
+
+
+def test_pps_sample_invariants(spark, sf_dir):
+    """Systematic PPS: sum of multiplicities is EXACTLY the point count n,
+    and every doc's draw count is within 1 of its exact expectation
+    n * w / total (systematic sampling's defining variance bound)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _PPS_N,
+        corpus_pps_sample,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+    from pyspark.sql import functions as F
+
+    out = corpus_pps_sample(spark, sf_dir).collect()
+    assert sum(r["mult"] for r in out) == _PPS_N
+    total = (
+        T(spark, sf_dir, "documents")
+        .agg(F.sum(F.size(F.split(F.lower("text"), r"\s+"))))
+        .collect()[0][0]
+    )
+    for r in out:
+        exact = _PPS_N * r["n_tok"] / total
+        assert abs(r["mult"] - exact) <= 1.0, (r["doc_id"], r["mult"], exact)
