@@ -29,34 +29,81 @@ from .registry import register
 
 @register(
     "q1_pricing_summary",
+    # Exact-integer money arithmetic (round-5 fix): summing the raw DOUBLE
+    # expressions is order-dependent, and at sf10 the two engines' partial-agg
+    # orders drifted sum_charge across a cent boundary (…344.535: Spark .54,
+    # DuckDB .53). Money columns are integral in cents / discount+tax in
+    # percent (verified on the data), so every sum is an exact BIGINT — in
+    # cents, cents·pct, cents·pct·pct units — and the 2-decimal outputs are
+    # integer half-up division, identical on both engines at any SF below
+    # BIGINT range (sum_charge < 2^63 cents·pct² ≈ sf3000). Averages divide
+    # exact integers and fround (floor trick) the bit-identical quotient.
     oracle="""
+        WITH f AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT)                    AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)  AS cents,
+                   CAST(round(l_discount * 100) AS BIGINT)       AS dpct,
+                   CAST(round(l_tax * 100) AS BIGINT)            AS tpct
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        ),
+        g AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum(qty) AS sq, sum(cents) AS sc,
+                   sum(cents * (100 - dpct)) AS sd,
+                   sum(cents * (100 - dpct) * (100 + tpct)) AS sch,
+                   sum(dpct) AS sdis, count(*) AS n
+            FROM f GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                        AS sum_qty,
-               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
-               count(*)                                                         AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(sq AS DOUBLE)                        AS sum_qty,
+               sc / 100.0                                AS sum_base_price,
+               ((sd + 50) // 100) / 100.0                AS sum_disc_price,
+               ((sch + 5000) // 10000) / 100.0           AS sum_charge,
+               floor((sq / n) * 10000 + 0.5) / 10000     AS avg_qty,
+               floor(((sc / n) / 100.0) * 10000 + 0.5) / 10000 AS avg_price,
+               floor(((sdis / n) / 100.0) * 10000 + 0.5) / 10000 AS avg_disc,
+               n                                         AS count_order
+        FROM g
     """,
     ref="flagship: scan→filter→partial+final agg (Combiner, MapTask.java:1594) →Reducer.java:147",
 )
 def q1_pricing_summary(spark, sf_dir):
+    from ..functions.rounding import fround
+
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+    f = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dpct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tpct"),
+    )
+    g = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sq"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * (100 - F.col("dpct"))).alias("sd"),
+        F.sum(
+            F.col("cents") * (100 - F.col("dpct")) * (100 + F.col("tpct"))
+        ).alias("sch"),
+        F.sum("dpct").alias("sdis"),
+        F.count("*").alias("n"),
+    )
+    # integer half-up division back to 2-decimal dollars (exact at any SF
+    # below BIGINT range); averages = fround of exact-integer quotients
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        (F.col("sc") / 100.0).alias("sum_base_price"),
+        (F.expr("(sd + 50) div 100") / 100.0).alias("sum_disc_price"),
+        (F.expr("(sch + 5000) div 10000") / 100.0).alias("sum_charge"),
+        fround(F.col("sq") / F.col("n"), 4).alias("avg_qty"),
+        fround((F.col("sc") / F.col("n")) / 100.0, 4).alias("avg_price"),
+        fround((F.col("sdis") / F.col("n")) / 100.0, 4).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
