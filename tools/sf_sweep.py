@@ -168,6 +168,17 @@ def main() -> int:
             rec["spark_s"] = round(time.perf_counter() - t0, 1)
         finally:
             watchdog.cancel()
+            if timed_out.is_set():
+                # a fired watchdog races the cap-overrunning entry's still-
+                # submitting jobs; cancel again and let canceled stages drain
+                # so the NEXT entry's jobs don't get caught in the sweep
+                # (observed: entry N's 600 s cancel killed entry N+1's
+                # collect at sf10)
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:
+                    pass
+                time.sleep(3)
         spark.catalog.clearCache()
         release_owned()
         if rec["status"] != "PASS":
