@@ -139,6 +139,52 @@ def duck_shingles(table: str, n: int, id_col: str = "doc_id", text_col: str = "t
     """
 
 
+def _df_capped_shingles(
+    sh: DataFrame, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Document-frequency cap for shingle-join candidate generation: drop
+    shingles appearing in > ``max_df`` documents BEFORE the self-join.
+
+    The raw shingle self-join is quadratic in per-shingle document frequency
+    — at the sf10 fixture (500k docs) 27k boilerplate shingles out of 5.6M
+    carry 8.89B of the join's 8.89B intermediate pairs (99.99%+), while a
+    df <= 8 cap keeps ~6.4k. Dropping ubiquitous shingles is the standard
+    corpus-scale move (rare-shingle candidate generation); set sizes are
+    recomputed over the capped universe so the similarity denominator stays
+    consistent. Dropped volume is observable via :func:`df_cap_counter`
+    (same governance pattern as the LSH bucket cap).
+
+    Returns (capped (id, shingle) rows, per-doc capped sizes (id, sz)).
+    """
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    freq, _LAST_DF_CAP_OBS[0] = with_counter(
+        freq,
+        "shingle_df_cap",
+        F.sum((F.col("df") > max_df).cast("long")).alias("df_dropped_shingles"),
+        F.sum(F.when(F.col("df") > max_df, F.col("df")).otherwise(0)).alias(
+            "df_dropped_rows"
+        ),
+    )
+    rare = freq.filter(F.col("df") <= max_df).select("shingle")
+    capped = sh.join(rare, "shingle")
+    sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
+    return capped, sizes
+
+
+# Most-recent df-cap observation (set when a shingle-join pair generator runs
+# with max_df); read AFTER an action on the returned frame.
+_LAST_DF_CAP_OBS: list = [None]
+
+
+def df_cap_counter() -> dict:
+    """Metrics of the last df-capped shingle-join action:
+    {'df_dropped_shingles': n, 'df_dropped_rows': m}."""
+    obs = _LAST_DF_CAP_OBS[0]
+    return dict(obs.get) if obs is not None else {}
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -159,9 +205,7 @@ def ngram_jaccard_pairs(
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
-        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        sh, sizes = _df_capped_shingles(sh, max_df)
     else:
         # set size is the per-row array length — no aggregation shuffle
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
@@ -189,13 +233,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def _duck_capped_shingle_ctes(
+    table: str, n: int, id_col: str, text_col: str, max_df: int | None
+) -> str:
+    """Shared sh/sizes CTE prelude for the shingle-join oracles; with
+    ``max_df``, the df cap and capped-universe sizes mirror
+    :func:`_df_capped_shingles` exactly."""
+    if max_df is None:
+        return f"""
+        sh AS ({duck_shingles(table, n, id_col, text_col)}),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)"""
+    return f"""
+        sh0 AS ({duck_shingles(table, n, id_col, text_col)}),
+        dfreq AS (SELECT shingle FROM sh0 GROUP BY shingle
+                  HAVING count(*) <= {max_df}),
+        sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle)),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)"""
+
+
 def duckdb_ngram_jaccard(
     table: str, n: int = 3, threshold: float = 0.4,
     id_col: str = "doc_id", text_col: str = "text",
+    max_df: int | None = None,
 ) -> str:
     return f"""
-        WITH sh AS ({duck_shingles(table, n, id_col, text_col)}),
-        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        WITH {_duck_capped_shingle_ctes(table, n, id_col, text_col, max_df)},
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -996,9 +1058,7 @@ def containment_pairs(
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
-        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        sh, sizes = _df_capped_shingles(sh, max_df)
     else:
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -1031,12 +1091,12 @@ def duckdb_containment(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> str:
     ca = duck_fround("i.inter / sa.sz", 4)
     cb = duck_fround("i.inter / sb.sz", 4)
     return f"""
-        WITH sh AS ({duck_shingles(table, n, id_col, text_col)}),
-        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        WITH {_duck_capped_shingle_ctes(table, n, id_col, text_col, max_df)},
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id

@@ -64,6 +64,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_ngram_jaccard_capped",
+    oracle=duckdb_ngram_jaccard("documents", **_NGRAM, max_df=4),
+    ref="the 100 TB configuration of the shingle-join Jaccard: max_df drops "
+    "shingles appearing in > 4 docs before pairing (rare-shingle candidate "
+    "generation — the standard corpus-scale cap; set sizes recomputed over "
+    "the capped universe on BOTH engines). Why it exists: the raw shingle "
+    "self-join is quadratic in per-shingle document frequency — at the sf10 "
+    "fixture 27k boilerplate shingles out of 5.6M carry 8.89B intermediate "
+    "pairs (the uncapped twin times out there), while the cap keeps ~6.4k. "
+    "Dropped volume observable via df_cap_counter() (LSH bucket-cap pattern)",
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM, max_df=4)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=duckdb_minhash_lsh("documents", **_MINHASH),
     ref="MinHash signatures + banded LSH candidates + Jaccard verify — the scale path",
@@ -447,6 +463,26 @@ def dedup_containment(spark, sf_dir):
     from ..functions.dedup import containment_pairs
 
     return containment_pairs(T(spark, sf_dir, "documents"), n=3, threshold=0.6)
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.dedup",
+        fromlist=["duckdb_containment"],
+    ).duckdb_containment("documents", n=3, threshold=0.6, max_df=4),
+    ref="the 100 TB configuration of containment dedup: same max_df "
+    "rare-shingle cap as dedup_ngram_jaccard_capped (the shared shingle join "
+    "is the quadratic stage; the uncapped exact form times out at the sf10 "
+    "fixture). Containment denominators |A|,|B| recomputed over the capped "
+    "shingle universe identically on both engines",
+)
+def dedup_containment_capped(spark, sf_dir):
+    from ..functions.dedup import containment_pairs
+
+    return containment_pairs(
+        T(spark, sf_dir, "documents"), n=3, threshold=0.6, max_df=4
+    )
 
 
 @register(

@@ -152,6 +152,58 @@ def test_lsh_cap_drops_hot_cluster_keeps_tail(spark):
     assert len(mega) == 0
 
 
+def test_df_cap_drops_boilerplate_keeps_rare_pairs(spark):
+    """max_df on the shingle-join generators (ngram_jaccard / containment):
+    a boilerplate sentence shared by 40 docs would contribute C(40,2)-scale
+    join pairs per shingle; the df cap drops those shingles (counters fire)
+    while a genuine near-dup pair built from RARE shingles keeps its pair —
+    and its jaccard is computed over the capped universe."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        df_cap_counter,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "this content is provided as is without any warranty of any kind"
+    rows = [(i, boiler) for i in range(40)]  # 40-doc boilerplate cluster
+    rare = "quasar nebula pulsar magnetar blazar kilonova parallax syzygy"
+    rows += [(100, rare + " alpha"), (101, rare + " omega")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_df=4)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # the rare-shingle near-dup pair survives; every boilerplate pair is gone
+    assert (100, 101) in pairs
+    assert not [p for p in pairs if p[0] < 40 and p[1] < 40]
+    # capped-universe jaccard: 9 tokens/doc -> 7 trigrams, 6 shared rare
+    # trigrams (df=2), last trigram of each doc unique => 6/(7+7-6)
+    assert pairs[(100, 101)] == round(6 / 8, 4)
+    # counters: the boilerplate doc's shingles all have df=40 > 4
+    n_boiler_shingles = len(boiler.split()) - 2
+    m = df_cap_counter()
+    assert m["df_dropped_shingles"] == n_boiler_shingles
+    assert m["df_dropped_rows"] == 40 * n_boiler_shingles
+
+
+def test_df_cap_containment_subset_pair_survives(spark):
+    """Containment's defining subset pair (short doc embedded in a long one)
+    still surfaces under the df cap when its shingles are rare."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import containment_pairs
+
+    short = "emerald sapphire obsidian basalt granite quartz"
+    long_doc = short + " feldspar mica schist gneiss marble slate limestone"
+    boiler = "click here to accept the terms and conditions of this site"
+    rows = [(i, boiler) for i in range(20)]
+    rows += [(100, short), (101, long_doc)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        (r["id_a"], r["id_b"]): r["cont_max"]
+        for r in containment_pairs(docs, n=3, threshold=0.6, max_df=4).collect()
+    }
+    # all 4 of short's trigrams appear in long_doc => C(short in long) = 1.0
+    assert out == {(100, 101): 1.0}
+
+
 def test_range_join_bucketed_hot_interval(spark):
     """range_join_bucketed with a HOT interval spanning the whole range plus
     narrow ones: the analytic match count holds (hot matches all probes) and
