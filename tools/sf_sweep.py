@@ -74,7 +74,7 @@ def main() -> int:
     import duckdb
 
     from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
-    from hadoop_3_0_0_beta1_gaia_spark.session import release_owned
+    from hadoop_3_0_0_beta1_gaia_spark.session import force_release_all
     from hadoop_3_0_0_beta1_gaia_spark.session import get_session
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_sweep.jsonl"
@@ -137,8 +137,7 @@ def main() -> int:
                         rec["status"] = "FAIL"
                         rec["err"] = f"counts {n_spark} vs {n_duck}"
                 watchdog.cancel()
-                spark.catalog.clearCache()
-                release_owned()
+                force_release_all(spark)
                 if rec["status"] != "PASS":
                     fails += 1
                 out.write(json.dumps(rec) + "\n")
@@ -179,8 +178,7 @@ def main() -> int:
                 except Exception:
                     pass
                 time.sleep(3)
-        spark.catalog.clearCache()
-        release_owned()
+        force_release_all(spark)
         if rec["status"] != "PASS":
             fails += 1
         out.write(json.dumps(rec) + "\n")
