@@ -576,17 +576,27 @@ def fuzzy_match_customers(spark, sf_dir):
         F.explode(
             F.expr(
                 "transform(sequence(1, length(nm)),"
-                " i -> concat(substring(nm, 1, i - 1), '*', substring(nm, i + 1)))"
+                " i -> struct(i AS i, concat(substring(nm, 1, i - 1), '*',"
+                " substring(nm, i + 1)) AS bk))"
             )
-        ).alias("bk"),
-    )
-    a = keys.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "bk")
+        ).alias("k"),
+    ).select("id", "nm", F.col("k.i").alias("i"), F.col("k.bk").alias("bk"))
+    a = keys.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "i", "bk")
     b = keys.select(F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "bk")
+    # No distinct() needed: two DIFFERENT names co-bucket at exactly ONE key
+    # (the wildcard must sit on the sole differing position), and identical
+    # names co-bucket at every key — keeping only rows where the wildcard
+    # position is the first disagreement (or position 1 for equal names)
+    # yields each pair exactly once WITHOUT shuffling the output-scale
+    # candidate frame (at sf10 the old distinct re-shuffled ~40M rows
+    # carrying both name strings).
     cands = (
         a.join(b, "bk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.expr("substr(nm_a, i, 1) <> substr(nm_b, i, 1)") | (F.col("i") == 1)
+        )
         .select("id_a", "id_b", "nm_a", "nm_b")
-        .distinct()
     )
     return (
         cands.withColumn(
