@@ -869,9 +869,20 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     both engines (bit 63 is the sign bit; Spark ANSI mode errors on signed
     overflow, DuckDB has no unsigned BIGINT in its default arithmetic), so
     shifts/masks/xor/bit_count all stay exact and portable. Token hash = two
-    independent 32-bit md5 words (hex chars 1-8 and 9-16), so the per-bit
-    extraction arithmetic stays below 2^32 where floor(h / 2^b) is exact in
-    double on any engine — same trick as :func:`md5_int32`, one md5 call.
+    independent 32-bit md5 words (hex chars 1-8 and 9-16), one md5 call.
+
+    Bit extraction is (word >> b) & 1 with b unrolled as a Python literal —
+    exact integer ops on both engines, identical to the old
+    floor(word / 2^b) % 2 formulation for all non-negative words < 2^32.
+    The unrolled-literal form matters at scale: higher-order-function
+    lambdas run interpreted, and the previous zip_with-over-63-bits fold
+    paid an interpreted Math.pow + double round-trip per (token, bit) —
+    ~1.7B of them at the sf10 fixture, dominating the entry's runtime
+    (found by the r5 sf10 sweep). Instead ONE fold carries a 64-slot
+    accumulator (63 one-bit counts + the token count) with two cheap long
+    ops per (token, bit), and the fold's finish lambda assembles the
+    fingerprint — md5 runs once per token, the accumulator is referenced
+    only through lambda variables, so nothing re-evaluates.
 
     Entirely map-side, zero exchanges, same fold shape as simhash32.
     """
@@ -882,39 +893,27 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
         ),
     )
-    bit_range = F.sequence(F.lit(0), F.lit(62))
     zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
-    bit_sums = F.aggregate(
-        hashes,
-        F.array_repeat(zero, 63),
-        lambda acc, h: F.zip_with(
-            acc,
-            bit_range,
-            lambda a, b: a
-            + F.when(
-                F.when(
-                    b < 32,
-                    F.floor(h["lo"] / F.pow(F.lit(2.0), b)).cast("long") % 2,
-                ).otherwise(
-                    F.floor(h["hi"] / F.pow(F.lit(2.0), b - 32)).cast("long") % 2
-                )
-                == 1,
-                one,
-            ).otherwise(F.lit(-1).cast("long")),
-        ),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            bit_sums,
-            bit_range,
-            # every power of two <= 2^62 is exactly representable in double,
-            # so the cast is lossless for all 63 bits
-            lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(zero),
-        ),
-        zero,
-        lambda a, x: a + x,
-    )
+
+    def step(acc, h):
+        slots = [
+            F.element_at(acc, b + 1)
+            + F.shiftright(h["lo" if b < 32 else "hi"], b % 32).bitwiseAND(F.lit(1))
+            for b in range(63)
+        ]
+        return F.array(*slots, F.element_at(acc, 64) + F.lit(1).cast("long"))
+
+    def finish(acc):
+        # bit b set iff vote sum > 0 iff 2*ones(b) > ntok (slot 64)
+        out = zero
+        for b in range(63):
+            out = out + F.when(
+                F.element_at(acc, b + 1) * 2 > F.element_at(acc, 64),
+                F.lit(1 << b).cast("long"),
+            ).otherwise(zero)
+        return out
+
+    simhash = F.aggregate(hashes, F.array_repeat(zero, 64), step, finish)
     return df.filter(F.size(tokens(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"), simhash.alias("simhash")
     )
@@ -935,15 +934,13 @@ def duckdb_simhash64(table: str, id_col: str = "doc_id", text_col: str = "text")
         ),
         bits AS (
             SELECT id, b,
-                   sum(CASE WHEN (CASE WHEN b < 32
-                                  THEN CAST(floor(lo / power(2, b)) AS BIGINT) % 2
-                                  ELSE CAST(floor(hi / power(2, b - 32)) AS BIGINT) % 2
-                             END) = 1
+                   sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+                                        ELSE hi >> (b - 32) END) & 1) = 1
                             THEN 1 ELSE -1 END) AS s
             FROM h, range(0, 63) t(b)
             GROUP BY id, b
         )
-        SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+        SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
                                  ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY id
     """

@@ -1574,16 +1574,21 @@ def scd2_order_history(spark, sf_dir):
         FROM tris
     """,
     ref="triangle counting over the co-purchase graph (the graph-analytics "
-    "kernel beyond dedup_components' connected components): distinct id-"
-    "oriented edges (a<b) from in-row basket pair expansion, wedge join on "
-    "the middle vertex, closure check against the edge set — each triangle "
-    "counted exactly once since a<b<c. At real graph scale the orientation "
-    "must be by (degree, id) so wedge counts are bounded by arboricity "
-    "(the standard trick); id-orientation here keeps both engines trivially "
-    "identical. All joins are hash joins keyed on vertex ids",
+    "kernel beyond dedup_components' connected components): distinct edges "
+    "from in-row basket pair expansion, DEGREE-ORDERED orientation (edges "
+    "point from lower to higher (degree, id)), wedge join on the low vertex, "
+    "closure check against the oriented edge set. Degree orientation bounds "
+    "per-vertex wedge fan-out by O(sqrt(m)) (the arboricity trick) — found "
+    "by the sf10 sweep, where id-orientation let popular parts fan out "
+    "quadratically (880 s cap blown); each triangle still has exactly one "
+    "lowest vertex in the (degree, id) total order, so it is counted once. "
+    "The oracle keeps the simpler id-orientation: triangle COUNT is "
+    "orientation-invariant, so the engines agree by construction. All joins "
+    "are hash joins keyed on vertex ids",
 )
 def copurchase_triangles(spark, sf_dir):
     from ..functions.dedup import expand_bucket_pairs
+    from ..session import owned_persist
 
     baskets = (
         T(spark, sf_dir, "lineitem")
@@ -1591,21 +1596,45 @@ def copurchase_triangles(spark, sf_dir):
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    edges = (
+    und = owned_persist(
         expand_bucket_pairs(baskets)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
-    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = edges.join(e2, "b").select("a", "b", "c")
-    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tris = wedges.join(e3, ["a", "c"]).agg(F.count("*").alias("n_triangles"))
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
-    n_nodes = (
-        edges.select(F.col("a").alias("v"))
-        .unionByName(edges.select(F.col("b").alias("v")))
-        .agg(F.count_distinct("v").alias("n_nodes"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
     )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    e = owned_persist(
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
+        )
+    )
+    w1 = e.select("src", F.col("dst").alias("v"), F.col("d_dst").alias("d_v"))
+    w2 = e.select("src", F.col("dst").alias("w"), F.col("d_dst").alias("d_w"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(
+            (F.col("d_v") < F.col("d_w"))
+            | ((F.col("d_v") == F.col("d_w")) & (F.col("v") < F.col("w")))
+        )
+        .select("v", "w")
+    )
+    closure = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closure, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_nodes = deg.agg(F.count_distinct("v").alias("n_nodes"))
     return tris.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
 
 
