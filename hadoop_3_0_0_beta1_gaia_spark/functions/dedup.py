@@ -211,7 +211,12 @@ def ngram_jaccard_pairs(
 
     # a-side, b-side, and sizes all read the shingle frame; no exchange
     # reuse across them (measured 8 corpus scans unpersisted) — persist once
+    # and materialize EAGERLY: AQE submits the independent consumer branches
+    # concurrently, and parallel scans of a not-yet-populated cache each
+    # recompute the full shingle pass (sf10: 3x a ~200 s stage; losers'
+    # blocks are discarded). One count() populates the cache first.
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
+    sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         sh, sizes = _df_capped_shingles(sh, max_df)
@@ -476,6 +481,11 @@ def minhash_lsh_pairs(
         )
 
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
+    # eager materialization: the candidate chain and the verify a/b sides are
+    # independent plan branches that AQE starts concurrently — racing an
+    # unpopulated cache recomputes the shingle scan once per branch (found
+    # by the sf10 sweep: ~3x a ~200 s stage)
+    sh_arr.count()
     cands = lsh_candidate_pairs(
         minhash_signatures(sh_arr, num_hashes),
         rows_per_band,
@@ -1062,7 +1072,10 @@ def containment_pairs(
 
     # three consumers (a-side, b-side, sizes) and no exchange reuse across
     # them — persist the shingle frame once (minhash_lsh_pairs precedent)
+    # and materialize eagerly (concurrent AQE branches race an unpopulated
+    # cache into per-branch recompute; see ngram_jaccard_pairs)
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
+    sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         sh, sizes = _df_capped_shingles(sh, max_df)
