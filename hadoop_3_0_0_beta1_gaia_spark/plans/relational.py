@@ -1601,6 +1601,7 @@ def copurchase_triangles(spark, sf_dir):
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
+    und.count()  # populate cache before concurrent AQE consumer branches
     deg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
@@ -1621,6 +1622,7 @@ def copurchase_triangles(spark, sf_dir):
             F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
         )
     )
+    e.count()  # same: wedge sides + closure all read e concurrently
     w1 = e.select("src", F.col("dst").alias("v"), F.col("d_dst").alias("d_v"))
     w2 = e.select("src", F.col("dst").alias("w"), F.col("d_dst").alias("d_w"))
     wedges = (
