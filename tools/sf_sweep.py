@@ -164,7 +164,13 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             rec["status"] = "TIMEOUT" if timed_out.is_set() else "ERROR"
             rec["err"] = repr(ex)[:300]
-            rec["spark_s"] = round(time.perf_counter() - t0, 1)
+            # Never clobber an already-recorded spark_s: if the Spark side
+            # finished (rows present) and the ORACLE overran the cap, the
+            # engine time must survive — total_s carries the full elapsed.
+            # (Pre-fix records conflated the two: a TIMEOUT row with rows
+            # recorded had spark_s = spark + oracle-until-interrupt.)
+            rec.setdefault("spark_s", round(time.perf_counter() - t0, 1))
+            rec["total_s"] = round(time.perf_counter() - t0, 1)
         finally:
             watchdog.cancel()
             if timed_out.is_set():
