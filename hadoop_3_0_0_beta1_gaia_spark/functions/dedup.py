@@ -1027,20 +1027,31 @@ def duckdb_simhash64_hamming_pairs(
     radius: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`simhash64_hamming_pairs` — same bit-slice
-    bands (>> and & are exact BIGINT ops), same bit_count(xor) verify."""
+    bands (>> and & are exact BIGINT ops), same bit_count(xor) verify,
+    same band-bucket cap rule when ``max_bucket_size`` is given."""
     band_rows = " UNION ALL ".join(
         f"SELECT id, simhash, {j} AS band, (simhash >> {off}) & {(1 << w) - 1} AS bval FROM sims"
         for j, (off, w) in enumerate(_simhash64_bands(radius))
     )
+    kept = ""
+    join_kept = ""
+    if max_bucket_size is not None:
+        kept = f""",
+        kept AS (
+            SELECT band, bval FROM banded GROUP BY band, bval
+            HAVING count(*) <= {max_bucket_size}
+        )"""
+        join_kept = " JOIN kept k ON k.band = x.band AND k.bval = x.bval"
     return f"""
         WITH sims AS ({duckdb_simhash64(table, id_col, text_col)}),
-        banded AS ({band_rows})
+        banded AS ({band_rows}){kept}
         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
         FROM banded x JOIN banded y
-          ON x.band = y.band AND x.bval = y.bval AND x.id < y.id
+          ON x.band = y.band AND x.bval = y.bval AND x.id < y.id{join_kept}
         WHERE bit_count(xor(x.simhash, y.simhash)) <= {radius}
     """
 

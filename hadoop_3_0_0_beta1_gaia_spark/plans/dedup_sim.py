@@ -155,6 +155,33 @@ def dedup_simhash64_hamming(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash64_hamming_capped",
+    oracle=__import__(
+        "hadoop_3_0_0_beta1_gaia_spark.functions.dedup",
+        fromlist=["duckdb_simhash64_hamming_pairs"],
+    ).duckdb_simhash64_hamming_pairs("documents", radius=3, max_bucket_size=64),
+    ref="the 100 TB configuration of the simhash64 pair search, same cap "
+    "governance as dedup_minhash_lsh_capped: band buckets holding more than "
+    "max_bucket_size docs are dropped before the self-join. Why it exists, "
+    "measured at the sf10 fixture (500k docs): real documents share "
+    "vocabulary, so simhash bits are BIASED and 16-bit band values "
+    "mega-collide — the hottest bucket held 48,915 docs and the candidate "
+    "join faced 3.497B pairs. The cap bounds per-bucket cost to cap^2 while "
+    "genuine near-dup pairs (which agree on some band with few "
+    "band-collisions) survive; a dropped boilerplate-band pair still "
+    "surfaces through its other three bands or exact dedup. The cap changes "
+    "the answer, so the configuration carries its OWN oracle reproducing "
+    "the drop rule (kept CTE, HAVING count(*) <= cap)",
+)
+def dedup_simhash64_hamming_capped(spark, sf_dir):
+    from ..functions.dedup import simhash64_hamming_pairs
+
+    return simhash64_hamming_pairs(
+        T(spark, sf_dir, "documents"), radius=3, max_bucket_size=64
+    )
+
+
+@register(
     "knn_cosine_topk",
     oracle=duckdb_cosine_topk("embeddings", query_where="vec_id < 100", **_KNN),
     ref="brute-force cosine top-k ANN baseline over array<float> embeddings",
