@@ -149,7 +149,7 @@ def duck_shingles(table: str, n: int, id_col: str = "doc_id", text_col: str = "t
 
 
 def _df_capped_shingles(
-    sh: DataFrame, max_df: int
+    sh: DataFrame, max_df: int, generator: str = "ngram_jaccard"
 ) -> tuple[DataFrame, DataFrame]:
     """Document-frequency cap for shingle-join candidate generation: drop
     shingles appearing in > ``max_df`` documents BEFORE the self-join.
@@ -168,9 +168,9 @@ def _df_capped_shingles(
     if max_df < 1:
         raise ValueError("max_df must be >= 1")
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    freq, _LAST_DF_CAP_OBS[0] = with_counter(
+    freq, _DF_CAP_OBS[generator] = with_counter(
         freq,
-        "shingle_df_cap",
+        f"shingle_df_cap_{generator}",
         F.sum((F.col("df") > max_df).cast("long")).alias("df_dropped_shingles"),
         F.sum(F.when(F.col("df") > max_df, F.col("df")).otherwise(0)).alias(
             "df_dropped_rows"
@@ -182,15 +182,30 @@ def _df_capped_shingles(
     return capped, sizes
 
 
-# Most-recent df-cap observation (set when a shingle-join pair generator runs
-# with max_df); read AFTER an action on the returned frame.
-_LAST_DF_CAP_OBS: list = [None]
+# Per-generator df-cap observations (set when a shingle-join pair generator
+# runs with max_df); read AFTER an action on that generator's frame. Keyed by
+# generator name so building two capped plans before running either cannot
+# cross-wire their metrics (last-write-wins bug, ADVICE r5).
+_DF_CAP_OBS: dict = {}
 
 
-def df_cap_counter() -> dict:
-    """Metrics of the last df-capped shingle-join action:
-    {'df_dropped_shingles': n, 'df_dropped_rows': m}."""
-    obs = _LAST_DF_CAP_OBS[0]
+def df_cap_counter(generator: str | None = None) -> dict:
+    """Metrics of a df-capped shingle-join action:
+    {'df_dropped_shingles': n, 'df_dropped_rows': m}.
+
+    ``generator`` names which capped plan to read ('ngram_jaccard' /
+    'containment'); with one capped plan built it may be omitted. Reading
+    before ANY action on that plan's frame blocks (Observation.get
+    semantics) — always act on the returned frame first.
+    """
+    if generator is None:
+        if len(_DF_CAP_OBS) > 1:
+            raise ValueError(
+                "multiple df-capped generators built this session "
+                f"({sorted(_DF_CAP_OBS)}); pass generator= to pick one"
+            )
+        generator = next(iter(_DF_CAP_OBS), "")
+    obs = _DF_CAP_OBS.get(generator)
     return dict(obs.get) if obs is not None else {}
 
 
@@ -201,12 +216,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold (id_a < id_b).
 
     Join-on-shingle → count intersections → Jaccard from per-doc set sizes.
     ``max_df`` drops ubiquitous shingles before pairing (document-frequency
     cap) — essential at corpus scale, off by default for oracle parity.
+    ``eager=False`` skips the cache-populating count() for plan-only callers
+    (explain/schema inspection) — running the returned plan then risks the
+    AQE concurrent-branch recompute, so keep the default when executing.
     """
 
     # a-side, b-side, and sizes all read the shingle frame; no exchange
@@ -216,7 +235,8 @@ def ngram_jaccard_pairs(
     # recompute the full shingle pass (sf10: 3x a ~200 s stage; losers'
     # blocks are discarded). One count() populates the cache first.
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
-    sh_arr.count()
+    if eager:
+        sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         sh, sizes = _df_capped_shingles(sh, max_df)
@@ -450,9 +470,11 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact-Jaccard verify on candidates only.
+    (``eager=False``: skip the cache-populating count for plan-only callers.)
 
     The verify intersection starts FROM the candidate pairs, never from the
     all-pairs shingle join — candidate count is linear in corpus size, so the
@@ -485,7 +507,8 @@ def minhash_lsh_pairs(
     # independent plan branches that AQE starts concurrently — racing an
     # unpopulated cache recomputes the shingle scan once per branch (found
     # by the sf10 sweep: ~3x a ~200 s stage)
-    sh_arr.count()
+    if eager:
+        sh_arr.count()
     cands = lsh_candidate_pairs(
         minhash_signatures(sh_arr, num_hashes),
         rows_per_band,
@@ -731,6 +754,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """SimHash near-dup PAIRS within a Hamming radius — the search half of
     :func:`simhash32` (which only fingerprints).
@@ -773,6 +797,11 @@ def simhash_hamming_pairs(
     # dominates on the synthetic word-soup corpus, so the shingle-persist
     # lesson applies but with a smaller constant than containment's 4x).
     sims = owned_persist(simhash32(df, id_col=id_col, text_col=text_col))
+    # Eagerly populate before AQE's concurrent consumer branches (banding +
+    # both verify sides) race the cache and each recompute the fold (the
+    # round-5 shingle lesson, measured 12-30x there; same no-exchange shape).
+    if eager:
+        sims.count()
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda j: F.struct(
@@ -962,6 +991,7 @@ def simhash64_hamming_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Hamming-radius pair search over the 63-bit fingerprint — the scale
     twin of :func:`simhash_hamming_pairs` (same streaming equi-self-join on
@@ -979,6 +1009,11 @@ def simhash64_hamming_pairs(
     if not 1 <= radius <= 7:
         raise ValueError("radius must be in 1..7 for a 63-bit fingerprint")
     sims = owned_persist(simhash64(df, id_col=id_col, text_col=text_col))
+    # Eager count: x/y self-join sides PLUS the optional cap branch are three
+    # concurrent consumers of this cache; unpopulated, AQE recomputes the
+    # ~64-slot fingerprint fold once per branch (round-5 shingle lesson).
+    if eager:
+        sims.count()
     bands = F.array(
         *[
             F.struct(
@@ -1063,6 +1098,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: containment C(A in B) = |A∩B| / |A| over shingle
     sets — the subset-duplication rule (quotes, boilerplate, a short doc
@@ -1086,10 +1122,11 @@ def containment_pairs(
     # and materialize eagerly (concurrent AQE branches race an unpopulated
     # cache into per-branch recompute; see ngram_jaccard_pairs)
     sh_arr = owned_persist(shingle_arrays(df, n, id_col, text_col))
-    sh_arr.count()
+    if eager:
+        sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        sh, sizes = _df_capped_shingles(sh, max_df)
+        sh, sizes = _df_capped_shingles(sh, max_df, generator="containment")
     else:
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")

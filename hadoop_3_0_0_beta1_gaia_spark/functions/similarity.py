@@ -574,6 +574,9 @@ def cosine_near_dup_lsh(
     # keyed feeds both sides of the bucket self-join; the norm+projection
     # chain is map-side (no exchange to reuse) — persist computes it once.
     keyed = owned_persist(base.join(buckets, "id"))
+    # Eagerly populate before the a/b self-join branches race the cache
+    # (AQE concurrent-branch recompute — the round-5 shingle lesson).
+    keyed.count()
     a = keyed.select(
         F.col("bucket"), F.col("id").alias("a_id"), F.col("__v").alias("av"), F.col("__n2").alias("an")
     )
@@ -750,6 +753,9 @@ def ivf_topk(
             "id",
         )
     )
+    # Eagerly populate before the q/n consumer branches race the cache
+    # (AQE concurrent-branch recompute — the round-5 shingle lesson).
+    keyed.count()
     q = keyed.filter(query_filter) if query_filter is not None else keyed
     q = q.select(
         F.col("id").alias("q_id"),
@@ -1450,6 +1456,9 @@ def semantic_dedup(
             "id",
         )
     )
+    # Eagerly populate before the hi/lo self-join sides + final join-back
+    # race the cache (AQE concurrent-branch recompute — round-5 lesson).
+    assigned.count()
     hi = assigned.select(
         F.col("id").alias("i"),
         F.col("centroid_id").alias("b"),

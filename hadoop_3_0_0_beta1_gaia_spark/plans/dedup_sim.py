@@ -572,7 +572,7 @@ def ivf_filtered_topk(spark, sf_dir):
             SELECT id, nm,
                    unnest(list_transform(
                        generate_series(1, length(nm)),
-                       i -> substring(nm, 1, i - 1) || '*' || substring(nm, i + 1)
+                       i -> substring(nm, 1, i - 1) || chr(1) || substring(nm, i + 1)
                    )) AS bk
             FROM names
         ),
@@ -603,7 +603,7 @@ def fuzzy_match_customers(spark, sf_dir):
         F.explode(
             F.expr(
                 "transform(sequence(1, length(nm)),"
-                " i -> struct(i AS i, concat(substring(nm, 1, i - 1), '*',"
+                " i -> struct(i AS i, concat(substring(nm, 1, i - 1), chr(1),"
                 " substring(nm, i + 1)) AS bk))"
             )
         ).alias("k"),
@@ -613,7 +613,11 @@ def fuzzy_match_customers(spark, sf_dir):
     # No distinct() needed: two DIFFERENT names co-bucket at exactly ONE key
     # (the wildcard must sit on the sole differing position), and identical
     # names co-bucket at every key — keeping only rows where the wildcard
-    # position is the first disagreement (or position 1 for equal names)
+    # position is the first disagreement (or position 1 for equal names).
+    # The wildcard is chr(1) (a control byte that cannot appear in the
+    # data), not a printable char: a name CONTAINING the wildcard char
+    # would yield identical bucket keys at different positions, letting the
+    # same pair survive this filter more than once (ADVICE r5)
     # yields each pair exactly once WITHOUT shuffling the output-scale
     # candidate frame (at sf10 the old distinct re-shuffled ~40M rows
     # carrying both name strings).

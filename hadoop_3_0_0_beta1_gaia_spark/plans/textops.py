@@ -907,9 +907,15 @@ def bpe_merge_table(v, rounds, checkpoint_every=8):
     "Builds on doc_winnow_fingerprints' map-side kernel",
 )
 def source_overlap_matrix(spark, sf_dir):
+    from ..session import owned_persist
+
     fps = _winnow_frame(spark, sf_dir)
     src = T(spark, sf_dir, "documents").select("doc_id", "source")
-    sf = fps.join(src, "doc_id").select("source", "fp").distinct()
+    # sf feeds three consumer branches (sizes + both self-join sides); the
+    # winnow kernel chain behind it is the expensive part — persist and
+    # eagerly populate before AQE's concurrent branches race the cache.
+    sf = owned_persist(fps.join(src, "doc_id").select("source", "fp").distinct())
+    sf.count()
     sizes = sf.groupBy("source").agg(F.count("*").alias("sz"))
     a = sf.select(F.col("source").alias("source_a"), "fp")
     b = sf.select(F.col("source").alias("source_b"), "fp")

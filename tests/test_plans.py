@@ -727,11 +727,16 @@ def test_pps_sample_invariants(spark, sf_dir):
     from hadoop_3_0_0_beta1_gaia_spark.session import table as T
     from pyspark.sql import functions as F
 
+    from hadoop_3_0_0_beta1_gaia_spark.functions.text_metrics import tokens
+
     out = corpus_pps_sample(spark, sf_dir).collect()
     assert sum(r["mult"] for r in out) == _PPS_N
+    # tokenize with the SAME helper the plan uses (it drops empty strings;
+    # a raw split would count leading/double-whitespace phantoms and skew
+    # the expectation denominator — ADVICE r5)
     total = (
         T(spark, sf_dir, "documents")
-        .agg(F.sum(F.size(F.split(F.lower("text"), r"\s+"))))
+        .agg(F.sum(F.size(tokens(F.col("text")))))
         .collect()[0][0]
     )
     for r in out:
