@@ -958,6 +958,93 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def simhash64_kernel(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`simhash64` — bit-identical by construction
+    (every operation is exact integer arithmetic, so unlike the float-fold
+    kernels there is no IEEE-op-order subtlety; equality is pinned in
+    tests/test_operators.py against the expression fold on adversarial
+    whitespace fixtures).
+
+    Why it exists: the expression fold, even after the r5 64-slot-accumulator
+    rewrite, rebuilds a 64-long array per token in the interpreted
+    higher-order-function evaluator — 425 s for the fingerprint stage at the
+    sf10 fixture (500k docs). The kernel moves the same computation into
+    numpy: tokens md5-hash once per DISTINCT token per partition (an LRU-less
+    vocabulary cache — documents share vocabulary, so the md5 count collapses
+    from the token stream to roughly the partition vocabulary, the
+    cms_token_freq lesson), then a vectorized per-doc bit-vote
+    ``((vals[:,None] >> shifts) & 1).sum(axis=0)``.
+
+    Tokenization matches :func:`tokens` (lower → split ``\\s+`` → drop
+    empties) via the same regex the pure-Python reference test uses; the
+    fixture corpora are ASCII so Java/Python ``\\s`` agree. Entirely
+    map-side, zero exchanges, embarrassingly parallel.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    shifts = np.arange(63, dtype=np.uint64)
+    ws = _re.compile(r"\s+")
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kept: list[int] = []
+            fps: list[int] = []
+            texts = pdf["text"]
+            for pos in range(len(pdf)):
+                text = texts.iloc[pos]
+                if text is None:
+                    continue
+                toks = {t for t in ws.split(text.lower()) if t}
+                if not toks:
+                    continue
+                vals = np.empty(len(toks), dtype=np.uint64)
+                for i, t in enumerate(toks):
+                    v = cache.get(t)
+                    if v is None:
+                        h = hashlib.md5(t.encode()).hexdigest()
+                        # bits 0..31 from the lo word, 32..62 from the hi word
+                        # — same layout as the expression fold's step lambda
+                        v = (int(h[:8], 16) << 32) | int(h[8:16], 16)
+                        if len(cache) >= 4_000_000:  # bound partition memory
+                            cache.clear()
+                        cache[t] = v
+                    vals[i] = v
+                ones = ((vals[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                fp = int(
+                    ((2 * ones > len(toks)).astype(np.uint64) << shifts).sum(
+                        dtype=np.uint64
+                    )
+                )
+                kept.append(pos)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].iloc[kept].reset_index(drop=True),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return base.mapInPandas(kernel, schema=schema)
+
+
 def duckdb_simhash64(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB twin of :func:`simhash64` — same two 32-bit md5 words, same
     per-bit votes, same powers-of-two reassembly."""
@@ -992,11 +1079,17 @@ def simhash64_hamming_pairs(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     eager: bool = True,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Hamming-radius pair search over the 63-bit fingerprint — the scale
     twin of :func:`simhash_hamming_pairs` (same streaming equi-self-join on
     (band, band value), same carried-fingerprint bit_count verify; see that
     docstring for why candidates must NOT use in-row bucket expansion).
+
+    ``use_kernel`` selects the Arrow fingerprint kernel
+    (:func:`simhash64_kernel`, bit-identical to the expression fold, ~6x at
+    the sf10 fixture); ``False`` keeps the pure-expression fold for the
+    pin tests and expression-only environments.
 
     Bands are exact integer bit-slices (shiftright + mask on BIGINT — no
     double arithmetic: bits above 52 would lose exactness in the
@@ -1008,7 +1101,8 @@ def simhash64_hamming_pairs(
     """
     if not 1 <= radius <= 7:
         raise ValueError("radius must be in 1..7 for a 63-bit fingerprint")
-    sims = owned_persist(simhash64(df, id_col=id_col, text_col=text_col))
+    fp_builder = simhash64_kernel if use_kernel else simhash64
+    sims = owned_persist(fp_builder(df, id_col=id_col, text_col=text_col))
     # Eager count: x/y self-join sides PLUS the optional cap branch are three
     # concurrent consumers of this cache; unpopulated, AQE recomputes the
     # ~64-slot fingerprint fold once per branch (round-5 shingle lesson).

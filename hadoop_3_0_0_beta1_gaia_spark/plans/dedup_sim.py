@@ -208,6 +208,56 @@ def dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_components_capped",
+    oracle=duckdb_connected_components(
+        duckdb_ngram_jaccard("documents", **_NGRAM, max_df=4)
+    ),
+    ref="the 100 TB posture of the components family: connected components "
+    "over the CAPPED near-dup pair graph (dedup_ngram_jaccard_capped's "
+    "max_df=4 rare-shingle rule). Why: the uncapped pair graph at the sf10 "
+    "fixture carries 12.56M pairs and the label-propagation input stage "
+    "GC-stalls on it; the cap bounds pair volume at the generator, so the "
+    "iterative fixpoint runs on a graph whose size is governed, not "
+    "data-dependent. Same config switch (max_df) feeds dedup_kept_corpus / "
+    "dedup_cluster_canonical — the capped graph IS the production input to "
+    "all three; the drop rule is oracle-gated end to end",
+)
+def dedup_components_capped(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM, max_df=4)
+    return connected_components(pairs)
+
+
+@register(
+    "dedup_kept_corpus_capped",
+    oracle=f"""
+        WITH comp AS ({duckdb_connected_components(duckdb_ngram_jaccard("documents", **_NGRAM, max_df=4))})
+        SELECT d.doc_id,
+               CASE WHEN comp.component IS NOT NULL THEN comp.component
+                    ELSE d.doc_id END AS component,
+               (comp.component IS NULL OR comp.component = d.doc_id) AS kept
+        FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    """,
+    ref="the dedup pipeline DELIVERABLE on the capped pair graph — the "
+    "production configuration at corpus scale (see dedup_components_capped); "
+    "downstream training reads WHERE kept exactly as in dedup_kept_corpus",
+)
+def dedup_kept_corpus_capped(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, **_NGRAM, max_df=4)
+    comp = connected_components(pairs)
+    joined = d.select("doc_id").join(
+        comp.select(F.col("doc_id").alias("c_doc"), "component"),
+        F.col("doc_id") == F.col("c_doc"),
+        "left",
+    )
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return joined.select(
+        "doc_id", component.alias("component"), kept.alias("kept")
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=duckdb_cosine_near_dup("embeddings", **_NEARDUP),
     ref="embedding-cosine near-dup pairs — exact O(n²) baseline, fully distributed: "

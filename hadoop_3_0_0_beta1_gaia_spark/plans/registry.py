@@ -116,20 +116,46 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # events_weekly_moving_avg (events_daily_gapfill r4; ewma/cusum in-window),
 # sort_validator_stats (terasort_rank + global_sort_rank r1-r3). All 48
 # pre-validated under the exact driver protocol via tools/driver_check.py.
+# Rotation #8 (round 6): finish the burn-down for good — the 14 entries that
+# have NEVER had a driver CORRECTNESS row (VERDICT r5 "What's missing" 1:
+# the four 100 TB capped twins, simhash64, PPS sampling, plus same-family
+# variants) rotate IN, together with this round's 3 new entries (DOULION
+# sampled triangles, capped-graph components/kept-corpus). OUT: 17 r5
+# first-contact greens whose family keeps an in-window representative
+# (7 TPC-H completions -> min_cost/product_type stay, all 22 shapes r5-green;
+# 7 customer-analytics windows -> cohort/first_last/transitions/exists stay;
+# copurchase_bfs/lift -> part_pairs + both triangle entries;
+# jsonl_roundtrip -> csv/schema_evolution). Every IN entry pre-validated
+# under the exact driver protocol this session (tools/driver_check.py,
+# sf0.01; the 3 new entries also at sf0.001). After this round's CORRECTNESS
+# rows, never-driver-validated = 0 of 224.
 _WINDOW: list[str] = [
-    # anchors (driver-green r1+r2+r3+r4)
+    # anchors (driver-green r1+r2+r3+r4+r5)
     "q1_pricing_summary",
     "join_inner_nway",
-    # TPC-H completions (tpch_rest.py — decision-support, highest priority)
+    # TPC-H representatives (remaining 7 completions r5-green, rotated out)
     "min_cost_supplier_per_part",
     "product_type_profit",
-    "national_market_share",
-    "important_nation_value",
-    "cust_order_count_distribution",
-    "top_revenue_supplier",
-    "small_qty_order_revenue",
-    "promotion_part_suppliers",
-    "forecast_revenue_change",
+    # burn-down: the 100 TB capped twins (VERDICT r5 item 2)
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment_capped",
+    "dedup_simhash64_hamming",
+    "dedup_simhash64_hamming_capped",
+    # burn-down: remaining never-validated entries (VERDICT r5 item 3)
+    "ivf_filtered_topk",
+    "hll_distinct_users",
+    "corpus_pps_sample",
+    "order_gaps_arrow",
+    "cumulative_unique_users",
+    "sort_validator_stats",
+    "events_weekly_moving_avg",
+    "copurchase_triangles",
+    "doc_winnow_fingerprints",
+    "bpe_top_merges",
+    # round-6 additions (sampled triangle estimator, capped-graph components)
+    "copurchase_triangles_sampled",
+    "dedup_components_capped",
+    "dedup_kept_corpus_capped",
     # multimodal / audio (media_stream.py)
     "wav_decode_roundtrip",
     "mp3_probe_headers",
@@ -140,7 +166,7 @@ _WINDOW: list[str] = [
     "events_cusum_drift",
     "incremental_agg_retraction",
     "events_anomaly_zscore",
-    # quality / governance / search (VERDICT-named)
+    # quality / governance / search
     "skip_bad_records_audit",
     "source_overlap_matrix",
     "nqueens_search_count",
@@ -157,22 +183,12 @@ _WINDOW: list[str] = [
     "first_last_order_per_customer",
     "order_priority_transitions",
     "order_priority_exists",
-    "idle_customers_topbal",
-    "customer_balance_percentile",
-    "customer_30d_order_value",
-    "record_breaking_orders",
-    "late_shipment_priority",
-    "discounted_revenue_brands",
-    "unpivot_flag_metrics",
     "profile_orders_columns",
     "price_qty_ols_by_flag",
     # market-basket / graph family
     "copurchase_part_pairs",
-    "copurchase_bfs_depth",
-    "copurchase_lift_rules",
     # formats
     "csv_roundtrip_parse",
-    "jsonl_roundtrip_extract",
     "schema_evolution_merge",
     # text / corpus
     "lang_id_confusion",

@@ -1640,6 +1640,117 @@ def copurchase_triangles(spark, sf_dir):
     return tris.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
 
 
+# DOULION edge-sampling probability 1/_TRI_PINV (Tsourakakis et al., KDD'09):
+# keep an edge iff its 60-bit md5 fraction < 2^60/_TRI_PINV — deterministic on
+# both engines, so the oracle reproduces the SAMPLE, not just the estimator.
+_TRI_PINV = 4
+_TRI_THRESH = (1 << 60) // _TRI_PINV
+
+
+@register(
+    "copurchase_triangles_sampled",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        edges AS (
+            SELECT DISTINCT parts[i] AS a, parts[j] AS b
+            FROM baskets,
+                 unnest(generate_series(1, len(parts))) AS t1(i),
+                 unnest(generate_series(1, len(parts))) AS t2(j)
+            WHERE i < j
+        ),
+        sampled AS (
+            SELECT a, b FROM edges
+            WHERE (('0x' || substr(md5(CAST(a AS VARCHAR) || '_' ||
+                       CAST(b AS VARCHAR)), 1, 15))::BIGINT) < {_TRI_THRESH}
+        ),
+        wedges AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM sampled e1 JOIN sampled e2 ON e1.b = e2.a
+        ),
+        tris AS (
+            SELECT count(*) AS n FROM wedges w
+            JOIN sampled e ON e.a = w.a AND e.b = w.c
+        )
+        SELECT CAST(n AS BIGINT) AS n_triangles_sampled,
+               CAST(n * {_TRI_PINV ** 3} AS BIGINT) AS n_triangles_est,
+               (SELECT count(*) FROM sampled) AS n_edges_sampled
+        FROM tris
+    """,
+    ref="the 100 TB twin of copurchase_triangles: DOULION edge sampling "
+    "(Tsourakakis et al., KDD'09) — each distinct undirected edge survives "
+    "with probability 1/4 decided by its own md5 (deterministic, so the "
+    "DuckDB oracle reproduces the exact sampled graph, the minhash-cap "
+    "precedent), triangles are counted on the sampled graph with the same "
+    "degree-orientation wedge join, and the unbiased estimate is "
+    "sampled_count * 4^3. Wedge volume scales ~p^2, so the sf10 exact "
+    "entry's 908 s honest-but-heavy wedge join drops ~16x while the "
+    "estimator's relative error stays O(1/sqrt(p^3 * T)) — measured vs the "
+    "exact count at sf1 in the sweep artifact",
+)
+def copurchase_triangles_sampled(spark, sf_dir):
+    from ..functions.dedup import expand_bucket_pairs, md5_long
+    from ..session import owned_persist
+
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    und = (
+        expand_bucket_pairs(baskets)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+    )
+    se = owned_persist(
+        und.filter(
+            md5_long(F.concat_ws("_", F.col("a"), F.col("b"))) < F.lit(_TRI_THRESH)
+        )
+    )
+    se.count()  # populate cache before concurrent AQE consumer branches
+    deg = (
+        se.select(F.col("a").alias("v"))
+        .unionByName(se.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    e = owned_persist(
+        se.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
+        )
+    )
+    e.count()  # wedge sides + closure all read e concurrently
+    w1 = e.select("src", F.col("dst").alias("v"), F.col("d_dst").alias("d_v"))
+    w2 = e.select("src", F.col("dst").alias("w"), F.col("d_dst").alias("d_w"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(
+            (F.col("d_v") < F.col("d_w"))
+            | ((F.col("d_v") == F.col("d_w")) & (F.col("v") < F.col("w")))
+        )
+        .select("v", "w")
+    )
+    closure = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closure, ["v", "w"]).agg(
+        F.count("*").alias("n_triangles_sampled"),
+        (F.count("*") * F.lit(_TRI_PINV**3)).alias("n_triangles_est"),
+    )
+    n_edges = se.agg(F.count("*").alias("n_edges_sampled"))
+    return tris.crossJoin(F.broadcast(n_edges))
+
+
 _PR_SCALE = 1_000_000
 _PR_ITERS = 2
 _PR_TOPK = 20

@@ -1284,6 +1284,36 @@ def test_simhash64_matches_python_reference(spark):
     assert any(v >> 32 for v in got.values())
 
 
+def test_simhash64_kernel_equals_expression_fold(spark, sf_dir):
+    """The Arrow fingerprint kernel (the scale path at sf10 — the expression
+    fold paid 425 s rebuilding a 64-long accumulator per token, interpreted)
+    must be BIT-IDENTICAL to the expression fold: fixture corpus plus
+    adversarial whitespace/empty/unicode-token strings. All-integer math, so
+    equality is exact, not ulp-bounded."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        simhash64,
+        simhash64_kernel,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "alpha  beta\tgamma\ndelta "),
+                (9_000_002, "   "),  # whitespace-only: both paths drop it
+                (9_000_003, "MiXeD CaSe TOKENS MiXeD"),
+                (9_000_004, "x"),
+                (9_000_005, "1 22 333 4444 55555 666666"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    expr = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    kern = {r["id"]: r["simhash"] for r in simhash64_kernel(docs).collect()}
+    assert kern == expr
+    assert 9_000_002 not in kern and 9_000_001 in kern
+
+
 def test_simhash64_hamming_pairs_equals_bruteforce(spark, sf_dir):
     """Pigeonhole completeness at 63 bits: banded search == brute force
     within the radius. Crafted near-identical docs guarantee non-vacuity

@@ -179,7 +179,9 @@ def test_df_cap_drops_boilerplate_keeps_rare_pairs(spark):
     assert pairs[(100, 101)] == round(6 / 8, 4)
     # counters: the boilerplate doc's shingles all have df=40 > 4
     n_boiler_shingles = len(boiler.split()) - 2
-    m = df_cap_counter()
+    # name the generator: other suite tests may have built the containment
+    # capped plan in this session, and the counter registry is per-generator
+    m = df_cap_counter("ngram_jaccard")
     assert m["df_dropped_shingles"] == n_boiler_shingles
     assert m["df_dropped_rows"] == 40 * n_boiler_shingles
 
