@@ -258,6 +258,52 @@ def dedup_kept_corpus_capped(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_canonical_capped",
+    oracle=f"""
+        WITH comp AS ({duckdb_connected_components(duckdb_ngram_jaccard("documents", **_NGRAM, max_df=4))})
+        SELECT component, n_members, canonical_doc, canonical_chars
+        FROM (
+            SELECT component,
+                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+                   doc_id AS canonical_doc,
+                   CAST(n_chars AS BIGINT) AS canonical_chars,
+                   row_number() OVER (
+                       PARTITION BY component ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM comp JOIN documents USING (doc_id)
+        ) WHERE rn = 1
+    """,
+    ref="canonical-representative selection over the CAPPED pair graph — "
+    "completes the components family's 100 TB posture (see "
+    "dedup_components_capped): all three downstream passes (components, "
+    "canonical, kept corpus) consume the same max_df-governed generator, "
+    "each with its own oracle reproducing the drop rule",
+)
+def dedup_cluster_canonical_capped(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM, max_df=4)
+    comp = connected_components(pairs)
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component")
+    rn = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(d, "doc_id")
+        .withColumn("n_members", F.count("*").over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=duckdb_cosine_near_dup("embeddings", **_NEARDUP),
     ref="embedding-cosine near-dup pairs — exact O(n²) baseline, fully distributed: "

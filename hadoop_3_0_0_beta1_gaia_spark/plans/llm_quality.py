@@ -463,6 +463,106 @@ def corpus_filter_pipeline(spark, sf_dir):
     )
 
 
+# Gopher document-level quality rules (Rae et al. 2021, appendix A1.1 — the
+# published thresholds, verbatim): word count in [50, 100k], mean word length
+# in [3, 10] chars, per-symbol (hash / ellipsis) symbol-to-word ratio <= 0.1,
+# >= 80% of words contain an alphabetic character, >= 2 of the 8 canonical
+# stop words present. Every ratio threshold is applied by exact integer
+# cross-multiplication so the comparisons are bit-portable (no float ratio
+# ever crosses the engine boundary).
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "gopher_rules_filter",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                   CAST(length(array_to_string({_TOKS}, '')) AS BIGINT)
+                       AS n_word_chars,
+                   CAST(len(list_filter({_TOKS},
+                        w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+                       AS n_alpha_words,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                       AS BIGINT) AS n_hash,
+                   CAST((length(text) - length(replace(text, '...', ''))) // 3
+                       AS BIGINT) AS n_ellipsis,
+                   CAST(len(list_intersect(list_distinct({_TOKS}),
+                        {list(_GOPHER_STOPS)})) AS BIGINT) AS n_stops
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_hash,
+               n_ellipsis, n_stops,
+               CASE
+                 WHEN n_words < {_GOPHER_MIN_WORDS} THEN 'too_few_words'
+                 WHEN n_words > {_GOPHER_MAX_WORDS} THEN 'too_many_words'
+                 WHEN n_word_chars < 3 * n_words
+                   OR n_word_chars > 10 * n_words THEN 'bad_mean_word_length'
+                 WHEN n_hash * 10 > n_words
+                   OR n_ellipsis * 10 > n_words THEN 'high_symbol_ratio'
+                 WHEN n_alpha_words * 10 < n_words * 8 THEN 'low_alpha_fraction'
+                 WHEN n_stops < 2 THEN 'few_stop_words'
+                 ELSE 'keep' END AS reason
+        FROM m
+    """,
+    ref="the Gopher document-quality rule set (Rae et al. 2021 A1.1 — the "
+    "published production thresholds, also the basis of the FineWeb/Dolma "
+    "heuristic stages): word-count bounds, mean-word-length bounds, per-"
+    "symbol hash/ellipsis ratios, alphabetic-word fraction, stop-word "
+    "presence. Complements corpus_filter_pipeline's repetition rules "
+    "(distinct-ratio / top-bigram mass are Gopher's REPETITION section; "
+    "this entry is the QUALITY section). Pure map-side expressions, zero "
+    "exchanges; every threshold applied via exact integer cross-"
+    "multiplication, so the keep/drop verdict is bit-portable. Line-level "
+    "rules (bullet/ellipsis line fractions) apply identically after a "
+    "split-on-newline explode; the fixture corpus is single-line",
+)
+def gopher_rules_filter(spark, sf_dir):
+    toks = tokens(F.col("text"))
+    text = F.col("text")
+    n_words = F.size(toks).cast("long")
+    n_word_chars = F.length(F.array_join(toks, "")).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast("long")
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    ).cast("long")
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    ).cast("long")
+    m = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_stops.alias("n_stops"),
+    )
+    reason = (
+        F.when(F.col("n_words") < _GOPHER_MIN_WORDS, "too_few_words")
+        .when(F.col("n_words") > _GOPHER_MAX_WORDS, "too_many_words")
+        .when(
+            (F.col("n_word_chars") < 3 * F.col("n_words"))
+            | (F.col("n_word_chars") > 10 * F.col("n_words")),
+            "bad_mean_word_length",
+        )
+        .when(
+            (F.col("n_hash") * 10 > F.col("n_words"))
+            | (F.col("n_ellipsis") * 10 > F.col("n_words")),
+            "high_symbol_ratio",
+        )
+        .when(F.col("n_alpha_words") * 10 < F.col("n_words") * 8, "low_alpha_fraction")
+        .when(F.col("n_stops") < 2, "few_stop_words")
+        .otherwise("keep")
+    )
+    return m.select("*", reason.alias("reason"))
+
+
 @register(
     "doc_bigram_logprob",
     oracle=f"""
