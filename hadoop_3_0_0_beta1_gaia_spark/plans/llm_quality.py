@@ -563,6 +563,120 @@ def gopher_rules_filter(spark, sf_dir):
     return m.select("*", reason.alias("reason"))
 
 
+# C4 cleaning rules (Raffel et al. 2020 §2.2): line-level — keep only lines
+# ending in terminal punctuation, with >= 5 words, not containing
+# "javascript"; page-level — drop pages containing "lorem ipsum" or "{",
+# and pages left with < 3 sentences (kept lines as the proxy). The fixture
+# corpus is single-line word soup, so (the doc_pii_scrub precedent) a
+# deterministic set of lines is injected FIRST — identical derivation in the
+# DuckDB oracle — and the rules run on the derived page; the md5 of the
+# kept text proves the per-line verdicts, not just their count.
+_DUCK_C4_TEXT = (
+    "text"
+    " || chr(10) || 'this page has exactly five words.'"
+    " || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'short line.' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+    " 'enable javascript to view this page.' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 1 THEN chr(10) ||"
+    " 'another perfectly valid sentence appears here!' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 1 THEN chr(10) ||"
+    " 'odd documents receive one extra proper sentence.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+    " 'lorem ipsum dolor sit amet consectetur.' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'config = { key: value }'"
+    " ELSE '' END"
+)
+
+
+@register(
+    "c4_line_filter",
+    oracle=f"""
+        WITH pages AS (
+            SELECT doc_id, {_DUCK_C4_TEXT} AS page FROM documents
+        ),
+        split AS (
+            SELECT doc_id, page, string_split(page, chr(10)) AS lines
+            FROM pages
+        ),
+        kept AS (
+            SELECT doc_id, page,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   list_filter(lines, l ->
+                       regexp_matches(l, '[.!?]$')
+                       AND len(list_filter(string_split(l, ' '),
+                                           w -> w <> '')) >= 5
+                       AND NOT contains(l, 'javascript')) AS keep_lines
+            FROM split
+        )
+        SELECT doc_id, n_lines,
+               CAST(len(keep_lines) AS BIGINT) AS n_kept_lines,
+               CASE
+                 WHEN contains(page, 'lorem ipsum') THEN 'lorem_ipsum'
+                 WHEN contains(page, '{{') THEN 'curly_brace'
+                 WHEN len(keep_lines) < 3 THEN 'too_few_sentences'
+                 ELSE 'keep' END AS reason,
+               md5(array_to_string(keep_lines, chr(10))) AS kept_md5
+        FROM kept
+    """,
+    ref="the C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other "
+    "canonical published filter set next to gopher_rules_filter): terminal-"
+    "punctuation / >=5-word / no-'javascript' line rules, lorem-ipsum and "
+    "curly-brace page drops, <3-sentence page drop. Line rules run inside "
+    "a higher-order filter over the split page — per-row map work, zero "
+    "exchanges; kept_md5 pins the exact surviving text on both engines. "
+    "Deterministic line injection (same derivation in the oracle) because "
+    "the fixture corpus is single-line",
+)
+def c4_line_filter(spark, sf_dir):
+    nl = F.lit("\n")
+
+    def inject(cond, line):
+        return F.when(cond, F.concat(nl, F.lit(line))).otherwise(F.lit(""))
+
+    did = F.col("doc_id")
+    page = F.concat(
+        F.col("text"),
+        nl,
+        F.lit("this page has exactly five words."),
+        inject(did % 2 == 0, "short line."),
+        inject(did % 3 == 0, "enable javascript to view this page."),
+        inject(did % 3 == 1, "another perfectly valid sentence appears here!"),
+        inject(did % 2 == 1, "odd documents receive one extra proper sentence."),
+        inject(did % 5 == 0, "lorem ipsum dolor sit amet consectetur."),
+        inject(did % 7 == 0, "config = { key: value }"),
+    )
+    lines = F.split(F.col("page"), "\n")
+    keep_lines = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?]$")
+        & (F.size(F.filter(F.split(l, " "), lambda w: w != "")) >= 5)
+        & ~l.contains("javascript"),
+    )
+    base = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", page.alias("page"))
+        .select(
+            "doc_id",
+            "page",
+            F.size(lines).cast("long").alias("n_lines"),
+            keep_lines.alias("keep_lines"),
+        )
+    )
+    reason = (
+        F.when(F.col("page").contains("lorem ipsum"), "lorem_ipsum")
+        .when(F.col("page").contains("{"), "curly_brace")
+        .when(F.size("keep_lines") < 3, "too_few_sentences")
+        .otherwise("keep")
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        F.size("keep_lines").cast("long").alias("n_kept_lines"),
+        reason.alias("reason"),
+        F.md5(F.array_join("keep_lines", "\n")).alias("kept_md5"),
+    )
+
+
 @register(
     "doc_bigram_logprob",
     oracle=f"""

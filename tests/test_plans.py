@@ -149,7 +149,14 @@ def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["doc_pii_scrub", "doc_repetition", "embed_quantize_int8", "doc_chunk_tokens"],
+    [
+        "doc_pii_scrub",
+        "doc_repetition",
+        "embed_quantize_int8",
+        "doc_chunk_tokens",
+        "gopher_rules_filter",
+        "c4_line_filter",
+    ],
 )
 def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     """The cleaning/quantization stages are pure per-row map work — their
