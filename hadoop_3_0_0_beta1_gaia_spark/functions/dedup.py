@@ -998,7 +998,10 @@ def simhash64_kernel(
     )
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     shifts = np.arange(63, dtype=np.uint64)
-    ws = _re.compile(r"\s+")
+    # re.ASCII makes Python \s exactly Java's default \s ([ \t\n\x0B\f\r]) —
+    # without it a U+00A0 (or any unicode space) would split here but not in
+    # the expression fold (pinned by the nbsp fixture in the equality test)
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     def kernel(batches):
         cache: dict[str, int] = {}

@@ -1304,6 +1304,9 @@ def test_simhash64_kernel_equals_expression_fold(spark, sf_dir):
                 (9_000_003, "MiXeD CaSe TOKENS MiXeD"),
                 (9_000_004, "x"),
                 (9_000_005, "1 22 333 4444 55555 666666"),
+                # U+00A0 is NOT whitespace to Java's default \s — the kernel
+                # must keep "alpha beta" as ONE token too (re.ASCII)
+                (9_000_006, "alpha\u00a0beta gamma"),
             ],
             "doc_id long, text string",
         )
