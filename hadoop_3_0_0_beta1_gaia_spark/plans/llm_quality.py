@@ -520,6 +520,14 @@ _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
     "split-on-newline explode; the fixture corpus is single-line",
 )
 def gopher_rules_filter(spark, sf_dir):
+    return gopher_rules(T(spark, sf_dir, "documents"))
+
+
+def gopher_rules(docs):
+    """The rule chain over any (doc_id, text) frame — split from the entry so
+    the pure-Python reference test can run it on crafted boundary fixtures
+    (the thresholds are codegen-shared with the oracle, so only an EXTERNAL
+    ground truth can catch a shared formula bug)."""
     toks = tokens(F.col("text"))
     text = F.col("text")
     n_words = F.size(toks).cast("long")
@@ -534,7 +542,7 @@ def gopher_rules_filter(spark, sf_dir):
             F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
         )
     ).cast("long")
-    m = T(spark, sf_dir, "documents").select(
+    m = docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_word_chars.alias("n_word_chars"),
@@ -645,6 +653,16 @@ def c4_line_filter(spark, sf_dir):
         inject(did % 5 == 0, "lorem ipsum dolor sit amet consectetur."),
         inject(did % 7 == 0, "config = { key: value }"),
     )
+    return c4_rules(
+        T(spark, sf_dir, "documents").select("doc_id", page.alias("page"))
+    )
+
+
+def c4_rules(pages):
+    """The C4 line/page rule chain over any (doc_id, page) frame — split from
+    the entry so the pure-Python reference test can run it on crafted
+    multi-line fixtures (same external-ground-truth rationale as
+    :func:`gopher_rules`)."""
     lines = F.split(F.col("page"), "\n")
     keep_lines = F.filter(
         lines,
@@ -653,8 +671,7 @@ def c4_line_filter(spark, sf_dir):
         & ~l.contains("javascript"),
     )
     base = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", page.alias("page"))
+        pages
         .select(
             "doc_id",
             "page",

@@ -1355,6 +1355,133 @@ def test_simhash64_hamming_pairs_equals_bruteforce(spark, sf_dir):
     assert (9_000_001, 9_000_002, 0) in brute  # the crafted exact-token dup
 
 
+def test_gopher_rules_match_python_reference(spark):
+    """The Gopher thresholds are applied by integer cross-multiplication and
+    the formula is codegen-shared with the DuckDB oracle — so oracle parity
+    cannot catch a shared bug. This INDEPENDENT float-arithmetic reference
+    (real-number mean/ratio comparisons, exactly as the paper states them)
+    must agree on crafted boundary docs sitting exactly ON each threshold."""
+    import re
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _GOPHER_STOPS,
+        gopher_rules,
+    )
+
+    def ref(text: str) -> str:
+        toks = [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+        n = len(toks)
+        if n < 50:
+            return "too_few_words"
+        if n > 100_000:
+            return "too_many_words"
+        mean = sum(len(t) for t in toks) / n
+        if mean < 3 or mean > 10:
+            return "bad_mean_word_length"
+        if text.count("#") / n > 0.1 or text.count("...") / n > 0.1:
+            return "high_symbol_ratio"
+        alpha = sum(1 for t in toks if re.search("[a-z]", t)) / n
+        if alpha < 0.8:
+            return "low_alpha_fraction"
+        if len(set(toks) & set(_GOPHER_STOPS)) < 2:
+            return "few_stop_words"
+        return "keep"
+
+    # every doc passes all rules EXCEPT the one its fixture targets, and the
+    # targeted metric sits exactly ON (keep) or one unit OFF (drop) the bar
+    ok = "the of " + " ".join(f"abc{i%10}" for i in range(48))  # 50 words, mean 4
+    fixtures = [
+        ok,  # keep (50 words exactly: boundary of the word-count rule)
+        "the of " + " ".join(f"w{i%10}" for i in range(47)),  # 49 words
+        "the of " + " ".join("abcdefgh" for _ in range(48)),  # mean 7.96 keep
+        # mean word length exactly 3.0 (50 3-char words): keep (inclusive)
+        "the and " + " ".join("abc" for _ in range(48)),
+        # mean just under 3: 149 chars over 50 words
+        "the and " + " ".join("abc" for _ in range(47)) + " ab",
+        ok + " #####",  # 5 hashes in ONE extra token: 5/51 <= 0.1 keep
+        ok + " # # # # #",  # 55 words, 5 hashes: 5/55 <= 0.1 keep
+        ok + " # # # # # #",  # 56 words, 6 hashes: 6/56 > 0.1 drop
+        ok + " ... ... ... ... ...",  # 55 words 5 ellipses keep
+        "the of " + " ".join("1234" for _ in range(38)) + " "
+        + " ".join(f"a{i%10}" for i in range(10)),  # 12 alpha of 50: drop
+        # exactly 80% alpha: 40 alpha of 50 words -> keep
+        "the of " + " ".join(f"abc{i%10}" for i in range(38)) + " "
+        + " ".join("123" for _ in range(10)),
+        "the " + " ".join(f"abc{i%10}" for i in range(49)),  # 1 stop: drop
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fixtures)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["reason"] for r in gopher_rules(docs).collect()}
+    want = {i: ref(t) for i, t in enumerate(fixtures)}
+    assert got == want
+    # the fixtures must actually exercise every reason at least once
+    assert {"keep", "too_few_words", "bad_mean_word_length",
+            "high_symbol_ratio", "low_alpha_fraction",
+            "few_stop_words"} <= set(want.values())
+
+
+def test_c4_rules_match_python_reference(spark):
+    """C4 line/page rules vs an independent pure-Python reimplementation on
+    crafted multi-line pages — reason AND the md5 of the kept text (the
+    content pin, not just counts)."""
+    import hashlib
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import c4_rules
+
+    def ref(page: str):
+        lines = page.split("\n")
+        kept = [
+            l
+            for l in lines
+            if l[-1:] in (".", "!", "?")
+            and len([w for w in l.split(" ") if w]) >= 5
+            and "javascript" not in l
+        ]
+        if "lorem ipsum" in page:
+            reason = "lorem_ipsum"
+        elif "{" in page:
+            reason = "curly_brace"
+        elif len(kept) < 3:
+            reason = "too_few_sentences"
+        else:
+            reason = "keep"
+        return (
+            len(lines),
+            len(kept),
+            reason,
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+
+    fixtures = [
+        "one good sentence lives right here.\nanother proper sentence "
+        "follows it now!\na third keeps the page alive?",  # keep
+        "only two good sentences survive here.\nthe second one is also "
+        "fine.\nno punct line\nshort one.",  # too_few_sentences
+        "a perfectly fine sentence sits here.\nbut lorem ipsum poisons "
+        "the page entirely.\nso every line dies with it.",  # lorem_ipsum
+        "the opening sentence is acceptable prose.\nvar x = { nested: 1 "
+        "}\nbraces kill whole pages in c4.",  # curly_brace
+        "please enable javascript to continue reading.\nthis sentence "
+        "is long enough to keep.\nso is this other pleasant one.\nand a "
+        "third proper sentence too.",  # keep (js line dropped, 3 remain)
+        "word\n\n\nends with period but too short.\n"
+        "five whole words end here.",  # too_few_sentences, empty lines
+    ]
+    docs = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(fixtures)], "doc_id long, page string"
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept_lines"], r["reason"], r["kept_md5"])
+        for r in c4_rules(docs).collect()
+    }
+    want = {i: ref(p) for i, p in enumerate(fixtures)}
+    assert got == want
+    assert {"keep", "too_few_sentences", "lorem_ipsum", "curly_brace"} <= {
+        v[2] for v in want.values()
+    }
+
+
 class TestNewInventorySemantics:
     """Semantics pins for the round-3 session-2 additions."""
 
