@@ -1421,6 +1421,104 @@ def test_gopher_rules_match_python_reference(spark):
             "few_stop_words"} <= set(want.values())
 
 
+def test_gopher_repetition_matches_python_reference(spark):
+    """The nine n-gram folds vs an independent Counter-based reimplementation
+    of the declared semantics (top = max-count gram, ties to the smallest;
+    dup = multiplicity char sum). Includes a tie fixture where two grams of
+    DIFFERENT char lengths share the max count — the tie rule materially
+    changes the fraction, so a wrong tie-break fails here."""
+    import math
+    import re
+    from collections import Counter
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _GOPHER_DUP_PCT,
+        _GOPHER_TOP_PCT,
+        gopher_repetition,
+    )
+
+    def fr(x):
+        return math.floor(x * 10_000 + 0.5) / 10_000
+
+    def ref(text):
+        toks = [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+        total = max(len(" ".join(toks)), 1)
+
+        def grams(n):
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        row = {
+            "n_tokens": len(toks),
+            "total_chars": len(" ".join(toks)),
+        }
+        rep = False
+        for n, pct in _GOPHER_TOP_PCT.items():
+            c = Counter(grams(n))
+            if c:
+                m = max(c.values())
+                g = min(k for k, v in c.items() if v == m)
+                chars = m * len(g)
+            else:
+                chars = 0
+            row[f"top_{n}_frac"] = fr(chars / total)
+            rep = rep or chars * 100 > row["total_chars"] * pct
+        for n, pct in _GOPHER_DUP_PCT.items():
+            c = Counter(grams(n))
+            chars = sum(v * len(k) for k, v in c.items() if v >= 2)
+            row[f"dup_{n}_frac"] = fr(chars / total)
+            rep = rep or chars * 100 > row["total_chars"] * pct
+        row["repetitive"] = rep
+        return row
+
+    fixtures = [
+        "spam ham " * 30,  # whole doc duplicated: every dup_n fires
+        " ".join(f"u{i}" for i in range(40)),  # all-unique: every signal 0
+        # max-count TIE between 'aa b' (4 chars) and 'cc ddd' (6 chars):
+        # the smallest gram must win, so top_2 counts 2*4, not 2*6
+        "aa b aa b cc ddd cc ddd",
+        "one two three one two four one two five",  # top-3 'one two x' ties
+        "x",  # single token: no n-grams at any n
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fixtures)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    for i, t in enumerate(fixtures):
+        want = {"doc_id": i, **ref(t)}
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+    assert got[0]["repetitive"] and not got[1]["repetitive"]
+
+
+def test_gopher_repetition_kernel_equals_expression(spark, sf_dir):
+    """The Counter kernel (the entry's path — the nine interpreted folds cost
+    49.3 s at sf1) must match the expression folds row-for-row on the fixture
+    corpus plus the crafted tie/degenerate docs — including the float
+    fractions bit-for-bit (single fround division, same IEEE op order)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        gopher_repetition,
+        gopher_repetition_kernel,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "spam ham " * 30),
+                (9_000_002, "aa b aa b cc ddd cc ddd"),
+                (9_000_003, "x"),
+                (9_000_004, "  "),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    expr = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    kern = {
+        r["doc_id"]: r.asDict() for r in gopher_repetition_kernel(docs).collect()
+    }
+    assert kern == expr
+    assert kern[9_000_001]["repetitive"]
+
+
 def test_c4_rules_match_python_reference(spark):
     """C4 line/page rules vs an independent pure-Python reimplementation on
     crafted multi-line pages — reason AND the md5 of the kept text (the

@@ -167,6 +167,21 @@ def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     assert "Exchange" not in p
 
 
+def test_gopher_repetition_single_roundrobin_exchange(spark, sf_dir):
+    """The repetition kernel's only shuffle is the DELIBERATE round-robin
+    repartition that spreads a single-file scan before the CPU-heavy kernel
+    (a no-op on real multi-file input); the computation itself must add no
+    key-based exchange."""
+    import re
+
+    p = _plan(spark, sf_dir, "gopher_repetition_signals")
+    # formatted explain lists each node in the tree AND the details section —
+    # count numbered tree nodes, not substring occurrences
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "RoundRobinPartitioning" in p
+    assert "hashpartitioning" not in p
+
+
 def test_temperature_sample_broadcasts_rates(spark, sf_dir):
     """The per-language rate frame (|langs| rows) must broadcast back onto
     the corpus — a shuffle join keyed on lang would put every document of one
