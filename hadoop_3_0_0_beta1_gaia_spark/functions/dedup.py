@@ -1004,7 +1004,14 @@ def simhash64_kernel(
     ws = _re.compile(r"\s+", _re.ASCII)
 
     def kernel(batches):
+        # Vocabulary cache bounded by ACCUMULATED KEY CHARACTERS, not entry
+        # count: with realistic token lengths a multi-million-entry dict is
+        # several GB per concurrently running task. ~8M chars (~100 MB of
+        # dict+str objects worst case, a few hundred thousand entries on
+        # real text) keeps md5 dedup effective — Zipf vocabulary means the
+        # hot tokens re-enter the cache immediately after a clear.
         cache: dict[str, int] = {}
+        cache_chars = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1026,9 +1033,11 @@ def simhash64_kernel(
                         # bits 0..31 from the lo word, 32..62 from the hi word
                         # — same layout as the expression fold's step lambda
                         v = (int(h[:8], 16) << 32) | int(h[8:16], 16)
-                        if len(cache) >= 4_000_000:  # bound partition memory
+                        if cache_chars >= 8_000_000:
                             cache.clear()
+                            cache_chars = 0
                         cache[t] = v
+                        cache_chars += len(t)
                     vals[i] = v
                 ones = ((vals[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
                 fp = int(

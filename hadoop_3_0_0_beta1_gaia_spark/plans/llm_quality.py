@@ -634,7 +634,8 @@ def _duck_dup_cte(n: int) -> str:
 
 _GOPHER_REP_ORACLE = (
     f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH d AS (SELECT doc_id, {duck_tokens("coalesce(text, '')")} AS toks
+               FROM documents),
     base AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -877,7 +878,13 @@ def gopher_repetition_kernel(docs):
 
 
 def gopher_repetition(docs):
-    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # NULL text is an EMPTY document (zeros, not NULL propagation) — the one
+    # declared semantics shared by this fold, the Counter kernel, and the
+    # oracle's coalesce(text, ''); pinned by the NULL-text row in the
+    # kernel-equality fixture.
+    d = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    )
     total = F.length(F.array_join("toks", " ")).cast("long")
     tops = {n: _top_chars_fold(n) for n in _GOPHER_TOP_PCT}
     dups = {n: _dup_chars_fold(n) for n in _GOPHER_DUP_PCT}
@@ -1005,9 +1012,15 @@ def c4_rules(pages):
     multi-line fixtures (same external-ground-truth rationale as
     :func:`gopher_rules`)."""
     lines = F.split(F.col("page"), "\n")
+    # terminal punctuation is checked on the literal LAST CHARACTER, never a
+    # '$'-anchored regex: Java's '$' also matches just before a final line
+    # terminator (a trailing '\r' left by CRLF pages after split on '\n'),
+    # while the DuckDB oracle's RE2 '$' and the Python reference's l[-1:]
+    # anchor at true end-of-string — the substring check makes all three
+    # agree on CRLF input (pinned by the CRLF fixture in the reference test)
     keep_lines = F.filter(
         lines,
-        lambda l: l.rlike("[.!?]$")
+        lambda l: F.substring(l, -1, 1).isin(".", "!", "?")
         & (F.size(F.filter(F.split(l, " "), lambda w: w != "")) >= 5)
         & ~l.contains("javascript"),
     )

@@ -129,6 +129,20 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # under the exact driver protocol this session (tools/driver_check.py,
 # sf0.01; the 3 new entries also at sf0.001). After this round's CORRECTNESS
 # rows, never-driver-validated = 0 of 224.
+# Rotation #9 (round 7, VERDICT r6 item 1): the last 4 never-driver-validated
+# entries rotate IN — the published-filter suite (gopher_rules_filter /
+# gopher_repetition_signals / c4_line_filter: Rae et al. 2021 A1.1 + Raffel
+# et al. 2020 §2.2, the most externally-meaningful LLM-pipeline entries) and
+# dedup_cluster_canonical_capped (completing the capped components family's
+# driver posture). OUT: four r6-green entries whose family keeps an in-window
+# representative (dedup_simhash64_hamming -> its capped production twin;
+# dedup_ngram_jaccard_capped -> dedup_containment_capped, same capped-shingle
+# generator; copurchase_triangles -> the sampled twin + copurchase_part_pairs;
+# events_daily_ewma -> events_cusum_drift/events_anomaly_zscore/
+# events_weekly_moving_avg cover the time-series family). All 4 IN entries
+# pre-validated under the exact driver protocol this session
+# (tools/driver_check.py, sf0.01). After this round's CORRECTNESS rows,
+# never-driver-validated = 0 of 228.
 _WINDOW: list[str] = [
     # anchors (driver-green r1+r2+r3+r4+r5)
     "q1_pricing_summary",
@@ -136,11 +150,14 @@ _WINDOW: list[str] = [
     # TPC-H representatives (remaining 7 completions r5-green, rotated out)
     "min_cost_supplier_per_part",
     "product_type_profit",
-    # burn-down: the 100 TB capped twins (VERDICT r5 item 2)
-    "dedup_ngram_jaccard_capped",
+    # 100 TB capped-twin representatives (jaccard_capped + uncapped simhash64
+    # r6-green, rotated out; the capped simhash64 IS the production config)
     "dedup_containment_capped",
-    "dedup_simhash64_hamming",
     "dedup_simhash64_hamming_capped",
+    # rotation #9: the published-filter suite (first driver contact)
+    "gopher_rules_filter",
+    "gopher_repetition_signals",
+    "c4_line_filter",
     # burn-down: remaining never-validated entries (VERDICT r5 item 3)
     "ivf_filtered_topk",
     "hll_distinct_users",
@@ -149,20 +166,21 @@ _WINDOW: list[str] = [
     "cumulative_unique_users",
     "sort_validator_stats",
     "events_weekly_moving_avg",
-    "copurchase_triangles",
     "doc_winnow_fingerprints",
     "bpe_top_merges",
-    # round-6 additions (sampled triangle estimator, capped-graph components)
+    # capped-graph components family (exact triangles r6-green, rotated out
+    # for the sampled twin; cluster_canonical_capped is rotation #9's 4th
+    # first-contact entry)
     "copurchase_triangles_sampled",
     "dedup_components_capped",
     "dedup_kept_corpus_capped",
+    "dedup_cluster_canonical_capped",
     # multimodal / audio (media_stream.py)
     "wav_decode_roundtrip",
     "mp3_probe_headers",
     # streaming
     "stream_static_enrich",
-    # time-series / incremental-view maintenance
-    "events_daily_ewma",
+    # time-series / incremental-view maintenance (ewma r6-green, rotated out)
     "events_cusum_drift",
     "incremental_agg_retraction",
     "events_anomaly_zscore",

@@ -1507,6 +1507,10 @@ def test_gopher_repetition_kernel_equals_expression(spark, sf_dir):
                 (9_000_002, "aa b aa b cc ddd cc ddd"),
                 (9_000_003, "x"),
                 (9_000_004, "  "),
+                # NULL text = empty document (zeros) in BOTH paths and the
+                # oracle's coalesce(text, '') — ADVICE r6: the kernel already
+                # emitted zeros while the expression fold propagated NULL
+                (9_000_005, None),
             ],
             "doc_id long, text string",
         )
@@ -1517,6 +1521,8 @@ def test_gopher_repetition_kernel_equals_expression(spark, sf_dir):
     }
     assert kern == expr
     assert kern[9_000_001]["repetitive"]
+    assert kern[9_000_005]["n_tokens"] == 0
+    assert not kern[9_000_005]["repetitive"]
 
 
 def test_c4_rules_match_python_reference(spark):
@@ -1565,6 +1571,14 @@ def test_c4_rules_match_python_reference(spark):
         "third proper sentence too.",  # keep (js line dropped, 3 remain)
         "word\n\n\nends with period but too short.\n"
         "five whole words end here.",  # too_few_sentences, empty lines
+        # CRLF page: split on '\n' leaves '\r' on every line, so NO line ends
+        # in terminal punctuation (the '\r' is the last char) — a '$'-anchored
+        # Java regex would wrongly keep them all (ADVICE r6: Java's '$'
+        # matches before a final line terminator; the reference and the
+        # oracle anchor at true end-of-string)
+        "this carriage return sentence would pass.\r\n"
+        "and so would this other fine one!\r\n"
+        "a third crlf sentence completes the page.",  # last line has no \r
     ]
     docs = spark.createDataFrame(
         [(i, p) for i, p in enumerate(fixtures)], "doc_id long, page string"
