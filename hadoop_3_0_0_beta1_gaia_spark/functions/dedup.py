@@ -603,8 +603,17 @@ def duckdb_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 
+# rounds taken by the last connected_components call (diagnostic: the
+# pointer-jumping claim — O(log diameter) rounds — is test- and sweep-visible)
+_CC_LAST_ROUNDS = [0]
+
+
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    jump: bool = True,
 ) -> DataFrame:
     """Dedup clusters: connected components over a near-dup pair graph via
     iterative min-label propagation — the engine's iterative-algorithm
@@ -612,17 +621,46 @@ def connected_components(
     a deterministic fixpoint independent of iteration order (hence
     oracle-checkable despite being iterative).
 
-    Each iteration is one join + min-aggregate (both shuffles on id);
-    convergence takes O(component diameter) rounds — near-dup clusters are
-    shallow, so a handful. The loop's only driver-side step is a one-row
-    convergence check. (At extreme scale swap in large-star/small-star; the
-    per-round plan shape is the same.)
+    Each iteration propagates labels along edges (one join + min-aggregate)
+    and, with ``jump`` (default), also along the label table itself —
+    pointer jumping: ``label(label(v))`` is reachable from v by transitivity,
+    and each round doubles the label-graph distance covered, so convergence
+    drops from O(component diameter) rounds to O(log diameter) — pinned on a
+    40-node path in tests (≤9 rounds vs 40, where the old default
+    max_iter=20 would have silently MISconverged). Probing VERDICT r6 item
+    3's hypothesis at the sf10 fixture showed the CAPPED near-dup graph is
+    not the case that needs it (79 pairs, 2 rounds either way — that entry's
+    cost is the pair GENERATOR, measured in the r7 sweep artifact); jumping
+    is the insurance for deep chain-shaped clusters (boilerplate ladders)
+    whose diameter is data-dependent, at the cost of one extra small join
+    whose left side shrinks as nodes converge (``label != id`` rows only).
+    Correctness is unchanged: labels are always reachable ids,
+    non-increasing, and bounded below by the component minimum, so the
+    monotone-sum convergence check and the fixpoint (= min reachable id) are
+    the same with or without jumping; equivalence is test-pinned and the
+    recursive-CTE oracle is jump-oblivious. The loop's only driver-side step
+    is a one-row convergence check.
     """
     from pyspark import StorageLevel
 
+    # Symmetrize in ONE pass over the pair generator: an in-row explode of
+    # both orientations. The previous union-of-two-selects shape computed the
+    # (expensive — shingle join / LSH chain) generator once per branch; the
+    # explode reads it once and doubles rows map-side.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)  # reused every iteration
     )
@@ -636,19 +674,32 @@ def connected_components(
     n_edges = edges.count()
     nparts = int(max(8, min(2048, n_edges // 2_000_000 + 8)))
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    _CC_LAST_ROUNDS[0] = 0
     for _ in range(max_iter):
         # Persist each round and truncate lineage — without this, iteration k
         # re-executes all k-1 previous joins from scratch (measured 68s → 3s
         # at sf0.1) and the plan grows unboundedly.
+        cands = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        ).union(labels)
+        if jump:
+            l2 = labels.select(
+                F.col("id").alias("l_id"), F.col("label").alias("l2")
+            )
+            jumped = (
+                labels.filter(F.col("label") != F.col("id"))
+                .join(l2, F.col("label") == F.col("l_id"))
+                .select("id", F.col("l2").alias("label"))
+            )
+            cands = cands.union(jumped)
         prop = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
-            .union(labels)
+            cands
             .repartition(nparts, "id")  # groupBy reuses this exchange
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        _CC_LAST_ROUNDS[0] += 1
         new_sum = prop.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels.unpersist()
         labels = prop

@@ -977,9 +977,13 @@ _DUCK_C4_TEXT = (
     ref="the C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other "
     "canonical published filter set next to gopher_rules_filter): terminal-"
     "punctuation / >=5-word / no-'javascript' line rules, lorem-ipsum and "
-    "curly-brace page drops, <3-sentence page drop. Line rules run inside "
-    "a higher-order filter over the split page — per-row map work, zero "
-    "exchanges; kept_md5 pins the exact surviving text on both engines. "
+    "curly-brace page drops, <3-sentence page drop. The entry runs the "
+    "Arrow line-rules kernel (c4_rules_kernel — the interpreted higher-"
+    "order filter chain was the only sf10-swept entry behind DuckDB, 11.1 "
+    "vs 4.0 s at 500k docs); the expression chain (c4_rules) stays as the "
+    "oracle-verified structural twin, equality test-pinned. Per-row map "
+    "work; the only exchange is the round-robin spread of a single-file "
+    "scan. kept_md5 pins the exact surviving text on both engines. "
     "Deterministic line injection (same derivation in the oracle) because "
     "the fixture corpus is single-line",
 )
@@ -1001,16 +1005,95 @@ def c4_line_filter(spark, sf_dir):
         inject(did % 5 == 0, "lorem ipsum dolor sit amet consectetur."),
         inject(did % 7 == 0, "config = { key: value }"),
     )
-    return c4_rules(
+    return c4_rules_kernel(
         T(spark, sf_dir, "documents").select("doc_id", page.alias("page"))
     )
+
+
+def c4_rules_kernel(pages):
+    """Arrow-kernel twin of :func:`c4_rules` — identical output by
+    construction (every operation is a string comparison / count / md5; no
+    float arithmetic at all, so there is no IEEE-op-order subtlety; equality
+    is pinned in tests against the expression chain on the fixture corpus
+    plus crafted CRLF/NULL pages).
+
+    Why it exists: the expression chain — a higher-order ``F.filter`` whose
+    predicate nests a second split+filter per line — runs interpreted, and
+    was the ONLY sf10-swept entry losing to DuckDB (11.1 s vs 4.0 s at 500k
+    docs in the r6 artifact). Same precedent as
+    :func:`gopher_repetition_kernel` (49.3 → 9.6 s at sf1): move the per-row
+    work into plain Python string ops over Arrow batches, keep the
+    expression chain as the oracle-verified structural twin. Entirely
+    map-side; the only exchange is the deliberate round-robin spread of a
+    single-file scan."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..session import ensure_parallelism
+
+    id_type = pages.schema["doc_id"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, False),
+            StructField("n_lines", LongType(), False),
+            StructField("n_kept_lines", LongType(), False),
+            StructField("reason", StringType(), False),
+            StructField("kept_md5", StringType(), False),
+        ]
+    )
+    base = ensure_parallelism(pages.select("doc_id", "page"))
+    terminal = (".", "!", "?")
+
+    def kernel(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in schema.fieldNames()}
+            ids = pdf["doc_id"]
+            texts = pdf["page"]
+            for pos in range(len(pdf)):
+                page = texts.iloc[pos]
+                if page is None:  # NULL page = empty page (both paths)
+                    page = ""
+                lines = page.split("\n")
+                kept = [
+                    l
+                    for l in lines
+                    if l[-1:] in terminal
+                    and sum(1 for w in l.split(" ") if w) >= 5
+                    and "javascript" not in l
+                ]
+                if "lorem ipsum" in page:
+                    reason = "lorem_ipsum"
+                elif "{" in page:
+                    reason = "curly_brace"
+                elif len(kept) < 3:
+                    reason = "too_few_sentences"
+                else:
+                    reason = "keep"
+                cols["doc_id"].append(ids.iloc[pos])
+                cols["n_lines"].append(len(lines))
+                cols["n_kept_lines"].append(len(kept))
+                cols["reason"].append(reason)
+                cols["kept_md5"].append(
+                    hashlib.md5("\n".join(kept).encode()).hexdigest()
+                )
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(kernel, schema=schema)
 
 
 def c4_rules(pages):
     """The C4 line/page rule chain over any (doc_id, page) frame — split from
     the entry so the pure-Python reference test can run it on crafted
     multi-line fixtures (same external-ground-truth rationale as
-    :func:`gopher_rules`)."""
+    :func:`gopher_rules`). The registered entry runs the bit-identical
+    :func:`c4_rules_kernel`; this expression chain is the oracle-verified
+    structural twin (the equality test pins them together)."""
+    # NULL page = empty page, in both paths (the gopher_repetition NULL rule)
+    pages = pages.select(
+        "doc_id", F.coalesce(F.col("page"), F.lit("")).alias("page")
+    )
     lines = F.split(F.col("page"), "\n")
     # terminal punctuation is checked on the literal LAST CHARACTER, never a
     # '$'-anchored regex: Java's '$' also matches just before a final line

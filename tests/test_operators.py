@@ -1355,6 +1355,39 @@ def test_simhash64_hamming_pairs_equals_bruteforce(spark, sf_dir):
     assert (9_000_001, 9_000_002, 0) in brute  # the crafted exact-token dup
 
 
+def test_connected_components_pointer_jumping(spark):
+    """Pointer jumping must reach the same fixpoint as plain min-label
+    propagation (same labels, jump-oblivious oracle) and must converge in
+    O(log diameter) rounds — pinned on a 40-node path, where plain
+    propagation needs the full 40 rounds (and would silently MISconverge
+    under the default max_iter=20; the jump path is why the default is safe
+    at any realistic cluster diameter)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        _CC_LAST_ROUNDS,
+        connected_components,
+    )
+
+    # a 40-node path (diameter 39) + a disjoint triangle with a non-min root
+    edges = [(i, i + 1) for i in range(39)] + [(100, 102), (101, 102), (100, 101)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {i: 0 for i in range(40)} | {i: 100 for i in (100, 101, 102)}
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+    jump_rounds = _CC_LAST_ROUNDS[0]
+    assert jump_rounds <= 9  # ~log2(39) + convergence-detect rounds
+
+    flat = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, jump=False, max_iter=50).collect()
+    }
+    assert flat == want
+    assert _CC_LAST_ROUNDS[0] > jump_rounds  # plain propagation pays diameter
+
+
 def test_gopher_rules_match_python_reference(spark):
     """The Gopher thresholds are applied by integer cross-multiplication and
     the formula is codegen-shared with the DuckDB oracle — so oracle parity
@@ -1583,15 +1616,80 @@ def test_c4_rules_match_python_reference(spark):
     docs = spark.createDataFrame(
         [(i, p) for i, p in enumerate(fixtures)], "doc_id long, page string"
     )
-    got = {
-        r["doc_id"]: (r["n_lines"], r["n_kept_lines"], r["reason"], r["kept_md5"])
-        for r in c4_rules(docs).collect()
-    }
     want = {i: ref(p) for i, p in enumerate(fixtures)}
-    assert got == want
+    # BOTH paths — the expression chain (the oracle's structural twin) and
+    # the Arrow kernel (the entry's path) — must match the reference
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import c4_rules_kernel
+
+    for chain in (c4_rules, c4_rules_kernel):
+        got = {
+            r["doc_id"]: (
+                r["n_lines"], r["n_kept_lines"], r["reason"], r["kept_md5"]
+            )
+            for r in chain(docs).collect()
+        }
+        assert got == want, chain.__name__
     assert {"keep", "too_few_sentences", "lorem_ipsum", "curly_brace"} <= {
         v[2] for v in want.values()
     }
+
+
+def test_c4_rules_kernel_equals_expression(spark, sf_dir):
+    """The Arrow line-rules kernel (the entry's path — the interpreted
+    higher-order filter chain was the only sf10-swept entry behind DuckDB)
+    must match the expression chain row-for-row on the REAL derived pages of
+    the fixture corpus (the entry's own injection) plus NULL — all-string
+    computation, so equality is exact."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        c4_rules,
+        c4_rules_kernel,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.plans.registry import all_entries
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    entry = all_entries()["c4_line_filter"]
+    # the registered entry (kernel path) vs the expression chain over the
+    # same derived pages: reconstruct the injection by diffing is fragile, so
+    # run the expression chain on crafted pages AND compare the entry's
+    # kernel output against the expression chain applied to the entry's own
+    # page derivation via monkeypatch-free recomputation
+    pages = spark.createDataFrame(
+        [
+            (1, "good sentence one lives here today.\r\nwindows line endings!"),
+            (2, None),
+            (3, "a { brace page with sentences.\nmore of the same here."),
+            (4, "one fine sentence stands alone in this page."),
+        ],
+        "doc_id long, page string",
+    )
+    expr = {r["doc_id"]: r.asDict() for r in c4_rules(pages).collect()}
+    kern = {r["doc_id"]: r.asDict() for r in c4_rules_kernel(pages).collect()}
+    assert kern == expr
+    # and on the real fixture corpus through the registered entry's injection
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+
+    def inject(cond, line):
+        return F.when(cond, F.concat(nl, F.lit(line))).otherwise(F.lit(""))
+
+    page = F.concat(
+        F.col("text"), nl, F.lit("this page has exactly five words."),
+        inject(did % 2 == 0, "short line."),
+        inject(did % 3 == 0, "enable javascript to view this page."),
+        inject(did % 3 == 1, "another perfectly valid sentence appears here!"),
+        inject(did % 2 == 1, "odd documents receive one extra proper sentence."),
+        inject(did % 5 == 0, "lorem ipsum dolor sit amet consectetur."),
+        inject(did % 7 == 0, "config = { key: value }"),
+    )
+    derived = T(spark, sf_dir, "documents").select("doc_id", page.alias("page"))
+    expr2 = {r["doc_id"]: r.asDict() for r in c4_rules(derived).collect()}
+    kern2 = {
+        r["doc_id"]: r.asDict()
+        for r in entry.build(spark, sf_dir).collect()
+    }
+    assert kern2 == expr2
 
 
 class TestNewInventorySemantics:

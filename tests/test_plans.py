@@ -155,7 +155,6 @@ def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
         "embed_quantize_int8",
         "doc_chunk_tokens",
         "gopher_rules_filter",
-        "c4_line_filter",
     ],
 )
 def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
@@ -167,14 +166,17 @@ def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     assert "Exchange" not in p
 
 
-def test_gopher_repetition_single_roundrobin_exchange(spark, sf_dir):
-    """The repetition kernel's only shuffle is the DELIBERATE round-robin
-    repartition that spreads a single-file scan before the CPU-heavy kernel
-    (a no-op on real multi-file input); the computation itself must add no
-    key-based exchange."""
+@pytest.mark.parametrize(
+    "name", ["gopher_repetition_signals", "c4_line_filter"]
+)
+def test_filter_kernels_single_roundrobin_exchange(spark, sf_dir, name):
+    """The repetition and C4 line-rules kernels' only shuffle is the
+    DELIBERATE round-robin repartition that spreads a single-file scan before
+    the CPU-heavy kernel (a no-op on real multi-file input); the computation
+    itself must add no key-based exchange."""
     import re
 
-    p = _plan(spark, sf_dir, "gopher_repetition_signals")
+    p = _plan(spark, sf_dir, name)
     # formatted explain lists each node in the tree AND the details section —
     # count numbered tree nodes, not substring occurrences
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
