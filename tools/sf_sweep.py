@@ -97,13 +97,29 @@ def main() -> int:
     # Resume skips only already-recorded names from an AUTO run; explicitly
     # requested names always re-run (retrying a failed entry must not be
     # silently filtered out by its own stale failure record).
-    done = sum(1 for _ in open(out_path)) if os.path.exists(out_path) else 0
-    if done and not explicit:
-        seen = {json.loads(l)["name"] for l in open(out_path)}
+    existing: list[dict] = (
+        [json.loads(l) for l in open(out_path)] if os.path.exists(out_path) else []
+    )
+    if existing and not explicit:
+        seen = {r["name"] for r in existing if not r.get("superseded")}
         names = [n for n in names if n not in seen]
-        print(f"resuming: {done} entries already recorded")
+        print(f"resuming: {len(existing)} entries already recorded")
 
-    out = open(out_path, "a", buffering=1)
+    def emit(rec: dict) -> None:
+        # one row per entry per artifact: a re-run SUPERSEDES earlier rows
+        # for the same name, explicitly flagged (VERDICT r6 item 8 — the r6
+        # artifact carried a stale TIMEOUT next to its PASS rerun with no
+        # marker); the whole file is atomically rewritten so a duplicate
+        # unmarked row can never appear
+        for old in existing:
+            if old["name"] == rec["name"] and not old.get("superseded"):
+                old["superseded"] = True
+        existing.append(rec)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in existing:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, out_path)
     fails = 0
     for idx, name in enumerate(names):
         e = entries[name]
@@ -140,7 +156,7 @@ def main() -> int:
                 force_release_all(spark)
                 if rec["status"] != "PASS":
                     fails += 1
-                out.write(json.dumps(rec) + "\n")
+                emit(rec)
                 print(f"[{idx + 1}/{len(names)}] {rec['status']} {name} "
                       f"({rec['mode']}) spark={rec.get('spark_s')}s "
                       f"duck={rec.get('duck_s')}s rows={rec.get('rows')} "
@@ -187,11 +203,10 @@ def main() -> int:
         force_release_all(spark)
         if rec["status"] != "PASS":
             fails += 1
-        out.write(json.dumps(rec) + "\n")
+        emit(rec)
         print(f"[{idx + 1}/{len(names)}] {rec['status']} {name} "
               f"spark={rec.get('spark_s')}s duck={rec.get('duck_s')}s "
               f"rows={rec.get('rows')} {rec.get('err', '')}")
-    out.close()
     print(f"done: {fails} non-pass")
     con.close()
     spark.stop()
