@@ -1815,6 +1815,7 @@ def copurchase_pagerank(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..functions.dedup import expand_bucket_pairs
+    from ..session import owned_persist
 
     baskets = (
         T(spark, sf_dir, "lineitem")
@@ -1827,9 +1828,22 @@ def copurchase_pagerank(spark, sf_dir):
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
-    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # Symmetrize in ONE pass (in-row explode — the r7 connected_components
+    # lesson: a union of two selects computes the basket pair expansion once
+    # per branch) and persist: edges feed deg + one join per unrolled
+    # iteration, and without a cached exchange each consumer would re-run
+    # the expansion (4-5x on this entry's plan).
+    edges = owned_persist(
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
+    edges.count()  # populate cache before concurrent AQE consumer branches
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
         "src", "v"
     )
@@ -1918,12 +1932,25 @@ def copurchase_bfs_depth(spark, sf_dir):
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
+    # single-pass symmetrization (the r7 connected_components lesson): the
+    # union-of-two-selects shape ran the basket pair expansion once per
+    # branch even though the result is persisted — the explode reads it once
     edges = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
-    src0 = und.agg(F.min("a").alias("v")).select(
+    edges.count()  # populate cache; every later consumer reads it
+    # min(src) over the symmetric edges == min(a) over und (the oracle's
+    # start node) — derived from the cache instead of a third expansion run
+    src0 = edges.agg(F.min("src").alias("v")).select(
         "v", F.lit(0).cast("long").alias("depth")
     )
     visited = src0.localCheckpoint(eager=True)
