@@ -1815,7 +1815,6 @@ def copurchase_pagerank(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..functions.dedup import expand_bucket_pairs
-    from ..session import owned_persist
 
     baskets = (
         T(spark, sf_dir, "lineitem")
@@ -1828,22 +1827,18 @@ def copurchase_pagerank(spark, sf_dir):
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
-    # Symmetrize in ONE pass (in-row explode — the r7 connected_components
-    # lesson: a union of two selects computes the basket pair expansion once
-    # per branch) and persist: edges feed deg + one join per unrolled
-    # iteration, and without a cached exchange each consumer would re-run
-    # the expansion (4-5x on this entry's plan).
-    edges = owned_persist(
-        und.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-                )
-            ).alias("e")
-        ).select("e.src", "e.dst")
+    # Deliberately the union-of-two-selects shape, UNPERSISTED: this whole
+    # query is ONE action (the final collect), so Catalyst's ReusedExchange
+    # dedups the expansion shuffle across every edge consumer for free. The
+    # r7 explode+eager-persist variant was A/B-measured a 3.6x LOSS here
+    # (sf1: 12.7 -> 46.2 s) — the persist pays a full extra materialization
+    # of the symmetric edge list that exchange reuse never needed. Contrast
+    # copurchase_bfs_depth, where the per-round localCheckpoint actions
+    # break exchange reuse and the persisted explode IS the win
+    # (12.8 -> 8.7 s); connected_components likewise (multi-action loop).
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    edges.count()  # populate cache before concurrent AQE consumer branches
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
         "src", "v"
     )
