@@ -184,6 +184,17 @@ def test_filter_kernels_single_roundrobin_exchange(spark, sf_dir, name):
     assert "hashpartitioning" not in p
 
 
+def test_pagerank_has_no_persist(spark, sf_dir):
+    """copurchase_pagerank is ONE action, so the symmetric edge expansion is
+    deduplicated by runtime exchange reuse (AQE) — an explicit eager persist
+    was A/B-measured a 3.6x LOSS at sf1 (12.7 -> 46.2 s, r7: the persist
+    pays a full extra materialization exchange reuse never needed) and
+    reverted. This pin keeps the no-persist shape; multi-action loops (BFS,
+    connected components) are the opposite case and DO persist."""
+    p = _plan(spark, sf_dir, "copurchase_pagerank")
+    assert "InMemoryTableScan" not in p
+
+
 def test_temperature_sample_broadcasts_rates(spark, sf_dir):
     """The per-language rate frame (|langs| rows) must broadcast back onto
     the corpus — a shuffle join keyed on lang would put every document of one
