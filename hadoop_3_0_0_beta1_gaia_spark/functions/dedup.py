@@ -603,17 +603,13 @@ def duckdb_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 
-# rounds taken by the last connected_components call (diagnostic: the
-# pointer-jumping claim — O(log diameter) rounds — is test- and sweep-visible)
-_CC_LAST_ROUNDS = [0]
-
-
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
     jump: bool = True,
+    diag: dict | None = None,
 ) -> DataFrame:
     """Dedup clusters: connected components over a near-dup pair graph via
     iterative min-label propagation — the engine's iterative-algorithm
@@ -640,6 +636,14 @@ def connected_components(
     the same with or without jumping; equivalence is test-pinned and the
     recursive-CTE oracle is jump-oblivious. The loop's only driver-side step
     is a one-row convergence check.
+
+    Misconvergence is LOUD (ADVICE r7): exhausting ``max_iter`` without the
+    sum-converged break raises RuntimeError — returning the last label table
+    silently would hand back wrong components (labels above the component
+    minimum) on diameters past the round budget, reachable via ``jump=False``
+    or pathological chain graphs. ``diag``, when given, is filled per-call
+    with ``{"rounds": n, "converged": bool}`` (replaces the old module-level
+    round counter, which made concurrent callers corrupt each other).
     """
     from pyspark import StorageLevel
 
@@ -674,7 +678,8 @@ def connected_components(
     n_edges = edges.count()
     nparts = int(max(8, min(2048, n_edges // 2_000_000 + 8)))
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-    _CC_LAST_ROUNDS[0] = 0
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
         # Persist each round and truncate lineage — without this, iteration k
         # re-executes all k-1 previous joins from scratch (measured 68s → 3s
@@ -699,14 +704,25 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        _CC_LAST_ROUNDS[0] += 1
+        rounds += 1
         new_sum = prop.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels.unpersist()
         labels = prop
         if new_sum == prev_sum:  # min-label sum strictly decreases until fixpoint
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if diag is not None:
+        diag["rounds"] = rounds
+        diag["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds (label sum still decreasing after round {rounds}); "
+            "labels would be silently wrong — raise max_iter or keep jump=True "
+            "(O(log diameter) rounds)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -1084,7 +1100,11 @@ def simhash64_kernel(
                         # bits 0..31 from the lo word, 32..62 from the hi word
                         # — same layout as the expression fold's step lambda
                         v = (int(h[:8], 16) << 32) | int(h[8:16], 16)
-                        if cache_chars >= 8_000_000:
+                        # Bound BOTH axes (ADVICE r7): the char budget alone
+                        # lets a short-token vocabulary (2-4 char tokens)
+                        # accumulate millions of dict entries whose dict+str
+                        # object overhead dwarfs the char estimate.
+                        if cache_chars >= 8_000_000 or len(cache) >= 500_000:
                             cache.clear()
                             cache_chars = 0
                         cache[t] = v

@@ -634,6 +634,43 @@ def order_gaps_arrow(spark, sf_dir):
 
 
 @register(
+    "order_gaps_native",
+    oracle=_ORDER_GAPS_ORACLE,
+    ref="the PRODUCTION twin of the order_gaps family (VERDICT r7 item 4): the "
+    "pandas/arrow entries are deliberate procedural-Reducer surface demos "
+    "(Reducer.java:147-167); a real user should run this native expression "
+    "plan — window lag + exact-integer micros diff + groupBy max/count, ONE "
+    "shuffle (the window's hash partitioning on o_custkey is reused by the "
+    "partial-agg groupBy), zero per-group Python. Gap arithmetic is exact "
+    "integer micros scaled /1e6/86400.0 in the arrow entry's op order, so all "
+    "three entries and the shared oracle are bit-identical.",
+)
+def order_gaps_native(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    # exact integer micros, tz-independent for either stored timestamp shape
+    # (never an NTZ->LTZ cast: gaps spanning a DST boundary would shift 3600 s
+    # under a zoned interpretation while the oracle diffs wall-clock values)
+    kind = o.schema["o_orderdate"].dataType.simpleString()
+    if kind == "timestamp_ntz":
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        )
+    else:
+        micros = F.unix_micros("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gap = (micros - F.lag(micros).over(w)).alias("gap_micros")
+    return (
+        o.select("o_custkey", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.coalesce(F.max("gap_micros"), F.lit(0)) / F.lit(1e6) / F.lit(86400.0))
+            .alias("max_gap_days"),
+        )
+    )
+
+
+@register(
     "fixedlen_parse",
     oracle="""
         SELECT CAST(substr(rec, 1, 12) AS BIGINT) AS rec_orderkey,

@@ -1362,30 +1362,49 @@ def test_connected_components_pointer_jumping(spark):
     propagation needs the full 40 rounds (and would silently MISconverge
     under the default max_iter=20; the jump path is why the default is safe
     at any realistic cluster diameter)."""
-    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
-        _CC_LAST_ROUNDS,
-        connected_components,
-    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import connected_components
 
     # a 40-node path (diameter 39) + a disjoint triangle with a non-min root
     edges = [(i, i + 1) for i in range(39)] + [(100, 102), (101, 102), (100, 101)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     want = {i: 0 for i in range(40)} | {i: 100 for i in (100, 101, 102)}
 
+    jump_diag: dict = {}
     got = {
         r["doc_id"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, diag=jump_diag).collect()
     }
     assert got == want
-    jump_rounds = _CC_LAST_ROUNDS[0]
+    assert jump_diag["converged"]
+    jump_rounds = jump_diag["rounds"]
     assert jump_rounds <= 9  # ~log2(39) + convergence-detect rounds
 
+    flat_diag: dict = {}
     flat = {
         r["doc_id"]: r["component"]
-        for r in connected_components(pairs, jump=False, max_iter=50).collect()
+        for r in connected_components(
+            pairs, jump=False, max_iter=50, diag=flat_diag
+        ).collect()
     }
     assert flat == want
-    assert _CC_LAST_ROUNDS[0] > jump_rounds  # plain propagation pays diameter
+    assert flat_diag["converged"]
+    assert flat_diag["rounds"] > jump_rounds  # plain propagation pays diameter
+
+
+def test_connected_components_misconvergence_is_loud(spark):
+    """Exhausting max_iter without the sum-converged break must RAISE, never
+    return silently-wrong labels (ADVICE r7: reachable via jump=False on a
+    diameter past the round budget). The diag dict still reports the attempt."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(39)]  # diameter-39 path
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    diag: dict = {}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, jump=False, max_iter=5, diag=diag)
+    assert diag == {"rounds": 5, "converged": False}
 
 
 def test_gopher_rules_match_python_reference(spark):

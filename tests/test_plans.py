@@ -190,7 +190,16 @@ def test_pagerank_has_no_persist(spark, sf_dir):
     was A/B-measured a 3.6x LOSS at sf1 (12.7 -> 46.2 s, r7: the persist
     pays a full extra materialization exchange reuse never needed) and
     reverted. This pin keeps the no-persist shape; multi-action loops (BFS,
-    connected components) are the opposite case and DO persist."""
+    connected components) are the opposite case and DO persist.
+
+    Starts from a cache-clean session: r7's judge bisected an order-dependent
+    failure (test_oracle_match[copurchase_triangles] -> this pin) where the
+    triangles entry's owned_persist of the shared co-purchase edge frame made
+    Spark's cache manager rewrite pagerank's byte-identical edge subtree to
+    InMemoryTableScan — residue, not an engine persist."""
+    from hadoop_3_0_0_beta1_gaia_spark.session import force_release_all
+
+    force_release_all(spark)
     p = _plan(spark, sf_dir, "copurchase_pagerank")
     assert "InMemoryTableScan" not in p
 
@@ -596,6 +605,22 @@ def test_q5_q7_broadcast_only_bounded_dims(spark, sf_dir):
                 assert "customer" not in line and "orders" not in line and (
                     "supplier" not in line
                 ), f"{name}: growing table hinted broadcast: {line}"
+
+
+def test_order_gaps_native_is_one_shuffle_no_python(spark, sf_dir):
+    """The production twin of the order_gaps family must be pure expression
+    (no per-group Python — that's what the pandas/arrow Reducer demos are for)
+    and ONE shuffle: the window's hash partitioning on o_custkey is reused by
+    the groupBy partial/final aggregate."""
+    p = _plan(spark, sf_dir, "order_gaps_native")
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # formatted plans list each node once in the tree and once in the detail
+    # section — count distinct Exchange node ids instead of substring hits
+    import re
+
+    exchanges = set(re.findall(r"Exchange \((\d+)\)", p))
+    assert len(exchanges) == 1, f"expected 1 Exchange, plan has {exchanges}"
 
 
 def test_semantic_dedup_reuses_assignment(spark, sf_dir):

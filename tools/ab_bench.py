@@ -65,9 +65,12 @@ def main() -> int:
     out_path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ab_bench.json"
 
     def _sha(ref: str) -> str:
-        return subprocess.run(
+        r = subprocess.run(
             ["git", "rev-parse", ref], cwd=REPO, capture_output=True, text=True
-        ).stdout.strip()
+        )
+        if r.returncode:
+            raise RuntimeError(f"git rev-parse {ref!r} failed: {r.stderr.strip()}")
+        return r.stdout.strip()
 
     def _worktree(ref: str, path: str) -> str:
         subprocess.run(
@@ -82,17 +85,21 @@ def main() -> int:
             raise RuntimeError(f"worktree add failed: {r.stderr}")
         return path
 
-    tree_a = _worktree(ref_a, f"/tmp/ab_tree_a_{os.getpid()}")
-    tree_b = (
-        REPO if ref_b == "WORKTREE"
-        else _worktree(ref_b, f"/tmp/ab_tree_b_{os.getpid()}")
-    )
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # Both worktrees are created INSIDE the try so a failed tree_b checkout
+    # (bad REF_B) cannot leak tree_a in /tmp (ADVICE r7).
+    tree_a = None
+    tree_b = None
     runs_a: list[dict] = []
     runs_b: list[dict] = []
     try:
+        tree_a = _worktree(ref_a, f"/tmp/ab_tree_a_{os.getpid()}")
+        tree_b = (
+            REPO if ref_b == "WORKTREE"
+            else _worktree(ref_b, f"/tmp/ab_tree_b_{os.getpid()}")
+        )
         for i in range(runs_each):
             # strict alternation: host throughput drift affects both trees
             # equally within each (A, B) pair
@@ -101,16 +108,12 @@ def main() -> int:
             runs_b.append(_run_bench(tree_b, env))
             print(f"B run {i + 1}/{runs_each}: {runs_b[-1]['value']}s", flush=True)
     finally:
-        if tree_a != REPO:
-            subprocess.run(
-                ["git", "worktree", "remove", "--force", tree_a],
-                cwd=REPO, capture_output=True,
-            )
-        if tree_b != REPO and ref_b != "WORKTREE":
-            subprocess.run(
-                ["git", "worktree", "remove", "--force", tree_b],
-                cwd=REPO, capture_output=True,
-            )
+        for tree in (tree_a, tree_b):
+            if tree and tree != REPO:
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", tree],
+                    cwd=REPO, capture_output=True,
+                )
 
     def _per_query_min(runs: list[dict]) -> dict:
         qmins: dict[str, float] = {}
@@ -134,6 +137,32 @@ def main() -> int:
         "per_query_min_b": _per_query_min(runs_b),
     }
     artifact["ratio_b_over_a"] = round(artifact["min_b"] / artifact["min_a"], 4)
+
+    # Divergence flags (VERDICT r7 item 8): compare the newest driver BENCH
+    # artifact's per-query numbers against this A/B's HEAD-side mins and flag
+    # >25% divergence — the automatic version of r7's word_count exoneration
+    # (+21% in the driver artifact, parity in the interleaved A/B), so BENCH
+    # movements are machine-attributed to host-session vs code.
+    import glob
+
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if benches:
+        with open(benches[-1]) as f:
+            drv = json.load(f)
+        flags = {}
+        for q, drv_s in drv.get("queries", {}).items():
+            ab_s = artifact["per_query_min_b"].get(q)
+            if ab_s and drv_s and max(drv_s, ab_s) / min(drv_s, ab_s) > 1.25:
+                flags[q] = {
+                    "driver_bench_s": drv_s,
+                    "ab_min_b_s": ab_s,
+                    "ratio": round(drv_s / ab_s, 3),
+                    "verdict": "host-session divergence (A/B is the code-level"
+                               " measure)",
+                }
+        artifact["driver_bench_compared"] = os.path.basename(benches[-1])
+        artifact["flags"] = flags
+
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
