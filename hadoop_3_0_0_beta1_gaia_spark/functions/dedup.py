@@ -599,6 +599,183 @@ def duckdb_minhash_lsh(
 
 
 # ---------------------------------------------------------------------------
+# exact-substring dedup (duplicate spans >= k tokens, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+# Per-variant occurrence-cap observations (same keyed pattern as _DF_CAP_OBS:
+# building two capped plans before running either must not cross-wire).
+_SUBSTR_CAP_OBS: dict = {}
+
+
+def substring_cap_counter(variant: str = "exact_substring") -> dict:
+    """Metrics of an occurrence-capped exact-substring action:
+    {'occ_dropped_grams': n, 'occ_dropped_rows': m}. Read AFTER an action."""
+    obs = _SUBSTR_CAP_OBS.get(variant)
+    return dict(obs.get) if obs is not None else {}
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occ: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Deduplicating Training Data Makes
+    Language Models Better, Lee et al. 2022 — the ExactSubstr pass): every
+    maximal token run of length >= ``k`` shared verbatim between two
+    documents, with positions, so callers can CUT the duplicated text (the
+    paper's remediation) rather than just score it
+    (:func:`plans.index_sketch.dedup_substring_spans` is the per-doc
+    fraction metric; this emits the spans themselves).
+
+    Spark-first re-expression of the paper's suffix-array method: a
+    positional k-token-gram anchor join. Each doc emits (pos, gram) for
+    every k-gram (map-side; grams interned as 60-bit md5 longs exactly like
+    :func:`shingle_arrays`, so the equi-join moves 8-byte keys); the
+    gram-key self-join (doc_a < doc_b) yields match anchors; anchors on the
+    same alignment diagonal (pos_a - pos_b) with consecutive pos_a belong to
+    one duplicated run, merged via the classic island trick
+    (pos_a - row_number() per (pair, diagonal)) into maximal spans:
+    start_a/start_b/span_tokens. A run of length L >= k produces L-k+1
+    consecutive anchors on one diagonal, hence ONE output span of exactly L
+    tokens — equivalent to the suffix-array scan's output on cross-doc
+    duplicates without ever materializing a global suffix sort (which would
+    be one giant order-by at 100 TB; the anchor join shuffles only gram
+    keys and is output-bound after the cap).
+
+    ``max_occ`` is the 100 TB governance knob (production twin): grams whose
+    TOTAL corpus occurrence count exceeds it are dropped before the join.
+    Occurrence cap, not document-frequency cap, because the positional join
+    is quadratic in per-gram occurrences — a gram repeated m times (even
+    inside ONE hot document pair: boilerplate headers, repeated lines)
+    contributes m^2 anchor rows; occ <= max_occ bounds every gram's fan-out
+    to max_occ^2 regardless of how occurrences distribute over docs.
+    Dropping a ubiquitous middle gram can SPLIT a long span into two
+    (governed recall trade-off, same posture as the LSH bucket cap); dropped
+    volume is observable via :func:`substring_cap_counter`. Uncapped is the
+    recall anchor; the capped twin is the production configuration
+    (SCALE.md).
+    """
+    from pyspark.sql import Window
+
+    from ..session import ensure_parallelism
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            md5_long(F.array_join(F.slice("toks", i, k), " ")).alias("gh"),
+        ),
+    )
+    g = (
+        base.select("id", F.explode(gram_structs).alias("g"))
+        .select("id", "g.pos", "g.gh")
+    )
+    # both self-join sides (and, when capping, the frequency agg) read the
+    # gram stream; persist + eager count, the jaccard/containment-measured
+    # pattern (4x at sf0.1; AQE concurrent-branch recompute otherwise)
+    g = owned_persist(g)
+    g.count()
+    if max_occ is not None:
+        if max_occ < 1:
+            raise ValueError("max_occ must be >= 1")
+        freq = g.groupBy("gh").agg(F.count("*").alias("occ"))
+        freq, _SUBSTR_CAP_OBS["exact_substring"] = with_counter(
+            freq,
+            "substring_occ_cap",
+            F.sum((F.col("occ") > max_occ).cast("long")).alias(
+                "occ_dropped_grams"
+            ),
+            F.sum(F.when(F.col("occ") > max_occ, F.col("occ")).otherwise(0)).alias(
+                "occ_dropped_rows"
+            ),
+        )
+        keep = freq.filter(F.col("occ") <= max_occ).select("gh")
+        g = owned_persist(g.join(keep, "gh").select("id", "pos", "gh"))
+        g.count()
+    a = g.select(F.col("id").alias("doc_a"), F.col("pos").alias("pos_a"), "gh")
+    b = g.select(F.col("id").alias("doc_b"), F.col("pos").alias("pos_b"), "gh")
+    anchors = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = anchors.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def duckdb_exact_substring(
+    table: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occ: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_spans` — positional gram unnest,
+    identical 60-bit interning, same occurrence-cap rule, same island merge."""
+    toks = duck_tokens(text_col)
+    gram = duck_md5_long(
+        f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
+    )
+    cap_cte = ""
+    g_src = "g0"
+    if max_occ is not None:
+        cap_cte = f""",
+        kept AS (SELECT gh FROM g0 GROUP BY gh HAVING count(*) <= {max_occ}),
+        g AS (SELECT g0.* FROM g0 JOIN kept USING (gh))"""
+        g_src = "g"
+    return f"""
+        WITH d AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+        g0 AS (
+            SELECT id,
+                   unnest(list_transform(generate_series(1, len(toks) - {k - 1}),
+                          i -> {{'pos': CAST(i AS BIGINT), 'gh': {gram}}}),
+                          recursive := true)
+            FROM d WHERE len(toks) >= {k}
+        ){cap_cte},
+        anchors AS (
+            SELECT ga.id AS doc_a, gb.id AS doc_b,
+                   ga.pos AS pos_a, gb.pos AS pos_b,
+                   ga.pos - gb.pos AS diag
+            FROM {g_src} ga JOIN {g_src} gb ON ga.gh = gb.gh AND ga.id < gb.id
+        ),
+        isl AS (
+            SELECT doc_a, doc_b, diag, pos_a, pos_b,
+                   pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ) AS island
+            FROM anchors
+        )
+        SELECT doc_a, doc_b,
+               min(pos_a) AS start_a,
+               min(pos_b) AS start_b,
+               CAST(max(pos_a) - min(pos_a) + {k} AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+    """
+
+
+# ---------------------------------------------------------------------------
 # connected components (dedup clusters)
 # ---------------------------------------------------------------------------
 

@@ -13,10 +13,12 @@ from ..functions.dedup import (
     duck_normalized_fp,
     duckdb_connected_components,
     duckdb_exact_dedup,
+    duckdb_exact_substring,
     duckdb_minhash_lsh,
     duckdb_ngram_jaccard,
     duckdb_simhash32,
     exact_dedup_groups,
+    exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash32,
@@ -77,6 +79,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_ngram_jaccard_capped(spark, sf_dir):
     return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM, max_df=4)
+
+
+_SUBSTR = dict(k=8)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=duckdb_exact_substring("documents", **_SUBSTR),
+    ref="exact-substring dedup (Lee et al. 2022 ExactSubstr): maximal verbatim "
+    "token runs >= 8 tokens shared between doc pairs, WITH positions so the "
+    "duplicated text can be cut — the span-emitting complement to "
+    "dedup_substring_spans' per-doc fraction metric. Suffix-array semantics "
+    "re-expressed as a positional k-gram anchor join + diagonal island merge "
+    "(functions/dedup.py exact_substring_spans) — no global suffix sort. "
+    "UNCAPPED recall anchor by contract; production runs the capped twin",
+)
+def dedup_exact_substring(spark, sf_dir):
+    return exact_substring_spans(T(spark, sf_dir, "documents"), **_SUBSTR)
+
+
+@register(
+    "dedup_exact_substring_capped",
+    oracle=duckdb_exact_substring("documents", **_SUBSTR, max_occ=2),
+    ref="the 100 TB configuration of dedup_exact_substring: grams occurring "
+    "> max_occ times in the corpus are dropped before the positional "
+    "self-join. OCCURRENCE cap, not document-frequency cap: the join is "
+    "quadratic in per-gram occurrences (a boilerplate line repeated m times "
+    "contributes m^2 anchors even inside one doc pair), so the cap bounds "
+    "every gram's fan-out to max_occ^2 regardless of skew. Cap=2 is "
+    "deliberately tight so the rule demonstrably fires at gate SF (sf0.01 "
+    "has 71 occ-3 grams, max occ 3); production calibrates it to the "
+    "corpus (SCALE.md). The cap CHANGES the answer (spans "
+    "whose every gram is ubiquitous disappear; a dropped middle gram can "
+    "split a long span in two), so the oracle reproduces the drop rule "
+    "exactly; dropped grams/rows observable via substring_cap_counter()",
+)
+def dedup_exact_substring_capped(spark, sf_dir):
+    return exact_substring_spans(T(spark, sf_dir, "documents"), **_SUBSTR, max_occ=2)
 
 
 @register(

@@ -143,76 +143,85 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # pre-validated under the exact driver protocol this session
 # (tools/driver_check.py, sf0.01). After this round's CORRECTNESS rows,
 # never-driver-validated = 0 of 228.
+# Rotation #10 (round 8) — the first RECENCY rotation (VERDICT r7 item 2;
+# burn-down complete since r7: never-driver-validated = 0 of 228, so from
+# here the window rotates onto the entries whose last driver green is
+# OLDEST, re-confirming every family against driver drift at most a few
+# rounds apart). Computed from CORRECTNESS_r01-r07 set algebra: the r1
+# cohort (35 oracled entries, last green 7 rounds ago — per-record
+# transforms, sampling, generators, streaming, events analytics, procedural
+# reducers, aggregate framework) all rotate IN, plus the 6 oldest r2
+# entries named by the cohort plan (keyfield/fieldsel/grep text transforms,
+# word_stats, secondary_sort, distinct_segments — the set-op rep over
+# set_except because set_except's output is 0 rows at gate SF, the weakest
+# possible driver evidence; the repo gate still runs set_except). Kept: the
+# 2 standing anchors
+# (q1, join_inner_nway) and one representative per 100 TB capped config
+# (minhash bucket cap, ngram df cap, simhash64 bucket cap, components
+# capped graph). IN for first contact: this round's 3 new entries —
+# order_gaps_native (the production twin of the procedural order_gaps
+# demos) and the exact-substring dedup pair (Lee et al. 2022 ExactSubstr,
+# uncapped anchor + occ-capped production twin). OUT: the 44 r7-green
+# first-contact entries (every family keeps in-window or repo-gate
+# coverage; the repo oracle gate runs all 230 every session).
+# multimodal_features (last contact r1) stays out: rows-only entries are
+# barred from the window (oracle required); it remains covered by pytest.
 _WINDOW: list[str] = [
-    # anchors (driver-green r1+r2+r3+r4+r5)
+    # anchors (driver-green r1-r7)
     "q1_pricing_summary",
     "join_inner_nway",
-    # TPC-H representatives (remaining 7 completions r5-green, rotated out)
-    "min_cost_supplier_per_part",
-    "product_type_profit",
-    # 100 TB capped-twin representatives (jaccard_capped + uncapped simhash64
-    # r6-green, rotated out; the capped simhash64 IS the production config)
-    "dedup_containment_capped",
+    # one representative per 100 TB capped config
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
-    # rotation #9: the published-filter suite (first driver contact)
-    "gopher_rules_filter",
-    "gopher_repetition_signals",
-    "c4_line_filter",
-    # burn-down: remaining never-validated entries (VERDICT r5 item 3)
-    "ivf_filtered_topk",
-    "hll_distinct_users",
-    "corpus_pps_sample",
-    "order_gaps_arrow",
-    "cumulative_unique_users",
-    "sort_validator_stats",
-    "events_weekly_moving_avg",
-    "doc_winnow_fingerprints",
-    "bpe_top_merges",
-    # capped-graph components family (exact triangles r6-green, rotated out
-    # for the sampled twin; cluster_canonical_capped is rotation #9's 4th
-    # first-contact entry)
-    "copurchase_triangles_sampled",
     "dedup_components_capped",
-    "dedup_kept_corpus_capped",
-    "dedup_cluster_canonical_capped",
-    # multimodal / audio (media_stream.py)
-    "wav_decode_roundtrip",
-    "mp3_probe_headers",
-    # streaming
-    "stream_static_enrich",
-    # time-series / incremental-view maintenance (ewma r6-green, rotated out)
-    "events_cusum_drift",
-    "incremental_agg_retraction",
-    "events_anomaly_zscore",
-    # quality / governance / search
-    "skip_bad_records_audit",
-    "source_overlap_matrix",
-    "nqueens_search_count",
-    "bbp_pi_hex_digits",
-    # procedural reducers / sketch merge
-    "cogroup_order_fill",
-    "hll_merge_daily",
-    # joins / plans
-    "join_bucketed_colocated",
-    "join_expr_language",
-    "set_except_all_parts",
-    # analytics over customers/orders
-    "cohort_retention_matrix",
-    "first_last_order_per_customer",
-    "order_priority_transitions",
-    "order_priority_exists",
-    "profile_orders_columns",
-    "price_qty_ols_by_flag",
-    # market-basket / graph family
-    "copurchase_part_pairs",
-    # formats
-    "csv_roundtrip_parse",
-    "schema_evolution_merge",
-    # text / corpus
-    "lang_id_confusion",
-    "source_quality_report",
-    "sample_docs_per_lang",
-    "bpe_apply_encode",
+    # round-8 first-contact entries
+    "order_gaps_native",
+    "dedup_exact_substring",
+    "dedup_exact_substring_capped",
+    # recency cohort: last driver green r1 (35 entries)
+    "agg_string_minmax",
+    "agg_value_descriptors",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_kept_corpus",
+    "dedup_ngram_jaccard",
+    "distinct_suppliers_two_phase",
+    "doc_length_histogram",
+    "events_daily_retention",
+    "events_funnel",
+    "events_json_extract",
+    "events_multigrain_rollup",
+    "events_pivot_daily",
+    "fixedlen_parse",
+    "frame_sample_grid",
+    "gen_teragen",
+    "gen_text_wordcount",
+    "ivf_assign_buckets",
+    "kmv_distinct_users",
+    "order_gaps_pandas",
+    "order_price_deciles",
+    "pi_estimate",
+    "pipe_identity_kv",
+    "quantity_quantiles_by_flag",
+    "salted_event_counts",
+    "sample_interval",
+    "seqfilter_md5",
+    "seqfilter_regex",
+    "sessionize_events",
+    "stratified_sample_orders",
+    "stream_dedup_counts",
+    "stream_user_running_totals",
+    "stream_windowed_counts",
+    "topk_events_per_type",
+    "uniq_value_count",
+    # recency cohort: last driver green r2 (6 entries)
+    "keyfield_char_sort",
+    "fieldsel_project",
+    "grep_regex_count",
+    "word_stats",
+    "secondary_sort",
+    "distinct_segments",
 ]
 
 

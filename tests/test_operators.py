@@ -1391,6 +1391,93 @@ def test_connected_components_pointer_jumping(spark):
     assert flat_diag["rounds"] > jump_rounds  # plain propagation pays diameter
 
 
+def test_exact_substring_spans_match_token_level_reference(spark):
+    """Span extraction (anchor join + diagonal island merge) must emit exactly
+    the maximal common token runs >= k, with 1-based positions and exact
+    lengths — pinned against an independent token-level diagonal walk (no
+    gram hashing, no SQL) on a fixture with: one long shared run, a doc pair
+    sharing TWO separate runs, a run broken by a one-token mismatch (two
+    islands on one diagonal), and a sub-k overlap that must NOT appear."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import exact_substring_spans
+
+    docs = {
+        1: "a b c d e f g h i j",          # shares c..i with 2 (run 7)
+        2: "x c d e f g h i y z c d e w",  # also a second short c d e (sub-k)
+        3: "a b c d e f X h i j",          # mismatch at g -> two runs vs 1
+        4: "p q r s t u v w p2 q2",        # no overlap
+    }
+    k = 3
+    want = set()
+    ids = sorted(docs)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            ta, tb = docs[da].lower().split(), docs[db].lower().split()
+            for diag in range(-len(tb), len(ta) + 1):
+                run = 0
+                for ia in range(1, len(ta) + 2):
+                    ib = ia - diag
+                    ok = (
+                        ia <= len(ta)
+                        and 1 <= ib <= len(tb)
+                        and ta[ia - 1] == tb[ib - 1]
+                    )
+                    if ok:
+                        run += 1
+                    else:
+                        if run >= k:
+                            sa = ia - run
+                            want.add((da, db, sa, sa - diag, run))
+                        run = 0
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in exact_substring_spans(df, k=k).collect()
+    }
+    assert got == want
+    # fixture sanity: the interesting shapes are actually present
+    assert (1, 2, 3, 2, 7) in want          # the long merged run
+    assert (1, 3, 1, 1, 6) in want          # pre-mismatch island
+    assert (1, 3, 8, 8, 3) in want          # post-mismatch island
+    assert not any(a == 2 and b == 4 for a, b, *_ in want)
+
+
+def test_exact_substring_occ_cap_drops_and_splits(spark):
+    """The occurrence cap must drop grams with corpus occurrence > max_occ
+    BEFORE the join: a boilerplate middle gram shared by 3 docs splits the
+    2-doc span containing it, and the drop counters report the volume."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        exact_substring_spans,
+        substring_cap_counter,
+    )
+
+    # docs 1+2 share a 7-token run; its MIDDLE gram 'c3 c4 c5' also appears
+    # in doc 3 (occurrence 3 > cap 2), so the capped result splits the run
+    docs = [
+        (1, "c1 c2 c3 c4 c5 c6 c7"),
+        (2, "z c1 c2 c3 c4 c5 c6 c7"),
+        (3, "q r c3 c4 c5 s t"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    unc = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in exact_substring_spans(df, k=3).collect()
+    }
+    assert (1, 2, 1, 2, 7) in unc  # uncapped: one maximal 7-token span
+    cap = exact_substring_spans(df, k=3, max_occ=2)
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in cap.collect()
+    }
+    obs = substring_cap_counter()
+    assert obs["occ_dropped_grams"] >= 1 and obs["occ_dropped_rows"] >= 3
+    # the 7-token 1<->2 span survives only as fragments not containing the
+    # dropped middle gram; no fragment may span the full 7 tokens
+    frags = {t for t in got if t[0] == 1 and t[1] == 2}
+    assert frags and all(t[4] < 7 for t in frags)
+
+
 def test_connected_components_misconvergence_is_loud(spark):
     """Exhausting max_iter without the sum-converged break must RAISE, never
     return silently-wrong labels (ADVICE r7: reachable via jump=False on a

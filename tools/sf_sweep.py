@@ -20,8 +20,26 @@ Per-entry comparison modes for VERY large SFs (sf10+), via env vars:
                         entries whose DuckDB oracle is itself super-linear
                         (recursive-CTE graph iterations) and would measure
                         the oracle, not the engine, at the target SF.
+  SWEEP_DIGEST=e,f      compare an ENGINE-SIDE digest (count + bit_xor +
+                        mod-sum of a 60-bit md5 row hash, computed INSIDE
+                        Spark and INSIDE DuckDB over identically-canonicalized
+                        rows) instead of full-row collect (VERDICT r7 item 3:
+                        the r7 c4_line_filter row billed 500k rows of
+                        collect()+Python compare to the engine — 12.2 s
+                        artifact vs 3.1 s same-session A/B). Full-row parity
+                        for digest-mode entries is established by the sf1
+                        sweep; the digest still FAILS on any value divergence.
+  SWEEP_BOUNDARY_PINNED=g,h
+                        skip these entries with an explicit boundary-pinned
+                        record (VERDICT r7 item 6: the uncapped components
+                        family's sf10 wall is measured twice — r6 GC, r7 652 s
+                        disk spill — and pinned in SCALE.md; re-probing it
+                        every sweep burns budget to re-learn a decided fact).
 Modes are recorded in the JSONL (mode field) so the artifact shows exactly
-which gate each entry got.
+which gate each entry got. Any PASS row whose spark_s exceeds 30 s is
+re-timed twice more (fresh watchdog each) and carries a ``runs`` array with
+spark_s = min — single samples of heavy entries swing 27-135 s on this host
+(VERDICT r7 item 7), so round-over-round deltas need spread visibility.
 """
 
 from __future__ import annotations
@@ -68,6 +86,91 @@ def _norm(rows, cols):
         out.append(tuple(vals))
     out.sort()
     return out
+
+
+_DIGEST_MOD = 1_000_000_007
+
+
+def _spark_digest(df):
+    """(count, bit_xor(h), sum(h % p)) over a canonical 60-bit row hash.
+
+    Canonical row string: columns sorted by name, '|'-joined, NULL -> 'NULL',
+    DOUBLE/FLOAT via printf('%.9f') (both engines use C-printf semantics for
+    the values these entries emit; full-row sf1 parity remains the ground
+    truth — digest mode only replaces the COLLECT at huge SFs). XOR alone
+    cancels even multiplicities, so the mod-sum rides along; count pins
+    cardinality."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c in sorted(df.columns):
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        s = F.format_string("%.9f", col) if dt in ("double", "float") else col.cast(
+            "string"
+        )
+        parts.append(F.coalesce(s, F.lit("NULL")))
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    row = (
+        df.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.col("h") % _DIGEST_MOD).alias("s"),
+        )
+        .collect()[0]
+    )
+    return (row["n"], row["x"], row["s"])
+
+
+def _duck_digest(con, oracle: str):
+    """Same digest computed INSIDE DuckDB over the oracle's rows."""
+    # description type_codes collapse DOUBLE/BIGINT to 'NUMBER'; DESCRIBE
+    # yields the real logical types
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({oracle}) LIMIT 0").fetchall()
+    parts = []
+    for name, col_type, *_ in sorted(desc, key=lambda d: d[0]):
+        q = f'"{name}"'
+        fmt = (
+            f"printf('%.9f', {q})"
+            if col_type.upper() in ("FLOAT", "DOUBLE", "REAL")
+            else f"CAST({q} AS VARCHAR)"
+        )
+        parts.append(f"coalesce({fmt}, 'NULL')")
+    h = f"(('0x' || substr(md5(concat_ws('|', {', '.join(parts)})), 1, 15))::BIGINT)"
+    n, x, s = con.execute(
+        f"SELECT count(*), bit_xor(h), sum(h % {_DIGEST_MOD}) "
+        f"FROM (SELECT {h} AS h FROM ({oracle}))"
+    ).fetchone()
+    return (n, x, s)
+
+
+def _retime(rec: dict, spark, e, cap: float, action) -> None:
+    """Spread visibility for heavy rows (VERDICT r7 item 7): a PASS row whose
+    first Spark-side run took > 30 s gets two more timed runs (fresh watchdog
+    each; single samples swing 27-135 s on this host) — rec gains a ``runs``
+    array and spark_s becomes the min, matching bench.py's protocol."""
+    from hadoop_3_0_0_beta1_gaia_spark.session import force_release_all
+
+    if rec.get("status") != "PASS" or (rec.get("spark_s") or 0) <= 30:
+        return
+    runs = [rec["spark_s"]]
+    for _ in range(2):
+        wd = threading.Timer(cap, spark.sparkContext.cancelAllJobs)
+        wd.start()
+        t0 = time.perf_counter()
+        try:
+            action(e.build(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 1))
+        except Exception:  # noqa: BLE001 - a failed re-run is recorded as null
+            runs.append(None)
+        finally:
+            wd.cancel()
+            force_release_all(spark)
+    rec["runs"] = runs
+    rec["spark_s"] = min(r for r in runs if r is not None)
 
 
 def main() -> int:
@@ -133,11 +236,46 @@ def main() -> int:
 
         count_only = name in os.environ.get("SWEEP_COUNT_ONLY", "").split(",")
         spark_only = name in os.environ.get("SWEEP_SPARK_ONLY", "").split(",")
+        digest_mode = name in os.environ.get("SWEEP_DIGEST", "").split(",")
+        if name in os.environ.get("SWEEP_BOUNDARY_PINNED", "").split(","):
+            rec["status"] = "SKIP"
+            rec["mode"] = "boundary-pinned"
+            rec["err"] = (
+                "uncapped posture pinned as a permanent boundary (SCALE.md); "
+                "capped twin is the production config — not re-probed"
+            )
+            emit(rec)
+            print(f"[{idx + 1}/{len(names)}] SKIP {name} (boundary-pinned)")
+            continue
         watchdog = threading.Timer(cap, _kill)
         watchdog.start()
         t0 = time.perf_counter()
         try:
             df = e.build(spark, SF_DIR)
+            if digest_mode and e.oracle is not None:
+                rec["mode"] = "digest"
+                sd = _spark_digest(df)
+                rec["spark_s"] = round(time.perf_counter() - t0, 1)
+                rec["rows"] = sd[0]
+                rec["digest_spark"] = list(sd)
+                t1 = time.perf_counter()
+                dd = _duck_digest(con, e.oracle)
+                rec["duck_s"] = round(time.perf_counter() - t1, 1)
+                rec["digest_duck"] = list(dd)
+                if sd != dd:
+                    rec["status"] = "FAIL"
+                    rec["err"] = f"digest {sd} vs {dd}"
+                watchdog.cancel()
+                force_release_all(spark)
+                _retime(rec, spark, e, cap, lambda d: _spark_digest(d)[0])
+                if rec["status"] != "PASS":
+                    fails += 1
+                emit(rec)
+                print(f"[{idx + 1}/{len(names)}] {rec['status']} {name} "
+                      f"(digest) spark={rec.get('spark_s')}s "
+                      f"duck={rec.get('duck_s')}s rows={rec.get('rows')} "
+                      f"{rec.get('err', '')}")
+                continue
             if count_only or spark_only:
                 rec["mode"] = "count" if count_only else "spark-only"
                 n_spark = df.count()
@@ -154,6 +292,7 @@ def main() -> int:
                         rec["err"] = f"counts {n_spark} vs {n_duck}"
                 watchdog.cancel()
                 force_release_all(spark)
+                _retime(rec, spark, e, cap, lambda d: d.count())
                 if rec["status"] != "PASS":
                     fails += 1
                 emit(rec)
@@ -201,6 +340,7 @@ def main() -> int:
                     pass
                 time.sleep(3)
         force_release_all(spark)
+        _retime(rec, spark, e, cap, lambda d: d.collect())
         if rec["status"] != "PASS":
             fails += 1
         emit(rec)
