@@ -988,13 +988,25 @@ _DUCK_C4_TEXT = (
     "the fixture corpus is single-line",
 )
 def c4_line_filter(spark, sf_dir):
+    return c4_rules_kernel(
+        T(spark, sf_dir, "documents").select("doc_id", c4_page().alias("page"))
+    )
+
+
+def c4_page():
+    """The deterministic multi-line page derivation (single-line fixture docs
+    get injected lines so the line-level rules have real pages to act on;
+    ``_DUCK_C4_TEXT`` is the same derivation on the oracle side). Shared by
+    the C4 entry and the paragraph-dedup entry — the injected lines are also
+    exact CROSS-document duplicate paragraphs, which is precisely the
+    workload corpus-level paragraph dedup exists for."""
     nl = F.lit("\n")
 
     def inject(cond, line):
         return F.when(cond, F.concat(nl, F.lit(line))).otherwise(F.lit(""))
 
     did = F.col("doc_id")
-    page = F.concat(
+    return F.concat(
         F.col("text"),
         nl,
         F.lit("this page has exactly five words."),
@@ -1004,9 +1016,6 @@ def c4_line_filter(spark, sf_dir):
         inject(did % 2 == 1, "odd documents receive one extra proper sentence."),
         inject(did % 5 == 0, "lorem ipsum dolor sit amet consectetur."),
         inject(did % 7 == 0, "config = { key: value }"),
-    )
-    return c4_rules_kernel(
-        T(spark, sf_dir, "documents").select("doc_id", page.alias("page"))
     )
 
 
@@ -1808,3 +1817,237 @@ def dsir_importance_select(spark, sf_dir):
     top = ranked.orderBy(F.col("avg_weight").desc(), "doc_id").limit(100)
     wnd = Window.orderBy(F.col("avg_weight").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(wnd).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level paragraph dedup (C4 span dedup / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(pages):
+    """Corpus-wide exact paragraph dedup over a (doc_id, page) frame: every
+    distinct paragraph survives exactly ONCE in the whole corpus — at its
+    first occurrence under (doc_id, pos) order — and every other occurrence
+    (cross-document AND within-document repeats) is dropped; each document's
+    surviving paragraphs are reassembled in original order.
+
+    Scale shape: winner election is a groupBy(para).min(struct(doc_id, pos))
+    — partial aggregation collapses a boilerplate paragraph's millions of
+    occurrences map-side, so the hot key ships one row per partition, not one
+    per occurrence. The keep test joins back on the FULL (para, doc_id, pos)
+    key, which is unique on both sides — the join is skew-free by
+    construction no matter how hot a paragraph is (the hot-key fan-out that
+    would plague a para-only join never forms). Reassembly state is bounded
+    per document.
+    """
+    paras = pages.select(
+        "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "para")
+    )
+    winners = (
+        paras.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(
+            "para",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.pos").alias("pos"),
+            F.lit(1).alias("won"),
+        )
+    )
+    flagged = paras.join(winners, ["para", "doc_id", "pos"], "left")
+    kept_arr = F.transform(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("pos", "won", "para"))),
+            lambda x: x["won"].isNotNull(),
+        ),
+        lambda x: x["para"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.coalesce(F.sum("won"), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept_arr, "\n")).alias("kept_md5"),
+    )
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+        WITH pages AS (SELECT doc_id, {_DUCK_C4_TEXT} AS page FROM documents),
+        lists AS (SELECT doc_id, string_split(page, chr(10)) AS l FROM pages),
+        paras AS (
+            SELECT doc_id,
+                   CAST(struct_extract(u, 'pos') AS BIGINT) AS pos,
+                   struct_extract(u, 'para') AS para
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(len(l)),
+                             i -> {{'pos': i, 'para': l[i + 1]}})) AS u
+                  FROM lists)
+        ),
+        flagged AS (
+            SELECT doc_id, pos, para,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY para ORDER BY doc_id, pos) = 1
+                        THEN 1 ELSE 0 END AS won
+            FROM paras
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(won) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN won = 1 THEN para END,
+                                       chr(10) ORDER BY pos), '')) AS kept_md5
+        FROM flagged GROUP BY doc_id
+    """,
+    ref="corpus-LEVEL exact paragraph dedup — C4's span dedup (Raffel et al. "
+    "2020 §2.2: repeated spans removed corpus-wide, one occurrence kept) / "
+    "RefinedWeb's exact line dedup (Penedo et al. 2023 §G): every distinct "
+    "paragraph survives exactly once (first occurrence by (doc_id, pos)), "
+    "all other copies — cross-document and within-document — are dropped, "
+    "and documents are reassembled from their surviving paragraphs. "
+    "Complements dedup_exact (whole-doc) and dedup_exact_substring (span "
+    "pairs): this is the REWRITING dedup that edits documents. Pages come "
+    "from the same deterministic multi-line derivation as c4_line_filter "
+    "(c4_page — the injected lines ARE exact cross-document duplicates, the "
+    "precise workload). kept_md5 pins the surviving text per document on "
+    "both engines. Winner election is map-side-combined groupBy(para); the "
+    "keep test joins on the unique (para, doc_id, pos) key — skew-free at "
+    "any paragraph hotness (see paragraph_dedup docstring)",
+)
+def dedup_paragraphs(spark, sf_dir):
+    return paragraph_dedup(
+        T(spark, sf_dir, "documents").select("doc_id", c4_page().alias("page"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def ccnet_bucket(docs):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4) over a
+    (doc_id, lang, n_chars, score_ppm) frame: within each language, order by
+    LM score (most fluent first) and cut the corpus into thirds by CUMULATIVE
+    CHARACTER volume — CCNet buckets by size fraction, not document count.
+
+    Exact everywhere: the bucket test is integer cross-multiplication
+    (3 * prefix < total) on an EXCLUSIVE prefix sum, so the first document of
+    a language is always 'head' even when it alone exceeds a third of the
+    volume, and no float division ever decides a boundary.
+
+    Scale shape: the prefix sum is the two-phase global_running_total
+    (range-partition on (lang, score DESC, doc_id), per-partition offsets) —
+    never a single-partition window, and with language as the leading range
+    key no executor ever holds a language's whole corpus. Per-language base
+    and total are a |langs|-row aggregate, broadcast back.
+    """
+    from ..operators.sort import global_running_total
+
+    cum = global_running_total(
+        docs,
+        [F.col("lang"), F.col("score_ppm").desc(), F.col("doc_id")],
+        "n_chars",
+        total_name="cum",
+    ).withColumn("cum_excl", F.col("cum") - F.col("n_chars"))
+    lang_stats = cum.groupBy("lang").agg(
+        F.min("cum_excl").alias("base"), F.sum("n_chars").alias("tot")
+    )
+    rel = F.col("cum_excl") - F.col("base")
+    bucket = (
+        F.when(rel * 3 < F.col("tot"), "head")
+        .when(rel * 3 < F.col("tot") * 2, "middle")
+        .otherwise("tail")
+    )
+    return cum.join(F.broadcast(lang_stats), "lang").select(
+        "doc_id", "lang", "score_ppm", bucket.alias("bucket")
+    )
+
+
+@register(
+    "ccnet_lm_buckets",
+    oracle=f"""
+        WITH toksrc AS (
+            SELECT doc_id, lang, n_chars, {_TOKS} AS toks FROM documents
+        ),
+        docs AS (SELECT * FROM toksrc WHERE len(toks) >= 2),
+        bgr AS (
+            SELECT doc_id,
+                   struct_extract(p, 'w1') AS w1,
+                   struct_extract(p, 'w2') AS w2
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks)),
+                             i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+                  FROM docs)
+        ),
+        uni AS (
+            SELECT w, count(*) AS u
+            FROM (SELECT unnest(toks) AS w FROM toksrc) GROUP BY w
+        ),
+        bg AS (SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY w1, w2),
+        ppm AS (
+            SELECT bgr.doc_id, (1000000 * bg.c2) // uni.u AS ppm
+            FROM bgr
+            JOIN bg ON bgr.w1 = bg.w1 AND bgr.w2 = bg.w2
+            JOIN uni ON bgr.w1 = uni.w
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(sum(ppm) // count(*) AS BIGINT) AS score_ppm
+            FROM ppm GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang, d.n_chars, p.score_ppm
+            FROM docs d JOIN per_doc p ON d.doc_id = p.doc_id
+        ),
+        cum AS (
+            SELECT doc_id, lang, score_ppm,
+                   coalesce(sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY score_ppm DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS rel,
+                   sum(n_chars) OVER (PARTITION BY lang) AS tot
+            FROM scored
+        )
+        SELECT doc_id, lang, score_ppm,
+               CASE WHEN rel * 3 < tot THEN 'head'
+                    WHEN rel * 3 < tot * 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM cum
+    """,
+    ref="CCNet's per-language head/middle/tail quality bucketing (Wenzek et "
+    "al. 2020 §4.4: order by LM score, cut into thirds by cumulative SIZE). "
+    "The LM score is the corpus bigram model of doc_bigram_logprob made "
+    "EXACT-INTEGER: per-bigram conditional probability in ppm — "
+    "(1000000 * count(w1 w2)) DIV count(w1), BIGINT division — averaged per "
+    "document by one more integer division, so the cross-engine ordering "
+    "that decides bucket boundaries has no float in it anywhere (the "
+    "product_type_profit lesson applied to ordering instead of values; a "
+    "log-based score can flip adjacent docs on a last-ulp libm difference). "
+    "Thirds are cut by cumulative n_chars with exclusive-prefix integer "
+    "cross-multiplication (3 * prefix < total) — the first doc of a "
+    "language is head by construction. Prefix sums via the two-phase "
+    "global_running_total keyed (lang, score DESC, doc_id); per-language "
+    "base/total broadcast back. Docs with < 2 tokens have no bigram score "
+    "and are excluded (same contract as doc_bigram_logprob)",
+)
+def ccnet_lm_buckets(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", tokens(F.col("text")).alias("toks")
+    )
+    scoreable = d.filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, n - 1).alias("w1"), F.slice("toks", 2, n - 1).alias("w2")
+    )
+    ex = scoreable.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = (
+        d.select(F.explode("toks").alias("w")).groupBy("w").agg(F.count("*").alias("u"))
+    )
+    bg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ppm = (
+        ex.join(bg, ["w1", "w2"])
+        .join(uni, ex.w1 == uni.w)
+        .select("doc_id", F.expr("(1000000 * c2) DIV u").alias("ppm"))
+    )
+    per_doc = ppm.groupBy("doc_id").agg(F.expr("sum(ppm) DIV count(*)").alias("score_ppm"))
+    docs = scoreable.select("doc_id", "lang", "n_chars").join(per_doc, "doc_id")
+    return ccnet_bucket(docs)

@@ -175,10 +175,15 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # round-8 first-contact entries
+    # round-8 first-contact entries (order_gaps_pandas and gen_text_wordcount
+    # ceded their cohort slots to the session-2 additions — each family keeps
+    # an in-window representative: order_gaps_native covers the order-gaps
+    # family, gen_teragen the generators)
     "order_gaps_native",
     "dedup_exact_substring",
     "dedup_exact_substring_capped",
+    "dedup_paragraphs",
+    "ccnet_lm_buckets",
     # recency cohort: last driver green r1 (35 entries)
     "agg_string_minmax",
     "agg_value_descriptors",
@@ -196,10 +201,8 @@ _WINDOW: list[str] = [
     "fixedlen_parse",
     "frame_sample_grid",
     "gen_teragen",
-    "gen_text_wordcount",
     "ivf_assign_buckets",
     "kmv_distinct_users",
-    "order_gaps_pandas",
     "order_price_deciles",
     "pi_estimate",
     "pipe_identity_kv",

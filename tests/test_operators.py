@@ -2307,3 +2307,57 @@ def test_jpeg_batch_path_bit_identical_to_scalar():
         J._np = saved
     assert fast_enc == slow_enc  # byte-identical encodings
     assert fast_dec == slow_dec  # byte-identical decodes of the same bytes
+
+
+def test_paragraph_dedup_keep_first_rule(spark):
+    """Corpus-level paragraph dedup: every distinct paragraph survives exactly
+    once at its first (doc_id, pos) occurrence — cross-document copies AND a
+    within-document repeat (same doc, later pos) must both drop; documents
+    reassemble from surviving paragraphs in original order."""
+    import hashlib
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import paragraph_dedup
+
+    pages = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta\nboiler"),  # within-doc repeat at pos 3
+            (2, "boiler\ngamma"),                # cross-doc copy of boiler
+            (3, "boiler\nalpha"),                # nothing survives
+        ],
+        "doc_id bigint, page string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_md5"])
+        for r in paragraph_dedup(pages).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (4, 3, md5("alpha\nboiler\nbeta"))
+    assert got[2] == (2, 1, md5("gamma"))
+    assert got[3] == (2, 0, md5(""))
+
+
+def test_ccnet_bucket_exclusive_prefix_and_volume_thirds(spark):
+    """CCNet bucketing cuts by cumulative CHARACTER volume, not doc count,
+    on an EXCLUSIVE prefix: a language whose best-scored doc alone exceeds a
+    third of the volume still puts that doc in 'head' (exclusive prefix = 0),
+    and boundaries are integer cross-multiplication — pinned on a hand-walked
+    fixture with an oversized head doc and a second language whose volume
+    splits unevenly."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import ccnet_bucket
+
+    docs = spark.createDataFrame(
+        [
+            # lang a, total 100 chars: scores order d1 > d2 > d3
+            (1, "a", 60, 900),   # rel 0  -> head (alone > 1/3 of volume)
+            (2, "a", 30, 500),   # rel 60 -> 180 >= 100, 180 < 200 -> middle
+            (3, "a", 10, 100),   # rel 90 -> 270 >= 200 -> tail
+            # lang b, total 30: three equal docs, score ties broken by doc_id
+            (4, "b", 10, 700),   # rel 0  -> head
+            (5, "b", 10, 700),   # rel 10 -> 30 >= 30, 30 < 60 -> middle
+            (6, "b", 10, 700),   # rel 20 -> 60 >= 60 -> tail
+        ],
+        "doc_id bigint, lang string, n_chars bigint, score_ppm bigint",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in ccnet_bucket(docs).collect()}
+    assert got == {1: "head", 2: "middle", 3: "tail",
+                   4: "head", 5: "middle", 6: "tail"}
