@@ -802,3 +802,35 @@ def test_pps_sample_invariants(spark, sf_dir):
     for r in out:
         exact = _PPS_N * r["n_tok"] / total
         assert abs(r["mult"] - exact) <= 1.0, (r["doc_id"], r["mult"], exact)
+
+
+def test_paragraph_dedup_join_is_composite_key(spark, sf_dir):
+    """dedup_paragraphs' keep test must join on the FULL (para, doc_id, pos)
+    key — unique on both sides, so no paragraph hotness can skew a partition.
+    A para-only join (the naive shape) would co-locate every occurrence of a
+    boilerplate paragraph on one task at 100 TB. Also pins that winner
+    election partially aggregates map-side (HashAggregate both sides of the
+    exchange), i.e. the hot key ships one row per partition, not one per
+    occurrence."""
+    plan = _plan(spark, sf_dir, "dedup_paragraphs")
+    keys = [l for l in plan.splitlines() if "Left keys" in l]
+    assert keys, plan[:2000]
+    assert all(
+        "para" in l and "doc_id" in l and "pos" in l for l in keys
+    ), keys  # every join keyed on the full composite, whatever the strategy
+    assert "partial_min" in plan, "winner election lost its map-side partial aggregation"
+
+
+def test_ccnet_buckets_has_no_unpartitioned_window(spark, sf_dir):
+    """ccnet_lm_buckets' prefix sums must come from the two-phase
+    global_running_total (windows keyed by the range-partition id) — never a
+    single-partition `Window [partition spec: []]`, which serializes a
+    language's whole corpus through one task."""
+    plan = _plan(spark, sf_dir, "ccnet_lm_buckets")
+    import re
+
+    for line in plan.splitlines():
+        m = re.search(r"Arguments:.*partition.*\[\s*\]", line)
+        assert not ("Window" in line and m), line
+    # the window that IS there must be keyed on the partition id
+    assert "__pid" in plan, "expected the two-phase prefix-sum shape"
