@@ -1197,11 +1197,15 @@ def doc_bigram_logprob(spark, sf_dir):
         .agg(F.count("*").alias("u"))
     )
     bg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    scored = (
-        ex.join(bg, ["w1", "w2"])
-        .join(uni, ex.w1 == uni.w)
-        .select("doc_id", F.log(F.col("c2") * 1.0 / F.col("u")).alias("lnp"))
+    # compose the model ONCE at vocabulary size (distinct bigrams ⋈ unigrams)
+    # and hit the corpus-scale bigram stream with a single join — the
+    # ccnet_lm_buckets A/B measured the two-join shape 1.5x slower at sf1
+    # (8.2 vs 5.6 s); lnp per DISTINCT bigram is the same double each
+    # instance would compute, so the sorted per-doc fold is unchanged
+    model = bg.join(uni, bg.w1 == uni.w).select(
+        "w1", "w2", F.log(F.col("c2") * 1.0 / F.col("u")).alias("lnp")
     )
+    scored = ex.join(model, ["w1", "w2"]).select("doc_id", "lnp")
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.aggregate(
@@ -2043,11 +2047,13 @@ def ccnet_lm_buckets(spark, sf_dir):
         d.select(F.explode("toks").alias("w")).groupBy("w").agg(F.count("*").alias("u"))
     )
     bg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    ppm = (
-        ex.join(bg, ["w1", "w2"])
-        .join(uni, ex.w1 == uni.w)
-        .select("doc_id", F.expr("(1000000 * c2) DIV u").alias("ppm"))
+    # compose the model ONCE at vocabulary size (distinct bigrams ⋈ unigrams),
+    # then hit the corpus-scale bigram stream with a single join — joining the
+    # stream against bg and uni separately would pay the big shuffle twice
+    model = bg.join(uni, bg.w1 == uni.w).select(
+        "w1", "w2", F.expr("(1000000 * c2) DIV u").alias("ppm")
     )
+    ppm = ex.join(model, ["w1", "w2"]).select("doc_id", "ppm")
     per_doc = ppm.groupBy("doc_id").agg(F.expr("sum(ppm) DIV count(*)").alias("score_ppm"))
     docs = scoreable.select("doc_id", "lang", "n_chars").join(per_doc, "doc_id")
     return ccnet_bucket(docs)
