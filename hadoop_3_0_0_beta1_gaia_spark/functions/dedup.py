@@ -775,6 +775,133 @@ def duckdb_exact_substring(
     """
 
 
+def exact_substring_cut(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occ: int | None = None,
+) -> DataFrame:
+    """The REMEDIATION half of ExactSubstr (Lee et al. 2022 §3: "when a
+    duplicate is found, we remove it and keep only one occurrence"): cut the
+    duplicated token ranges out of each document and return the rewritten
+    corpus summary — (doc_id, n_toks, cut_tokens, kept_md5) for EVERY
+    document (docs with no duplicated spans pass through with cut_tokens 0).
+
+    Keep-first rule: for each span from :func:`exact_substring_spans`
+    (doc_a < doc_b), the doc_a occurrence survives and the doc_b range
+    [start_b, start_b + span_tokens) is cut — deterministic, and consistent
+    with the suite's other keep-lowest-id rules. Cut ranges from different
+    pairs may overlap; they are merged per document with the running-max
+    interval-union window (sort by start, a row opens a new island iff its
+    start exceeds the max end seen so far) BEFORE counting, so overlapping
+    spans never double-bill `cut_tokens`. Reconstruction is in-row: the
+    merged interval list for one document is bounded (≤ its span count), so
+    the token filter is a nested higher-order expression, never a join per
+    token. Scale: everything downstream of the span join is keyed by doc_b —
+    one groupBy on the cut side, one left join back to the corpus.
+    """
+    from pyspark.sql import Window
+
+    spans = exact_substring_spans(df, k=k, id_col=id_col, text_col=text_col,
+                                  max_occ=max_occ)
+    iv = spans.select(
+        F.col("doc_b").alias("id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        iv.withColumn(
+            "new_isl", (F.col("s") > F.coalesce(pmax, F.lit(0))).cast("long")
+        )
+        .withColumn("isl", F.sum("new_isl").over(w))
+    )
+    merged = isl.groupBy("id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs"),
+        (F.sum(F.col("e") - F.col("s") + 1)).cast("long").alias("cut_tokens"),
+    )
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    joined = base.join(per_doc, "id", "left")
+    ivs = F.coalesce(F.col("ivs"), F.array())
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: ~F.exists(ivs, lambda v: (i >= v["s"]) & (i <= v["e"])),
+        ),
+        lambda i: F.element_at("toks", i),
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        F.size("toks").cast("long").alias("n_toks"),
+        F.coalesce(F.col("cut_tokens"), F.lit(0)).cast("long").alias("cut_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
+
+
+def duckdb_exact_substring_cut(
+    table: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occ: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_cut` — the span SQL nested as a
+    subquery, the same interval-union window, the same in-row token filter."""
+    spans = duckdb_exact_substring(
+        table, k=k, id_col=id_col, text_col=text_col, max_occ=max_occ
+    )
+    toks = duck_tokens(text_col)
+    return f"""
+        WITH spans AS (SELECT * FROM ({spans})),
+        iv AS (
+            SELECT doc_b AS id, start_b AS s,
+                   start_b + span_tokens - 1 AS e
+            FROM spans
+        ),
+        marked AS (
+            SELECT id, s, e,
+                   CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) THEN 1 ELSE 0 END AS new_isl
+            FROM iv
+        ),
+        islands AS (
+            SELECT id, s, e,
+                   sum(new_isl) OVER (
+                       PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING
+                   ) AS isl
+            FROM marked
+        ),
+        merged AS (
+            SELECT id, isl, min(s) AS s, max(e) AS e
+            FROM islands GROUP BY id, isl
+        ),
+        per_doc AS (
+            SELECT id,
+                   list({{'s': s, 'e': e}}) AS ivs,
+                   CAST(sum(e - s + 1) AS BIGINT) AS cut_tokens
+            FROM merged GROUP BY id
+        ),
+        base AS (SELECT {id_col} AS id, {toks} AS toks FROM {table})
+        SELECT base.id AS doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               coalesce(cut_tokens, 0) AS cut_tokens,
+               md5(coalesce(array_to_string(list_transform(
+                   list_filter(range(1, len(toks) + 1), i ->
+                       NOT len(list_filter(coalesce(ivs, []), v ->
+                           i >= struct_extract(v, 's')
+                           AND i <= struct_extract(v, 'e'))) > 0),
+                   i -> toks[i]), ' '), '')) AS kept_md5
+        FROM base LEFT JOIN per_doc ON base.id = per_doc.id
+    """
+
+
 # ---------------------------------------------------------------------------
 # connected components (dedup clusters)
 # ---------------------------------------------------------------------------

@@ -14,10 +14,12 @@ from ..functions.dedup import (
     duckdb_connected_components,
     duckdb_exact_dedup,
     duckdb_exact_substring,
+    duckdb_exact_substring_cut,
     duckdb_minhash_lsh,
     duckdb_ngram_jaccard,
     duckdb_simhash32,
     exact_dedup_groups,
+    exact_substring_cut,
     exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -117,6 +119,24 @@ def dedup_exact_substring(spark, sf_dir):
 )
 def dedup_exact_substring_capped(spark, sf_dir):
     return exact_substring_spans(T(spark, sf_dir, "documents"), **_SUBSTR, max_occ=2)
+
+
+@register(
+    "dedup_exact_substring_cut",
+    oracle=duckdb_exact_substring_cut("documents", **_SUBSTR),
+    ref="the REMEDIATION half of ExactSubstr (Lee et al. 2022 §3: remove the "
+    "duplicate, keep one occurrence): every doc_b span range is cut, doc_a's "
+    "copy survives (keep-lowest-id, the suite's standard rule), overlapping "
+    "ranges merge through the running-max interval-union window before "
+    "counting, and each document's surviving tokens reassemble in-row "
+    "(bounded interval list per doc — a higher-order filter, never a "
+    "per-token join). Every document is emitted — cut_tokens 0 for the "
+    "untouched ones; kept_md5 pins the rewritten text on both engines. "
+    "Completes the family: spans = the evidence, cut = the deliverable "
+    "(functions/dedup.py exact_substring_cut)",
+)
+def dedup_exact_substring_cut(spark, sf_dir):
+    return exact_substring_cut(T(spark, sf_dir, "documents"), **_SUBSTR)
 
 
 @register(

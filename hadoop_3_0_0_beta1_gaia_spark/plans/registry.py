@@ -175,15 +175,17 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # round-8 first-contact entries (order_gaps_pandas and gen_text_wordcount
-    # ceded their cohort slots to the session-2 additions — each family keeps
-    # an in-window representative: order_gaps_native covers the order-gaps
-    # family, gen_teragen the generators)
+    # round-8 first-contact entries (order_gaps_pandas, gen_text_wordcount and
+    # seqfilter_regex ceded their cohort slots to the session-2 additions —
+    # each family keeps an in-window representative: order_gaps_native covers
+    # the order-gaps family, gen_teragen the generators, seqfilter_md5 the
+    # sequence-file filters)
     "order_gaps_native",
     "dedup_exact_substring",
     "dedup_exact_substring_capped",
     "dedup_paragraphs",
     "ccnet_lm_buckets",
+    "dedup_exact_substring_cut",
     # recency cohort: last driver green r1 (35 entries)
     "agg_string_minmax",
     "agg_value_descriptors",
@@ -210,7 +212,6 @@ _WINDOW: list[str] = [
     "salted_event_counts",
     "sample_interval",
     "seqfilter_md5",
-    "seqfilter_regex",
     "sessionize_events",
     "stratified_sample_orders",
     "stream_dedup_counts",

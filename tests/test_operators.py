@@ -2361,3 +2361,32 @@ def test_ccnet_bucket_exclusive_prefix_and_volume_thirds(spark):
     got = {r["doc_id"]: r["bucket"] for r in ccnet_bucket(docs).collect()}
     assert got == {1: "head", 2: "middle", 3: "tail",
                    4: "head", 5: "middle", 6: "tail"}
+
+
+def test_exact_substring_cut_rewrites_documents(spark):
+    """The ExactSubstr remediation: doc_a's copy survives, every doc_b range
+    is cut, overlapping ranges from different pairs merge before counting
+    (no double-billed cut_tokens), a fully-duplicated doc cuts to empty, and
+    untouched docs pass through — all hand-computed on a 4-doc fixture."""
+    import hashlib
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import exact_substring_cut
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z z a b c d e f g h i j y y"),
+            (3, "a b c d e f g h i j"),
+            (4, "a b c d e f g h w x c d e f g h i j"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["cut_tokens"], r["kept_md5"])
+        for r in exact_substring_cut(docs, k=8).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (10, 0, md5("a b c d e f g h i j"))   # lowest id keeps
+    assert got[2] == (14, 10, md5("z z y y"))              # interior run cut
+    assert got[3] == (10, 10, md5(""))                     # exact copy -> empty
+    assert got[4] == (18, 16, md5("w x"))                  # [1,8]+[11,18] merged
