@@ -805,11 +805,19 @@ def exact_substring_cut(
 
     spans = exact_substring_spans(df, k=k, id_col=id_col, text_col=text_col,
                                   max_occ=max_occ)
+    # DISTINCT is load-bearing, not a tidy-up: the same (s, e) range arrives
+    # once per doc_a partner, and duplicate rows make the (s, e) sort order
+    # non-total — an engine that evaluates the running-max window and the
+    # island-sum window as separate operators (DuckDB does) can order the
+    # tied rows differently in each, scrambling island ids so one range
+    # spawns two islands and double-bills cut_tokens (caught by the sf1
+    # sweep: 134 docs with cut_tokens > n_toks on the oracle side). Unique
+    # (s, e) per id restores a total order for every window downstream.
     iv = spans.select(
         F.col("doc_b").alias("id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
-    )
+    ).distinct()
     w = Window.partitionBy("id").orderBy("s", "e")
     pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = (
@@ -859,7 +867,9 @@ def duckdb_exact_substring_cut(
     return f"""
         WITH spans AS (SELECT * FROM ({spans})),
         iv AS (
-            SELECT doc_b AS id, start_b AS s,
+            -- DISTINCT mirrors the Spark side: duplicate (s, e) rows (one
+            -- per doc_a partner) break the total order the windows rely on
+            SELECT DISTINCT doc_b AS id, start_b AS s,
                    start_b + span_tokens - 1 AS e
             FROM spans
         ),
