@@ -140,6 +140,21 @@ def dedup_exact_substring_cut(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_substring_cut_capped",
+    oracle=duckdb_exact_substring_cut("documents", **_SUBSTR, max_occ=2),
+    ref="the 100 TB configuration of the cut: spans come from the occ-capped "
+    "anchor join (dedup_exact_substring_capped's governance rule, same "
+    "max_occ), so the rewrite inherits the bounded join — at sf10 the "
+    "uncapped cut's oracle grinds past the sweep cap exactly like the "
+    "uncapped span oracle. Same cut semantics downstream (interval union, "
+    "in-row reassembly); spans the cap dropped are simply not cut, the "
+    "governed recall trade-off",
+)
+def dedup_exact_substring_cut_capped(spark, sf_dir):
+    return exact_substring_cut(T(spark, sf_dir, "documents"), **_SUBSTR, max_occ=2)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=duckdb_minhash_lsh("documents", **_MINHASH),
     ref="MinHash signatures + banded LSH candidates + Jaccard verify — the scale path",
