@@ -2057,3 +2057,134 @@ def ccnet_lm_buckets(spark, sf_dir):
     per_doc = ppm.groupBy("doc_id").agg(F.expr("sum(ppm) DIV count(*)").alias("score_ppm"))
     docs = scoreable.select("doc_id", "lang", "n_chars").join(per_doc, "doc_id")
     return ccnet_bucket(docs)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition — the LINE half (duplicate line / duplicate line chars)
+# ---------------------------------------------------------------------------
+
+_DUP_LINE_FRAC_PCT = 30       # Rae et al. 2021 Table A1: dup line frac > 0.30
+_DUP_LINE_CHAR_FRAC_PCT = 20  # dup line char frac > 0.20
+
+_DUCK_DUP_LINE_TEXT = (
+    "text"
+    " || chr(10) || 'subscribe to our newsletter today.'"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+    " 'subscribe to our newsletter today.' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN repeat(chr(10) ||"
+    " 'all rights reserved.', 3) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+    " 'unique closing sentence for this page.' ELSE '' END"
+)
+
+
+def dup_line_page():
+    """Deterministic page derivation for the line-duplication signals: the
+    fixture corpus is single-line, so within-document repeats are injected
+    from doc_id arithmetic (doc_id%3 pages carry the newsletter line twice,
+    doc_id%4 pages the rights line three times) — the same
+    oracle-reproducible-injection pattern as c4_page, but tuned so the
+    LINE-level duplicate rules demonstrably fire at gate SF."""
+    nl = F.lit("\n")
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        nl,
+        F.lit("subscribe to our newsletter today."),
+        F.when(
+            did % 3 == 0,
+            F.concat(nl, F.lit("subscribe to our newsletter today.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                nl, F.lit("all rights reserved."),
+                nl, F.lit("all rights reserved."),
+                nl, F.lit("all rights reserved."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(nl, F.lit("unique closing sentence for this page.")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def gopher_dup_line_metrics(pages):
+    """The LINE half of Gopher's repetition-removal section (Rae et al. 2021
+    A1.2; complement of gopher_repetition_signals' n-gram half): per
+    document, the fraction of LINES that are occurrences of a duplicated
+    line, and the fraction of CHARACTERS inside those lines — thresholds
+    0.30 / 0.20 per the paper, applied by exact integer cross-multiplication
+    (the Dolma/Gopher-reproduction convention: every occurrence of a
+    non-unique line counts, including the first).
+
+    Plan: explode lines, ONE groupBy on (doc, line) collapsing repeats
+    map-side, ONE groupBy on doc for the verdict — no joins, both shuffles
+    keyed and partial-aggregated; boilerplate hotness is per-document here,
+    so there is no cross-document hot key at all."""
+    lines = pages.select(
+        "doc_id", F.explode(F.split("page", "\n")).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    dup = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    agg = per_line.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(dup).cast("long").alias("dup_lines"),
+        F.sum(F.col("c") * F.length("line")).cast("long").alias("total_chars"),
+        F.sum(dup * F.length("line")).cast("long").alias("dup_chars"),
+    )
+    repetitive = (
+        F.col("dup_lines") * 100 > F.col("n_lines") * _DUP_LINE_FRAC_PCT
+    ) | (
+        F.col("dup_chars") * 100 > F.col("total_chars") * _DUP_LINE_CHAR_FRAC_PCT
+    )
+    return agg.select(
+        "doc_id", "n_lines", "dup_lines", "total_chars", "dup_chars",
+        repetitive.alias("repetitive"),
+    )
+
+
+@register(
+    "gopher_dup_line_signals",
+    oracle=f"""
+        WITH pages AS (SELECT doc_id, {_DUCK_DUP_LINE_TEXT} AS page FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM pages
+        ),
+        per_line AS (
+            SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_lines,
+                   CAST(sum(c * len(line)) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END)
+                        AS BIGINT) AS dup_chars
+            FROM per_line GROUP BY doc_id
+        )
+        SELECT doc_id, n_lines, dup_lines, total_chars, dup_chars,
+               (dup_lines * 100 > n_lines * {_DUP_LINE_FRAC_PCT}
+                OR dup_chars * 100 > total_chars * {_DUP_LINE_CHAR_FRAC_PCT})
+                   AS repetitive
+        FROM agg
+    """,
+    ref="the LINE half of Gopher's repetition-removal section (Rae et al. "
+    "2021 A1.2 — duplicate line fraction > 0.30, duplicate line CHARACTER "
+    "fraction > 0.20), completing the published repetition suite next to "
+    "gopher_repetition_signals' n-gram half. Every occurrence of a "
+    "non-unique line counts (the Gopher-reproduction convention); both "
+    "verdicts by exact integer cross-multiplication — no float anywhere. "
+    "Within-document repeats are injected deterministically "
+    "(dup_line_page), same pattern as c4_line_filter's page derivation. "
+    "Two keyed, partial-aggregated shuffles ((doc, line) then doc), zero "
+    "joins; line hotness is per-document by construction",
+)
+def gopher_dup_line_signals(spark, sf_dir):
+    return gopher_dup_line_metrics(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", dup_line_page().alias("page")
+        )
+    )

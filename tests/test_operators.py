@@ -2390,3 +2390,37 @@ def test_exact_substring_cut_rewrites_documents(spark):
     assert got[2] == (14, 10, md5("z z y y"))              # interior run cut
     assert got[3] == (10, 10, md5(""))                     # exact copy -> empty
     assert got[4] == (18, 16, md5("w x"))                  # [1,8]+[11,18] merged
+
+
+def test_gopher_dup_line_metrics_thresholds(spark):
+    """Gopher A1.2 line-duplication signals, hand-computed: every occurrence
+    of a non-unique line counts (including the first), both fractions are
+    integer cross-multiplied, and the verdict sits exactly ON the published
+    thresholds — a doc at dup_line_frac == 0.30 is NOT repetitive (strict
+    >), one just past it is."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        gopher_dup_line_metrics,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            # 10 lines, 3 of them the same SHORT dup -> 3/10 == 0.30 exactly
+            # (strict >: keep) and dup chars 3/143 stay under the char rule
+            (1, "\n".join(["d", "d", "d"] + [f"unique line number {i}" for i in range(7)])),
+            # 10 lines, 4 dup occurrences -> 0.40 > 0.30: repetitive
+            (2, "\n".join(["d", "d", "d", "d"] + [f"unique line number {i}" for i in range(6)])),
+            # line frac 2/10 = 0.2 BUT the dup line is long: char frac fires
+            (3, "\n".join(["x" * 50, "x" * 50] + [f"u{i}" for i in range(8)])),
+            # no duplicates at all
+            (4, "\n".join(f"u{i}" for i in range(5))),
+        ],
+        "doc_id bigint, page string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"], r["repetitive"])
+        for r in gopher_dup_line_metrics(pages).collect()
+    }
+    assert got[1] == (10, 3, False)   # exactly ON 0.30 -> not repetitive
+    assert got[2] == (10, 4, True)    # past the line-fraction threshold
+    assert got[3] == (10, 2, True)    # char-fraction fires (100 of 118 chars)
+    assert got[4] == (5, 0, False)
