@@ -175,17 +175,21 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # round-8 first-contact entries (order_gaps_pandas, gen_text_wordcount and
-    # seqfilter_regex ceded their cohort slots to the session-2 additions —
-    # each family keeps an in-window representative: order_gaps_native covers
-    # the order-gaps family, gen_teragen the generators, seqfilter_md5 the
-    # sequence-file filters)
+    # round-8 first-contact entries. Ceded cohort slots (each family keeps an
+    # in-window representative): order_gaps_pandas -> order_gaps_native,
+    # gen_text_wordcount -> gen_teragen, seqfilter_regex -> seqfilter_md5,
+    # events_multigrain_rollup + events_pivot_daily -> three events_* reps
+    # remain (retention/funnel/json_extract). Every IN entry pre-validated
+    # under the exact driver protocol; after CORRECTNESS_r08,
+    # never-driver-validated = 0 of 236.
     "order_gaps_native",
     "dedup_exact_substring",
     "dedup_exact_substring_capped",
     "dedup_paragraphs",
     "ccnet_lm_buckets",
     "dedup_exact_substring_cut",
+    "dedup_exact_substring_cut_capped",
+    "gopher_dup_line_signals",
     # recency cohort: last driver green r1 (35 entries)
     "agg_string_minmax",
     "agg_value_descriptors",
@@ -198,8 +202,6 @@ _WINDOW: list[str] = [
     "events_daily_retention",
     "events_funnel",
     "events_json_extract",
-    "events_multigrain_rollup",
-    "events_pivot_daily",
     "fixedlen_parse",
     "frame_sample_grid",
     "gen_teragen",
