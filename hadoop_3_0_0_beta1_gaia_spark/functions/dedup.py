@@ -836,13 +836,21 @@ def exact_substring_cut(
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     joined = base.join(per_doc, "id", "left")
     ivs = F.coalesce(F.col("ivs"), F.array())
-    kept = F.transform(
-        F.filter(
-            F.sequence(F.lit(1), F.size("toks")),
-            lambda i: ~F.exists(ivs, lambda v: (i >= v["s"]) & (i <= v["e"])),
+    # Guard the reconstruction for zero-token documents: sequence(1, 0) is
+    # the DESCENDING array [1, 0] in Spark (not empty like DuckDB's
+    # range(1, 1)), and element_at(toks, 0) then throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT, killing the job on a
+    # whitespace-only text. An empty doc has nothing to cut; emit [].
+    kept = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda i: ~F.exists(ivs, lambda v: (i >= v["s"]) & (i <= v["e"])),
+            ),
+            lambda i: F.element_at("toks", i),
         ),
-        lambda i: F.element_at("toks", i),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return joined.select(
         F.col("id").alias("doc_id"),
         F.size("toks").cast("long").alias("n_toks"),

@@ -2378,6 +2378,8 @@ def test_exact_substring_cut_rewrites_documents(spark):
             (2, "z z a b c d e f g h i j y y"),
             (3, "a b c d e f g h i j"),
             (4, "a b c d e f g h w x c d e f g h i j"),
+            (5, "   \t  "),  # whitespace-only: zero tokens, must not crash
+            (6, ""),         # empty text: zero tokens, must not crash
         ],
         "doc_id bigint, text string",
     )
@@ -2390,6 +2392,10 @@ def test_exact_substring_cut_rewrites_documents(spark):
     assert got[2] == (14, 10, md5("z z y y"))              # interior run cut
     assert got[3] == (10, 10, md5(""))                     # exact copy -> empty
     assert got[4] == (18, 16, md5("w x"))                  # [1,8]+[11,18] merged
+    # zero-token docs pass through (sequence(1, 0) is DESCENDING in Spark;
+    # ungarded element_at(toks, 0) threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT)
+    assert got[5] == (0, 0, md5(""))
+    assert got[6] == (0, 0, md5(""))
 
 
 def test_gopher_dup_line_metrics_thresholds(spark):
@@ -2405,7 +2411,8 @@ def test_gopher_dup_line_metrics_thresholds(spark):
     pages = spark.createDataFrame(
         [
             # 10 lines, 3 of them the same SHORT dup -> 3/10 == 0.30 exactly
-            # (strict >: keep) and dup chars 3/143 stay under the char rule
+            # (strict >: keep); dup chars 3 of 143 (3x1 "d" + 7x20 unique)
+            # stay under the char rule
             (1, "\n".join(["d", "d", "d"] + [f"unique line number {i}" for i in range(7)])),
             # 10 lines, 4 dup occurrences -> 0.40 > 0.30: repetitive
             (2, "\n".join(["d", "d", "d", "d"] + [f"unique line number {i}" for i in range(6)])),
@@ -2422,5 +2429,6 @@ def test_gopher_dup_line_metrics_thresholds(spark):
     }
     assert got[1] == (10, 3, False)   # exactly ON 0.30 -> not repetitive
     assert got[2] == (10, 4, True)    # past the line-fraction threshold
-    assert got[3] == (10, 2, True)    # char-fraction fires (100 of 118 chars)
+    assert got[3] == (10, 2, True)    # char-fraction fires (100 of 116 chars:
+                                      # 2x50 'x' lines + 8x2 'u{i}' lines)
     assert got[4] == (5, 0, False)
