@@ -149,7 +149,10 @@ def duck_shingles(table: str, n: int, id_col: str = "doc_id", text_col: str = "t
 
 
 def _df_capped_shingles(
-    sh: DataFrame, max_df: int, generator: str = "ngram_jaccard"
+    sh: DataFrame,
+    max_df: int,
+    generator: str = "ngram_jaccard",
+    diag: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Document-frequency cap for shingle-join candidate generation: drop
     shingles appearing in > ``max_df`` documents BEFORE the self-join.
@@ -160,15 +163,18 @@ def _df_capped_shingles(
     df <= 8 cap keeps ~6.4k. Dropping ubiquitous shingles is the standard
     corpus-scale move (rare-shingle candidate generation); set sizes are
     recomputed over the capped universe so the similarity denominator stays
-    consistent. Dropped volume is observable via :func:`df_cap_counter`
-    (same governance pattern as the LSH bucket cap).
+    consistent. Dropped volume is observable via :func:`cap_counter` over
+    the caller-supplied ``diag`` dict (same governance pattern as the LSH
+    bucket cap; per-call like connected_components' diag — no module global,
+    so building two capped plans can never cross-wire their metrics and the
+    pattern is reentrant).
 
     Returns (capped (id, shingle) rows, per-doc capped sizes (id, sz)).
     """
     if max_df < 1:
         raise ValueError("max_df must be >= 1")
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    freq, _DF_CAP_OBS[generator] = with_counter(
+    freq, obs = with_counter(
         freq,
         f"shingle_df_cap_{generator}",
         F.sum((F.col("df") > max_df).cast("long")).alias("df_dropped_shingles"),
@@ -176,36 +182,21 @@ def _df_capped_shingles(
             "df_dropped_rows"
         ),
     )
+    if diag is not None:
+        diag["observation"] = obs
     rare = freq.filter(F.col("df") <= max_df).select("shingle")
     capped = sh.join(rare, "shingle")
     sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
     return capped, sizes
 
 
-# Per-generator df-cap observations (set when a shingle-join pair generator
-# runs with max_df); read AFTER an action on that generator's frame. Keyed by
-# generator name so building two capped plans before running either cannot
-# cross-wire their metrics (last-write-wins bug, ADVICE r5).
-_DF_CAP_OBS: dict = {}
-
-
-def df_cap_counter(generator: str | None = None) -> dict:
-    """Metrics of a df-capped shingle-join action:
-    {'df_dropped_shingles': n, 'df_dropped_rows': m}.
-
-    ``generator`` names which capped plan to read ('ngram_jaccard' /
-    'containment'); with one capped plan built it may be omitted. Reading
-    before ANY action on that plan's frame blocks (Observation.get
-    semantics) — always act on the returned frame first.
-    """
-    if generator is None:
-        if len(_DF_CAP_OBS) > 1:
-            raise ValueError(
-                "multiple df-capped generators built this session "
-                f"({sorted(_DF_CAP_OBS)}); pass generator= to pick one"
-            )
-        generator = next(iter(_DF_CAP_OBS), "")
-    obs = _DF_CAP_OBS.get(generator)
+def cap_counter(diag: dict) -> dict:
+    """Metrics of a capped pair-generator action, read from the ``diag``
+    dict the generator filled (df cap: {'df_dropped_shingles',
+    'df_dropped_rows'}; occurrence cap: {'occ_dropped_grams',
+    'occ_dropped_rows'}). Read AFTER an action on the generator's returned
+    frame — Observation.get blocks until the plan has run."""
+    obs = diag.get("observation")
     return dict(obs.get) if obs is not None else {}
 
 
@@ -217,12 +208,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     eager: bool = True,
+    diag: dict | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold (id_a < id_b).
 
     Join-on-shingle → count intersections → Jaccard from per-doc set sizes.
     ``max_df`` drops ubiquitous shingles before pairing (document-frequency
-    cap) — essential at corpus scale, off by default for oracle parity.
+    cap) — essential at corpus scale, off by default for oracle parity;
+    with ``diag`` given, drop metrics land there (:func:`cap_counter`).
     ``eager=False`` skips the cache-populating count() for plan-only callers
     (explain/schema inspection) — running the returned plan then risks the
     AQE concurrent-branch recompute, so keep the default when executing.
@@ -239,7 +232,7 @@ def ngram_jaccard_pairs(
         sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        sh, sizes = _df_capped_shingles(sh, max_df)
+        sh, sizes = _df_capped_shingles(sh, max_df, diag=diag)
     else:
         # set size is the per-row array length — no aggregation shuffle
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
@@ -603,24 +596,13 @@ def duckdb_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 
-# Per-variant occurrence-cap observations (same keyed pattern as _DF_CAP_OBS:
-# building two capped plans before running either must not cross-wire).
-_SUBSTR_CAP_OBS: dict = {}
-
-
-def substring_cap_counter(variant: str = "exact_substring") -> dict:
-    """Metrics of an occurrence-capped exact-substring action:
-    {'occ_dropped_grams': n, 'occ_dropped_rows': m}. Read AFTER an action."""
-    obs = _SUBSTR_CAP_OBS.get(variant)
-    return dict(obs.get) if obs is not None else {}
-
-
 def exact_substring_spans(
     df: DataFrame,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_occ: int | None = None,
+    diag: dict | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate spans (Deduplicating Training Data Makes
     Language Models Better, Lee et al. 2022 — the ExactSubstr pass): every
@@ -654,7 +636,9 @@ def exact_substring_spans(
     to max_occ^2 regardless of how occurrences distribute over docs.
     Dropping a ubiquitous middle gram can SPLIT a long span into two
     (governed recall trade-off, same posture as the LSH bucket cap); dropped
-    volume is observable via :func:`substring_cap_counter`. Uncapped is the
+    volume is observable via :func:`cap_counter` over ``diag``
+    (per-call, like connected_components' diag — no module global). Uncapped
+    is the
     recall anchor; the capped twin is the production configuration
     (SCALE.md).
     """
@@ -687,7 +671,7 @@ def exact_substring_spans(
         if max_occ < 1:
             raise ValueError("max_occ must be >= 1")
         freq = g.groupBy("gh").agg(F.count("*").alias("occ"))
-        freq, _SUBSTR_CAP_OBS["exact_substring"] = with_counter(
+        freq, obs = with_counter(
             freq,
             "substring_occ_cap",
             F.sum((F.col("occ") > max_occ).cast("long")).alias(
@@ -697,6 +681,8 @@ def exact_substring_spans(
                 "occ_dropped_rows"
             ),
         )
+        if diag is not None:
+            diag["observation"] = obs
         keep = freq.filter(F.col("occ") <= max_occ).select("gh")
         g = owned_persist(g.join(keep, "gh").select("id", "pos", "gh"))
         g.count()
@@ -781,6 +767,7 @@ def exact_substring_cut(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_occ: int | None = None,
+    diag: dict | None = None,
 ) -> DataFrame:
     """The REMEDIATION half of ExactSubstr (Lee et al. 2022 §3: "when a
     duplicate is found, we remove it and keep only one occurrence"): cut the
@@ -804,7 +791,7 @@ def exact_substring_cut(
     from pyspark.sql import Window
 
     spans = exact_substring_spans(df, k=k, id_col=id_col, text_col=text_col,
-                                  max_occ=max_occ)
+                                  max_occ=max_occ, diag=diag)
     # DISTINCT is load-bearing, not a tidy-up: the same (s, e) range arrives
     # once per doc_a partner, and duplicate rows make the (s, e) sort order
     # non-total — an engine that evaluates the running-max window and the
@@ -1598,6 +1585,7 @@ def containment_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     eager: bool = True,
+    diag: dict | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: containment C(A in B) = |A∩B| / |A| over shingle
     sets — the subset-duplication rule (quotes, boilerplate, a short doc
@@ -1625,7 +1613,8 @@ def containment_pairs(
         sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        sh, sizes = _df_capped_shingles(sh, max_df, generator="containment")
+        sh, sizes = _df_capped_shingles(sh, max_df, generator="containment",
+                                        diag=diag)
     else:
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")

@@ -77,7 +77,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "self-join is quadratic in per-shingle document frequency — at the sf10 "
     "fixture 27k boilerplate shingles out of 5.6M carry 8.89B intermediate "
     "pairs (the uncapped twin times out there), while the cap keeps ~6.4k. "
-    "Dropped volume observable via df_cap_counter() (LSH bucket-cap pattern)",
+    "Dropped volume observable via cap_counter(diag) (LSH bucket-cap pattern)",
 )
 def dedup_ngram_jaccard_capped(spark, sf_dir):
     return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), **_NGRAM, max_df=4)
@@ -115,7 +115,7 @@ def dedup_exact_substring(spark, sf_dir):
     "corpus (SCALE.md). The cap CHANGES the answer (spans "
     "whose every gram is ubiquitous disappear; a dropped middle gram can "
     "split a long span in two), so the oracle reproduces the drop rule "
-    "exactly; dropped grams/rows observable via substring_cap_counter()",
+    "exactly; dropped grams/rows observable via cap_counter(diag)",
 )
 def dedup_exact_substring_capped(spark, sf_dir):
     return exact_substring_spans(T(spark, sf_dir, "documents"), **_SUBSTR, max_occ=2)

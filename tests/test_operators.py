@@ -1448,8 +1448,8 @@ def test_exact_substring_occ_cap_drops_and_splits(spark):
     BEFORE the join: a boilerplate middle gram shared by 3 docs splits the
     2-doc span containing it, and the drop counters report the volume."""
     from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        cap_counter,
         exact_substring_spans,
-        substring_cap_counter,
     )
 
     # docs 1+2 share a 7-token run; its MIDDLE gram 'c3 c4 c5' also appears
@@ -1465,12 +1465,13 @@ def test_exact_substring_occ_cap_drops_and_splits(spark):
         for r in exact_substring_spans(df, k=3).collect()
     }
     assert (1, 2, 1, 2, 7) in unc  # uncapped: one maximal 7-token span
-    cap = exact_substring_spans(df, k=3, max_occ=2)
+    diag = {}
+    cap = exact_substring_spans(df, k=3, max_occ=2, diag=diag)
     got = {
         (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
         for r in cap.collect()
     }
-    obs = substring_cap_counter()
+    obs = cap_counter(diag)
     assert obs["occ_dropped_grams"] >= 1 and obs["occ_dropped_rows"] >= 3
     # the 7-token 1<->2 span survives only as fragments not containing the
     # dropped middle gram; no fragment may span the full 7 tokens

@@ -159,7 +159,7 @@ def test_df_cap_drops_boilerplate_keeps_rare_pairs(spark):
     while a genuine near-dup pair built from RARE shingles keeps its pair —
     and its jaccard is computed over the capped universe."""
     from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
-        df_cap_counter,
+        cap_counter,
         ngram_jaccard_pairs,
     )
 
@@ -169,7 +169,8 @@ def test_df_cap_drops_boilerplate_keeps_rare_pairs(spark):
     rows += [(100, rare + " alpha"), (101, rare + " omega")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_df=4)
+    diag = {}
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_df=4, diag=diag)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
     # the rare-shingle near-dup pair survives; every boilerplate pair is gone
     assert (100, 101) in pairs
@@ -179,9 +180,8 @@ def test_df_cap_drops_boilerplate_keeps_rare_pairs(spark):
     assert pairs[(100, 101)] == round(6 / 8, 4)
     # counters: the boilerplate doc's shingles all have df=40 > 4
     n_boiler_shingles = len(boiler.split()) - 2
-    # name the generator: other suite tests may have built the containment
-    # capped plan in this session, and the counter registry is per-generator
-    m = df_cap_counter("ngram_jaccard")
+    # per-call diag dict: no module-global counter registry to cross-wire
+    m = cap_counter(diag)
     assert m["df_dropped_shingles"] == n_boiler_shingles
     assert m["df_dropped_rows"] == 40 * n_boiler_shingles
 
