@@ -1494,25 +1494,59 @@ def simhash64_hamming_pairs(
     if not 1 <= radius <= 7:
         raise ValueError("radius must be in 1..7 for a 63-bit fingerprint")
     fp_builder = simhash64_kernel if use_kernel else simhash64
-    sims = owned_persist(fp_builder(df, id_col=id_col, text_col=text_col))
+    sims = fp_builder(df, id_col=id_col, text_col=text_col)
+    return hamming63_pairs(
+        sims,
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+        eager=eager,
+        fp_col="simhash",
+    )
+
+
+def hamming63_pairs(
+    sims: DataFrame,
+    radius: int = 3,
+    max_bucket_size: int | None = None,
+    eager: bool = True,
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Banded Hamming-radius pair search over ANY 63-bit fingerprint column
+    — the generic engine behind :func:`simhash64_hamming_pairs` (text
+    simhash) and the perceptual image dHash dedup
+    (functions/multimodal.image_dhash63): ``radius + 1`` exact bit-slice
+    bands partition the 63 bits (pigeonhole: two fingerprints within
+    ``radius`` agree on at least one band verbatim), candidates come from a
+    streaming equi-self-join on (band, band value), and the carried
+    fingerprints verify with one bit_count(xor). ``max_bucket_size`` drops
+    hot band buckets before the self-join (per-bucket join cost is
+    population², and boilerplate/logo content mega-collides) — the
+    100 TB governance knob, same posture as the LSH bucket cap.
+
+    ``sims`` must have columns (id, ``fp_col``) with the fingerprint a
+    non-negative 63-bit BIGINT. Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 1 <= radius <= 7:
+        raise ValueError("radius must be in 1..7 for a 63-bit fingerprint")
+    sims = owned_persist(sims)
     # Eager count: x/y self-join sides PLUS the optional cap branch are three
     # concurrent consumers of this cache; unpopulated, AQE recomputes the
-    # ~64-slot fingerprint fold once per branch (round-5 shingle lesson).
+    # fingerprint computation once per branch (round-5 shingle lesson).
     if eager:
         sims.count()
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).cast("int").alias("band"),
-                F.shiftright(F.col("simhash"), off)
+                F.shiftright(F.col(fp_col), off)
                 .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("bval"),
             )
             for j, (off, w) in enumerate(_simhash64_bands(radius))
         ]
     )
-    banded = sims.select("id", "simhash", F.explode(bands).alias("bb")).select(
-        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    banded = sims.select("id", fp_col, F.explode(bands).alias("bb")).select(
+        "id", fp_col, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
     if max_bucket_size is not None:
         kept = (
@@ -1523,10 +1557,10 @@ def simhash64_hamming_pairs(
         )
         banded = banded.join(kept, ["band", "bval"])
     x = banded.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bval"
+        F.col("id").alias("id_a"), F.col(fp_col).alias("sim_a"), "band", "bval"
     )
     y = banded.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bval"
+        F.col("id").alias("id_b"), F.col(fp_col).alias("sim_b"), "band", "bval"
     )
     return (
         x.join(y, ["band", "bval"])
@@ -1543,18 +1577,18 @@ def simhash64_hamming_pairs(
     )
 
 
-def duckdb_simhash64_hamming_pairs(
-    table: str,
+def duckdb_hamming63_pairs(
+    sims_sql: str,
     radius: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
     max_bucket_size: int | None = None,
+    fp_col: str = "simhash",
 ) -> str:
-    """DuckDB twin of :func:`simhash64_hamming_pairs` — same bit-slice
-    bands (>> and & are exact BIGINT ops), same bit_count(xor) verify,
-    same band-bucket cap rule when ``max_bucket_size`` is given."""
+    """DuckDB twin of :func:`hamming63_pairs` over any (id, fingerprint)
+    subquery — same bit-slice bands (>> and & are exact BIGINT ops), same
+    bit_count(xor) verify, same band-bucket cap rule when
+    ``max_bucket_size`` is given."""
     band_rows = " UNION ALL ".join(
-        f"SELECT id, simhash, {j} AS band, (simhash >> {off}) & {(1 << w) - 1} AS bval FROM sims"
+        f"SELECT id, {fp_col}, {j} AS band, ({fp_col} >> {off}) & {(1 << w) - 1} AS bval FROM sims"
         for j, (off, w) in enumerate(_simhash64_bands(radius))
     )
     kept = ""
@@ -1567,14 +1601,31 @@ def duckdb_simhash64_hamming_pairs(
         )"""
         join_kept = " JOIN kept k ON k.band = x.band AND k.bval = x.bval"
     return f"""
-        WITH sims AS ({duckdb_simhash64(table, id_col, text_col)}),
+        WITH sims AS ({sims_sql}),
         banded AS ({band_rows}){kept}
         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+               CAST(bit_count(xor(x.{fp_col}, y.{fp_col})) AS BIGINT) AS hamming
         FROM banded x JOIN banded y
           ON x.band = y.band AND x.bval = y.bval AND x.id < y.id{join_kept}
-        WHERE bit_count(xor(x.simhash, y.simhash)) <= {radius}
+        WHERE bit_count(xor(x.{fp_col}, y.{fp_col})) <= {radius}
     """
+
+
+def duckdb_simhash64_hamming_pairs(
+    table: str,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`simhash64_hamming_pairs` — the generic banded
+    pair SQL over the simhash64 fingerprint subquery."""
+    return duckdb_hamming63_pairs(
+        duckdb_simhash64(table, id_col, text_col),
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+        fp_col="simhash",
+    )
 
 
 def containment_pairs(

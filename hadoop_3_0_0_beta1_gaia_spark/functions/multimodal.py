@@ -787,3 +787,149 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup: 63-bit dHash (difference hash)
+# ---------------------------------------------------------------------------
+
+# dHash grid: 8 pixels per row x 9 rows -> 7 horizontal comparisons per row
+# x 9 rows = 63 bits. 63 rather than the classic 64 keeps the fingerprint in
+# non-negative BIGINT range on BOTH engines (bit 63 is the sign bit; Spark
+# ANSI errors on signed overflow, DuckDB arithmetic is signed BIGINT) — the
+# same portability argument as dedup.simhash64, whose banded-Hamming
+# machinery this fingerprint plugs straight into.
+DHASH_W = 8
+DHASH_H = 9
+
+
+def dhash_pixels(did: int) -> bytes:
+    """Deterministic 9x8 gray test image for document ``did`` (row-major),
+    reproducible hex-pair by hex-pair in SQL (the image_decode_roundtrip
+    oracle method) — the driver testdata ships no real media bytes, so
+    pixels are md5-synthesized with NEAR-DUP STRUCTURE built in:
+
+    - docs with ``did % 20 == 7`` share one constant "logo" image (the
+      boilerplate/banner case — identical fingerprints, quadratic pair
+      blow-up, the content the bucket cap exists to govern);
+    - everyone else draws its base image from its GROUP seed
+      (``did // 4`` — groups of 4 near-identical images), then members with
+      ``did % 4 != 0`` get ONE pixel perturbed (at row ``did % 9``, column
+      ``did % 8``, value from md5 of the doc id). One changed pixel flips at
+      most 2 adjacent-comparison bits, two perturbed members differ in at
+      most 2 pixels -> Hamming distance <= 4 within a group (members 1..3
+      perturb DISTINCT pixels: their row indices differ mod 9 for id deltas
+      1..3), so radius-4 search recovers every group pair by pigeonhole.
+    """
+    logo = did % 20 == 7
+    seed = "logo" if logo else str(did // 4)
+    px = bytearray()
+    for r in range(DHASH_H):
+        px += hashlib.md5(f"{seed}:img:{r}".encode()).digest()[:DHASH_W]
+    if not logo and did % 4 != 0:
+        px[(did % 9) * DHASH_W + (did % 8)] = hashlib.md5(
+            f"{did}:pert".encode()
+        ).digest()[0]
+    return bytes(px)
+
+
+def dhash63_of_pixels(px: bytes) -> int:
+    """63-bit difference hash of a row-major 9x8 gray image: bit
+    ``r*7 + c`` is set iff ``px[r][c] > px[r][c+1]`` (strict; ties clear)."""
+    fp = 0
+    for r in range(DHASH_H):
+        row = r * DHASH_W
+        for c in range(DHASH_W - 1):
+            if px[row + c] > px[row + c + 1]:
+                fp |= 1 << (r * (DHASH_W - 1) + c)
+    return fp
+
+
+def image_dhash63(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document 63-bit perceptual dHash with the REAL PNG codec in the
+    loop: synthesize the 9x8 gray image (:func:`dhash_pixels`), encode it to
+    a real PNG byte stream, decode the bytes back (:func:`png_encode` /
+    :func:`png_decode` — zlib deflate, chunk walk, inflate, unfilter), and
+    fingerprint the DECODED pixels. The oracle computes the same hash from
+    the synthesized pixels directly, so any codec defect shows up as a
+    fingerprint mismatch — the dedup analog of image_decode_roundtrip's
+    codec proof. mapInPandas Arrow kernel: entirely map-side, zero
+    exchanges, embarrassingly parallel; at a real 100 TB corpus the synth
+    step is replaced by reading the binary column and the grid by a real
+    downsample (png_resize_nn), with every contract downstream unchanged.
+
+    Output: (id, dhash) — plugs into dedup.hamming63_pairs (banding,
+    bucket cap, bit_count verify) exactly like the text simhash64.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("dhash", LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids = []
+            fps = []
+            for did in pdf[id_col]:
+                did = int(did)
+                px = dhash_pixels(did)
+                png = png_encode(DHASH_W, DHASH_H, 1, px)
+                dw, dh, ch, back = png_decode(png)
+                if (dw, dh, ch) != (DHASH_W, DHASH_H, 1):
+                    raise ValueError(
+                        f"PNG round trip returned {dw}x{dh}x{ch} for doc {did}"
+                    )
+                ids.append(did)
+                fps.append(dhash63_of_pixels(back))
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"),
+                 "dhash": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def duckdb_image_dhash63(table: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`image_dhash63` — rebuilds the synthesized
+    pixels hex-pair by hex-pair from the same md5 seeds (logo / group /
+    perturbation rules identical) and assembles the 63 comparison bits with
+    exact integer arithmetic. No codec on this side: the PNG trip is
+    lossless, so pixel-identical input implies fingerprint-identical output
+    — which is precisely what makes this an oracle on the Spark side's
+    codec + hash chain."""
+    rows = ",\n               ".join(
+        f"md5(seed || ':img:{r}') AS h{r}" for r in range(DHASH_H)
+    )
+    pixels = ",\n               ".join(
+        f"CASE WHEN pert AND pr = {r} AND pc = {c} THEN pv "
+        f"ELSE ('0x' || substr(h{r}, {2 * c + 1}, 2))::BIGINT END AS p{r}_{c}"
+        for r in range(DHASH_H)
+        for c in range(DHASH_W)
+    )
+    bits = " + ".join(
+        f"CASE WHEN p{r}_{c} > p{r}_{c + 1} "
+        f"THEN CAST({1 << (r * (DHASH_W - 1) + c)} AS BIGINT) ELSE 0 END"
+        for r in range(DHASH_H)
+        for c in range(DHASH_W - 1)
+    )
+    return f"""
+        SELECT id, CAST({bits} AS BIGINT) AS dhash FROM (
+            SELECT id, {pixels}
+            FROM (
+                SELECT {id_col} AS id,
+                       CASE WHEN {id_col} % 20 = 7 THEN 'logo'
+                            ELSE CAST({id_col} // 4 AS VARCHAR) END AS seed,
+                       ({id_col} % 20 <> 7 AND {id_col} % 4 <> 0) AS pert,
+                       {id_col} % 9 AS pr,
+                       {id_col} % 8 AS pc,
+                       ('0x' || substr(md5({id_col}::VARCHAR || ':pert'), 1, 2))::BIGINT AS pv,
+                       {rows}
+                FROM {table}
+            )
+        )
+    """

@@ -436,6 +436,69 @@ def image_decode_roundtrip(spark, sf_dir):
     return png_roundtrip_stats(T(spark, sf_dir, "documents"))
 
 
+def _image_dhash_oracle(max_bucket_size=None):
+    from ..functions.dedup import duckdb_hamming63_pairs
+    from ..functions.multimodal import duckdb_image_dhash63
+
+    return duckdb_hamming63_pairs(
+        duckdb_image_dhash63("documents"),
+        radius=4,
+        max_bucket_size=max_bucket_size,
+        fp_col="dhash",
+    )
+
+
+@register(
+    "dedup_image_dhash",
+    oracle=_image_dhash_oracle(),
+    ref="perceptual image near-dup (the LAION-style pipeline step): 63-bit "
+    "difference hash per image — bit r*7+c set iff gray pixel (r,c) > "
+    "(r,c+1) on a 9x8 grid — then the SAME banded-Hamming pair machinery as "
+    "the text simhash64 (dedup.hamming63_pairs: radius+1 exact bit-slice "
+    "bands partition the bits, equi-self-join on (band, value), "
+    "bit_count(xor) verify). The REAL PNG codec is in the Spark loop "
+    "(synthesized 9x8 gray image -> png_encode -> png_decode -> hash the "
+    "DECODED pixels) while the oracle hashes the synthesized pixels "
+    "directly, so parity proves the codec+hash chain bit-exact "
+    "(image_decode_roundtrip's method, composed with dedup). Fixture images "
+    "are md5-seeded with near-dup structure: groups of 4 one-pixel-perturbed "
+    "variants (Hamming <= 4, radius-4 recovers every group pair by "
+    "pigeonhole) plus a 5% constant-logo cohort whose identical fingerprints "
+    "are the quadratic blow-up the capped twin governs. UNCAPPED recall "
+    "anchor by contract; production runs the capped twin",
+)
+def dedup_image_dhash(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.multimodal import image_dhash63
+
+    sims = image_dhash63(T(spark, sf_dir, "documents"))
+    return hamming63_pairs(sims, radius=4, fp_col="dhash")
+
+
+@register(
+    "dedup_image_dhash_capped",
+    oracle=_image_dhash_oracle(max_bucket_size=16),
+    ref="the 100 TB configuration of dedup_image_dhash, same cap governance "
+    "as dedup_simhash64_hamming_capped: band buckets holding more than 16 "
+    "images drop before the self-join. Why it exists: identical/boilerplate "
+    "images (logos, banners, placeholder thumbnails — the fixture's 5% logo "
+    "cohort, 25 docs sharing one fingerprint at gate SF, 25k at the sf10 "
+    "fixture) collide on EVERY band, so uncapped candidate volume grows as "
+    "cohort^2 (312M pairs at sf10 from the logo cohort alone); the cap "
+    "bounds per-bucket join cost at cap^2 while one-pixel-variant groups "
+    "(bucket population ~4) pass untouched. Dropped logo pairs are exact "
+    "duplicates — exact/byte-level dedup already owns them. The cap changes "
+    "the answer, so this configuration carries its own oracle reproducing "
+    "the drop rule (kept CTE, HAVING count(*) <= cap)",
+)
+def dedup_image_dhash_capped(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.multimodal import image_dhash63
+
+    sims = image_dhash63(T(spark, sf_dir, "documents"))
+    return hamming63_pairs(sims, radius=4, max_bucket_size=16, fp_col="dhash")
+
+
 @register(
     "wav_decode_roundtrip",
     oracle="""

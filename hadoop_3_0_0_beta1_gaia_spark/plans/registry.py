@@ -164,10 +164,32 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # uncapped anchor + occ-capped production twin). OUT: the 44 r7-green
 # first-contact entries (every family keeps in-window or repo-gate
 # coverage; the repo oracle gate runs all 230 every session).
-# multimodal_features (last contact r1) stays out: rows-only entries are
-# barred from the window (oracle required); it remains covered by pytest.
+# multimodal_features (last contact r1) stayed out of #10 under a comment
+# claiming rows-only entries are barred — FALSE (VERDICT r8 What's-wrong 1):
+# the entry has had a DuckDB oracle since registration (the md5-seeded fake
+# kernel's exact SQL twin, plans/media_stream.py), leaving it the single
+# never-driver-validated entry for no reason. Corrected in rotation #11.
+# Rotation #11 (round 9) — recency continues (VERDICT r8 item 1).
+# IN: multimodal_features (first driver contact — see above), this round's
+# 2 new entries (dedup_image_dhash + capped twin: perceptual image near-dup,
+# PNG codec in the loop, banded-Hamming machinery shared with simhash64),
+# the full r1/r2 cohorts by last-green age (5 + 18 entries; set_except stays
+# out on the rotation-#10 precedent — its gate-SF output is 0 rows, the
+# weakest driver evidence, and the repo oracle gate still runs it), and 18
+# of the r3 cohort: the VERDICT-named decision-support + LLM-headliner set
+# (Q5/Q7/Q10/Q21 shapes, semantic_dedup_keep, value_quantile_sketch,
+# quality_classifier_score, dedup_cluster_canonical, inverted_index, cms,
+# substring_spans, bpe_train_merges, asof_nearest, kmv_set_overlap,
+# ab_test_conversion) plus dedup_minhash_lsh / global_sort_rank /
+# q3_shipping_priority (bench-headline queries whose driver greens are
+# oldest). Kept: the 2 standing anchors and one representative per 100 TB
+# capped config. OUT: the r8-green cohort (every family keeps in-window or
+# repo-gate coverage; the repo oracle gate runs all 238 every session).
+# Every IN entry pre-validated under the exact driver protocol
+# (tools/driver_check.py, sf0.01). After CORRECTNESS_r09,
+# never-driver-validated = 0 of 238 and max driver-row age <= 5 rounds.
 _WINDOW: list[str] = [
-    # anchors (driver-green r1-r7)
+    # anchors (driver-green r1-r8)
     "q1_pricing_summary",
     "join_inner_nway",
     # one representative per 100 TB capped config
@@ -175,59 +197,55 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # round-8 first-contact entries. Ceded cohort slots (each family keeps an
-    # in-window representative): order_gaps_pandas -> order_gaps_native,
-    # gen_text_wordcount -> gen_teragen, seqfilter_regex -> seqfilter_md5,
-    # events_multigrain_rollup + events_pivot_daily -> three events_* reps
-    # remain (retention/funnel/json_extract). Every IN entry pre-validated
-    # under the exact driver protocol; after CORRECTNESS_r08,
-    # never-driver-validated = 0 of 236.
-    "order_gaps_native",
-    "dedup_exact_substring",
-    "dedup_exact_substring_capped",
-    "dedup_paragraphs",
-    "ccnet_lm_buckets",
-    "dedup_exact_substring_cut",
-    "dedup_exact_substring_cut_capped",
-    "gopher_dup_line_signals",
-    # recency cohort: last driver green r1 (35 entries)
-    "agg_string_minmax",
-    "agg_value_descriptors",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_kept_corpus",
-    "dedup_ngram_jaccard",
-    "distinct_suppliers_two_phase",
-    "doc_length_histogram",
-    "events_daily_retention",
-    "events_funnel",
-    "events_json_extract",
-    "fixedlen_parse",
-    "frame_sample_grid",
-    "gen_teragen",
-    "ivf_assign_buckets",
-    "kmv_distinct_users",
-    "order_price_deciles",
-    "pi_estimate",
-    "pipe_identity_kv",
-    "quantity_quantiles_by_flag",
-    "salted_event_counts",
-    "sample_interval",
-    "seqfilter_md5",
-    "sessionize_events",
-    "stratified_sample_orders",
-    "stream_dedup_counts",
-    "stream_user_running_totals",
-    "stream_windowed_counts",
-    "topk_events_per_type",
-    "uniq_value_count",
-    # recency cohort: last driver green r2 (6 entries)
-    "keyfield_char_sort",
-    "fieldsel_project",
-    "grep_regex_count",
-    "word_stats",
-    "secondary_sort",
-    "distinct_segments",
+    # first contact: the wrongly-barred oracled entry + round-9 additions
+    "multimodal_features",
+    "dedup_image_dhash",
+    "dedup_image_dhash_capped",
+    # recency cohort: last driver green r1 (5 entries)
+    "events_multigrain_rollup",
+    "events_pivot_daily",
+    "gen_text_wordcount",
+    "order_gaps_pandas",
+    "seqfilter_regex",
+    # recency cohort: last driver green r2 (18 entries; set_except excluded
+    # — 0-row gate output, rotation-#10 precedent)
+    "dedup_embedding_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_tfidf_top_terms",
+    "doc_token_count",
+    "doc_top_bigrams",
+    "doc_winnow_near_dup",
+    "join_anti",
+    "join_outer_full",
+    "join_override",
+    "join_theta_datajoin",
+    "knn_cosine_topk",
+    "kv_text_parse",
+    "map_inverse",
+    "nline_splits",
+    "range_join_ship_windows",
+    "seqfilter_percent",
+    "value_histogram_events",
+    # recency cohort: last driver green r3 (18 of 48)
+    "local_supplier_volume",
+    "volume_shipping_nations",
+    "returned_item_customers",
+    "waiting_suppliers",
+    "q3_shipping_priority",
+    "semantic_dedup_keep",
+    "value_quantile_sketch",
+    "quality_classifier_score",
+    "dedup_cluster_canonical",
+    "inverted_index_postings",
+    "cms_token_freq",
+    "dedup_substring_spans",
+    "bpe_train_merges",
+    "asof_nearest_purchase",
+    "kmv_set_overlap",
+    "ab_test_conversion",
+    "dedup_minhash_lsh",
+    "global_sort_rank",
 ]
 
 

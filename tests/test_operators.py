@@ -1355,6 +1355,64 @@ def test_simhash64_hamming_pairs_equals_bruteforce(spark, sf_dir):
     assert (9_000_001, 9_000_002, 0) in brute  # the crafted exact-token dup
 
 
+def test_image_dhash_groups_logos_and_cap(spark):
+    """Perceptual image dHash hand-verified on a 9-doc frame: the kernel's
+    codec-in-the-loop fingerprint equals the pure-Python pixel reference
+    (PNG round trip is lossless), the logo cohort shares ONE fingerprint,
+    one-pixel group perturbations stay within Hamming 4 (<= 2 bits per
+    perturbed member), radius-4 banded search returns exactly brute force,
+    and the bucket cap drops the logo pairs (cohort 5 > cap 4) while the
+    4-member perturbed group passes untouched."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import hamming63_pairs
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        dhash63_of_pixels,
+        dhash_pixels,
+        image_dhash63,
+    )
+
+    group = [8, 9, 10, 11]        # doc_id // 4 == 2, no member % 20 == 7
+    logos = [7, 27, 47, 67, 87]   # doc_id % 20 == 7 -> one shared image
+    docs = spark.createDataFrame(
+        [(i, "t") for i in group + logos], "doc_id long, text string"
+    )
+    fps = {r["id"]: r["dhash"] for r in image_dhash63(docs).collect()}
+    assert fps == {
+        i: dhash63_of_pixels(dhash_pixels(i)) for i in group + logos
+    }
+    assert len({fps[i] for i in logos}) == 1          # constant logo image
+    ham = lambda a, b: bin(fps[a] ^ fps[b]).count("1")  # noqa: E731
+    assert all(ham(8, m) <= 2 for m in (9, 10, 11))   # <= 2 bits vs base
+    assert all(
+        ham(a, b) <= 4 for i, a in enumerate(group) for b in group[i + 1 :]
+    )
+
+    sims = image_dhash63(docs)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming63_pairs(sims, radius=4, fp_col="dhash").collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 4
+    }
+    assert got == brute
+    group_pairs = {t for t in brute if t[0] in group and t[1] in group}
+    logo_pairs = {t for t in brute if t[0] in logos}
+    assert len(group_pairs) == 6 and len(logo_pairs) == 10
+    assert all(t[2] == 0 for t in logo_pairs)
+
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming63_pairs(
+            image_dhash63(docs), radius=4, max_bucket_size=4, fp_col="dhash"
+        ).collect()
+    }
+    assert capped == group_pairs  # logo buckets (5 > 4) dropped, group kept
+
+
 def test_connected_components_pointer_jumping(spark):
     """Pointer jumping must reach the same fixpoint as plain min-label
     propagation (same labels, jump-oblivious oracle) and must converge in
