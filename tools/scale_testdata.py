@@ -111,10 +111,16 @@ def _perturb_embeddings(tbl: pa.Table, k: int) -> pa.Table:
 def main() -> None:
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    # optional comma-list of tables: the sf30 scale-trend corpus only needs
+    # documents (the capped dedup family's sole input) — no point writing
+    # a 180M-row lineitem nobody sweeps at that SF
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
+        if only is not None and t not in only:
+            continue
         src = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
         src = src.replace_schema_metadata(None)
         if t in ("region", "nation"):
