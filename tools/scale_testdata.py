@@ -135,7 +135,16 @@ def main() -> None:
                     r = _perturb_embeddings(r, k)
                 reps.append(r)
         big = pa.concat_tables(reps)
-        pq.write_table(big, os.path.join(out_dir, f"{t}.parquet"))
+        # Bounded row groups: pyarrow's default writes ~1M-row groups, and a
+        # parquet ROW GROUP is the unit of split assignment — a 500k-doc file
+        # in one row group hands the entire scan (and the repartition write
+        # feeding every downstream map kernel) to ONE task. 50k-row groups
+        # give the local[32] session a parallel scan, exactly like the
+        # thousands-of-files layout of a real corpus (found round 9: the
+        # sf30 slope probe's scan stage ran 2 tasks for 1.5M docs).
+        pq.write_table(
+            big, os.path.join(out_dir, f"{t}.parquet"), row_group_size=50_000
+        )
         print(f"{t}: {src.num_rows} -> {big.num_rows}")
 
 
