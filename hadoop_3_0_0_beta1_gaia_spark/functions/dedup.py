@@ -182,22 +182,53 @@ def _df_capped_shingles(
             "df_dropped_rows"
         ),
     )
-    if diag is not None:
-        diag["observation"] = obs
+    _record_cap_obs(diag, f"shingle_df_cap_{generator}", obs)
     rare = freq.filter(F.col("df") <= max_df).select("shingle")
     capped = sh.join(rare, "shingle")
     sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
     return capped, sizes
 
 
-def cap_counter(diag: dict) -> dict:
+def _record_cap_obs(diag: dict | None, name: str, obs) -> None:
+    """File a cap Observation in the caller's diag dict under its own name
+    (``shingle_df_cap_<generator>`` / ``substring_occ_cap``) — never a fixed
+    key, so one diag dict shared across two capped generators cannot
+    last-write-wins-clobber a metric (the cross-wiring class the removed
+    module globals had). Reusing the SAME generator twice on one dict is
+    still a collision and raises."""
+    if diag is None:
+        return
+    if name in diag:
+        raise ValueError(
+            f"diag already holds a {name!r} observation — pass a fresh dict "
+            "per capped plan (or a distinct generator name)"
+        )
+    diag[name] = obs
+
+
+def cap_counter(diag: dict, name: str | None = None) -> dict:
     """Metrics of a capped pair-generator action, read from the ``diag``
     dict the generator filled (df cap: {'df_dropped_shingles',
     'df_dropped_rows'}; occurrence cap: {'occ_dropped_grams',
-    'occ_dropped_rows'}). Read AFTER an action on the generator's returned
-    frame — Observation.get blocks until the plan has run."""
-    obs = diag.get("observation")
-    return dict(obs.get) if obs is not None else {}
+    'occ_dropped_rows'}). Entries are keyed by observation name; pass
+    ``name`` when the dict holds more than one (one diag shared across
+    several generators), omit it for the common single-generator case.
+    Read AFTER an action on the generator's returned frame —
+    Observation.get blocks until the plan has run."""
+    from pyspark.sql import Observation
+
+    if name is not None:
+        obs = diag.get(name)
+        return dict(obs.get) if obs is not None else {}
+    found = [(k, v) for k, v in diag.items() if isinstance(v, Observation)]
+    if not found:
+        return {}
+    if len(found) > 1:
+        raise ValueError(
+            "diag holds observations "
+            f"{sorted(k for k, _ in found)!r} — name the one to read"
+        )
+    return dict(found[0][1].get)
 
 
 def ngram_jaccard_pairs(
@@ -681,8 +712,7 @@ def exact_substring_spans(
                 "occ_dropped_rows"
             ),
         )
-        if diag is not None:
-            diag["observation"] = obs
+        _record_cap_obs(diag, "substring_occ_cap", obs)
         keep = freq.filter(F.col("occ") <= max_occ).select("gh")
         g = owned_persist(g.join(keep, "gh").select("id", "pos", "gh"))
         g.count()

@@ -860,13 +860,24 @@ def image_dhash63(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Output: (id, dhash) — plugs into dedup.hamming63_pairs (banding,
     bucket cap, bit_count verify) exactly like the text simhash64.
+
+    Integer-id contract: the kernel synthesizes pixels from ``int(did)``
+    and emits int64, so ``id_col`` must be an integral column; both output
+    fields are declared LongType to match what the Arrow batch actually
+    carries (declaring the input column's own type here would mis-declare
+    an int32/decimal id at Arrow conversion).
     """
     import pandas as pd
+    from pyspark.sql.types import IntegralType
 
-    id_type = df.schema[id_col].dataType
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
+        raise TypeError(
+            f"image_dhash63 requires an integral id column; "
+            f"{id_col!r} is {df.schema[id_col].dataType.simpleString()}"
+        )
     schema = StructType(
         [
-            StructField("id", id_type, False),
+            StructField("id", LongType(), False),
             StructField("dhash", LongType(), False),
         ]
     )

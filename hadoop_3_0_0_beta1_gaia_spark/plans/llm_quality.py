@@ -1177,7 +1177,7 @@ def c4_rules(pages):
     "(sorted left-fold — identical IEEE op order), never an unordered SUM, so the "
     "order-dependent accumulation cannot diverge",
 )
-def doc_bigram_logprob(spark, sf_dir):
+def doc_bigram_logprob(spark, sf_dir, *, eager: bool = True):
     d = (
         T(spark, sf_dir, "documents")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -1192,13 +1192,16 @@ def doc_bigram_logprob(spark, sf_dir):
     # the bigram stream feeds TWO consumers (the model's bigram counts and
     # the scoring join) with no exchange to reuse between them — persist +
     # eager count or the tokenize+explode scan runs once per consumer
-    # (ccnet A/B at sf10: 24.4 -> 11.6 s warm, ~2.1x)
+    # (ccnet A/B at sf10: 24.4 -> 11.6 s warm, ~2.1x). eager=False skips
+    # the materializing count for explain/schema-only callers (matching
+    # ngram_jaccard_pairs); keep the default when executing.
     ex = owned_persist(
         d.select("doc_id", F.explode(pairs).alias("p")).select(
             "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
     )
-    ex.count()
+    if eager:
+        ex.count()
     uni = (
         T(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -2040,7 +2043,7 @@ def ccnet_bucket(docs):
     "base/total broadcast back. Docs with < 2 tokens have no bigram score "
     "and are excluded (same contract as doc_bigram_logprob)",
 )
-def ccnet_lm_buckets(spark, sf_dir):
+def ccnet_lm_buckets(spark, sf_dir, *, eager: bool = True):
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", tokens(F.col("text")).alias("toks")
     )
@@ -2054,13 +2057,16 @@ def ccnet_lm_buckets(spark, sf_dir):
     # two consumers of the corpus-scale bigram stream (model counts + the
     # scoring join), no reusable exchange between them — persist + eager
     # count, measured 24.4 -> 11.6 s warm at sf10 (~2.1x; the unpersisted
-    # plan re-runs the tokenize+explode scan once per consumer)
+    # plan re-runs the tokenize+explode scan once per consumer).
+    # eager=False skips the materializing count for explain/schema-only
+    # callers (matching ngram_jaccard_pairs); keep the default to execute.
     ex = owned_persist(
         scoreable.select("doc_id", F.explode(pairs).alias("p")).select(
             "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
     )
-    ex.count()
+    if eager:
+        ex.count()
     uni = (
         d.select(F.explode("toks").alias("w")).groupBy("w").agg(F.count("*").alias("u"))
     )

@@ -1413,6 +1413,62 @@ def test_image_dhash_groups_logos_and_cap(spark):
     assert capped == group_pairs  # logo buckets (5 > 4) dropped, group kept
 
 
+def test_image_dhash_id_type_contract(spark):
+    """image_dhash63 declares BOTH output fields LongType regardless of the
+    input id column's width (ADVICE r9: declaring the input's own type
+    mis-declared an int32 id at Arrow conversion — kernel always emits
+    int64), and rejects non-integral id columns loudly."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        dhash63_of_pixels,
+        dhash_pixels,
+        image_dhash63,
+    )
+
+    docs32 = spark.createDataFrame([(8, "t"), (9, "t")], "doc_id int, text string")
+    out = image_dhash63(docs32)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+    got = {r["id"]: r["dhash"] for r in out.collect()}
+    assert got == {i: dhash63_of_pixels(dhash_pixels(i)) for i in (8, 9)}
+
+    strdocs = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    with _pytest.raises(TypeError, match="integral id column"):
+        image_dhash63(strdocs)
+
+
+def test_bigram_plan_builders_support_lazy_inspection(spark, monkeypatch):
+    """doc_bigram_logprob / ccnet_lm_buckets accept eager=False for
+    plan-only callers (ADVICE r9): with the opt-out, the builders must not
+    run the materializing count() at plan-build time — pinned by making
+    DataFrame.count raise, so any eager execution fails the build itself.
+    The eager default still counts (the measured 2.1x persist win)."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        ccnet_lm_buckets,
+        doc_bigram_logprob,
+    )
+
+    src = "/root/testdata/sf0.001"
+
+    def _boom(self):
+        raise AssertionError("count() ran during plan-only build")
+
+    # patch the CONCRETE DataFrame class (pyspark 4 splits the abstract
+    # pyspark.sql.DataFrame from the classic implementation's own count)
+    monkeypatch.setattr(type(spark.range(1)), "count", _boom)
+    bl = doc_bigram_logprob(spark, src, eager=False)
+    assert bl.columns == ["doc_id", "n_bigrams", "avg_logprob"]
+    cc = ccnet_lm_buckets(spark, src, eager=False)
+    assert cc.columns == ["doc_id", "lang", "score_ppm", "bucket"]
+    with _pytest.raises(AssertionError, match="plan-only build"):
+        doc_bigram_logprob(spark, src)  # eager default still materializes
+
+
 def test_connected_components_pointer_jumping(spark):
     """Pointer jumping must reach the same fixpoint as plain min-label
     propagation (same labels, jump-oblivious oracle) and must converge in

@@ -186,6 +186,44 @@ def test_df_cap_drops_boilerplate_keeps_rare_pairs(spark):
     assert m["df_dropped_rows"] == 40 * n_boiler_shingles
 
 
+def test_df_cap_diag_keys_are_per_generator(spark):
+    """One diag dict shared across TWO capped generators must keep BOTH
+    metrics readable by name (ADVICE r9: the fixed 'observation' key made
+    the second build silently clobber the first — the module-global
+    cross-wiring class, reproduced at call scope). Unnamed reads stay valid
+    for the single-generator case, raise loudly for the shared one, and
+    re-running the same generator on one dict is a collision."""
+    import pytest as _pytest
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        cap_counter,
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(i, boiler) for i in range(10)]
+    rows += [(100, "rare alpha beta gamma delta"), (101, "rare alpha beta gamma zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    diag = {}
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=4, diag=diag)
+    con = containment_pairs(docs, n=3, threshold=0.1, max_df=4, diag=diag)
+    jac.count()
+    con.count()
+    m_jac = cap_counter(diag, "shingle_df_cap_ngram_jaccard")
+    m_con = cap_counter(diag, "shingle_df_cap_containment")
+    n_boiler = len(boiler.split()) - 2
+    assert m_jac["df_dropped_shingles"] == n_boiler
+    assert m_con["df_dropped_shingles"] == n_boiler  # NOT clobbered
+    with _pytest.raises(ValueError, match="name the one to read"):
+        cap_counter(diag)
+    with _pytest.raises(ValueError, match="fresh dict"):
+        ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=4, diag=diag)
+    # absent name reads as empty, never KeyError
+    assert cap_counter(diag, "substring_occ_cap") == {}
+
+
 def test_df_cap_containment_subset_pair_survives(spark):
     """Containment's defining subset pair (short doc embedded in a long one)
     still surfaces under the df cap when its shingles are rare."""
