@@ -949,6 +949,7 @@ def connected_components(
     max_iter: int = 20,
     jump: bool = True,
     diag: dict | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Dedup clusters: connected components over a near-dup pair graph via
     iterative min-label propagation — the engine's iterative-algorithm
@@ -983,6 +984,16 @@ def connected_components(
     or pathological chain graphs. ``diag``, when given, is filled per-call
     with ``{"rounds": n, "converged": bool}`` (replaces the old module-level
     round counter, which made concurrent callers corrupt each other).
+
+    ``checkpoint_every`` sets the lineage-truncation cadence: round k
+    localCheckpoints (eager) only when ``k % checkpoint_every == 0``; other
+    rounds persist MEMORY_AND_DISK instead (the convergence aggregate
+    materializes the cache either way, so later rounds re-read cached
+    blocks, not lineage — the plan just grows ``checkpoint_every`` rounds
+    deep between truncations). Every-round checkpointing (default) bounds
+    plan depth hardest but pays checkpoint block writes + the localCheckpoint
+    residue force_release_all must later reap per round — the knob exists to
+    measure that trade (VERDICT r9 item 5: the components sf30 run swing).
     """
     from pyspark import StorageLevel
 
@@ -1041,9 +1052,12 @@ def connected_components(
             .repartition(nparts, "id")  # groupBy reuses this exchange
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         rounds += 1
+        if rounds % checkpoint_every == 0:
+            prop = prop.localCheckpoint(eager=True)
+        else:
+            prop = prop.persist(StorageLevel.MEMORY_AND_DISK)
         new_sum = prop.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels.unpersist()
         labels = prop

@@ -499,6 +499,71 @@ def dedup_image_dhash_capped(spark, sf_dir):
     return hamming63_pairs(sims, radius=4, max_bucket_size=16, fp_col="dhash")
 
 
+def _audio_fp_oracle(max_bucket_size=None):
+    from ..functions.dedup import duckdb_hamming63_pairs
+    from ..functions.multimodal import duckdb_audio_fingerprint63
+
+    return duckdb_hamming63_pairs(
+        duckdb_audio_fingerprint63("documents"),
+        radius=4,
+        max_bucket_size=max_bucket_size,
+        fp_col="afp",
+    )
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=_audio_fp_oracle(),
+    ref="perceptual audio near-dup (the chromaprint/dejavu pipeline step, "
+    "completing the modality set: text simhash64, image dhash, audio here): "
+    "63-bit energy-delta fingerprint per clip — bit f set iff frame f's "
+    "exact integer energy exceeds frame f+1's over 64 16-sample frames — "
+    "then the SAME banded-Hamming pair machinery as simhash64/image-dhash "
+    "(dedup.hamming63_pairs: radius+1 exact bit-slice bands, equi-self-join "
+    "on (band, value), bit_count(xor) verify). The REAL G.711 WAV codec is "
+    "in the Spark loop (synthesized µ-law clip -> g711_wav_encode RIFF "
+    "container -> wav_decode chunk walk + ITU µ-law expansion -> "
+    "fingerprint the DECODED samples) while the oracle expands the same "
+    "bytes arithmetically from the md5 seeds, so parity proves the "
+    "container+expansion+hash chain bit-exact (wav_decode_roundtrip's "
+    "method composed with dedup). Fixture clips carry near-dup structure: "
+    "groups of 4 one-frame-replaced variants (Hamming <= 4; radius-4 "
+    "recovers every group pair by pigeonhole) plus a 5% constant-jingle "
+    "cohort whose identical fingerprints are the quadratic blow-up the "
+    "capped twin governs. UNCAPPED recall anchor by contract; production "
+    "runs the capped twin",
+)
+def dedup_audio_fingerprint(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.multimodal import audio_fingerprint63
+
+    sims = audio_fingerprint63(T(spark, sf_dir, "documents"))
+    return hamming63_pairs(sims, radius=4, fp_col="afp")
+
+
+@register(
+    "dedup_audio_fingerprint_capped",
+    oracle=_audio_fp_oracle(max_bucket_size=16),
+    ref="the 100 TB configuration of dedup_audio_fingerprint, same cap "
+    "governance as the simhash64/image-dhash capped twins: band buckets "
+    "holding more than 16 clips drop before the self-join. Why it exists: "
+    "identical/boilerplate audio (intros, ringbacks, station idents — the "
+    "fixture's 5% jingle cohort, 25 clips sharing one fingerprint at gate "
+    "SF) collides on EVERY band, so uncapped candidate volume grows as "
+    "cohort^2 while one-frame-variant groups (bucket population ~4) pass "
+    "untouched. Dropped jingle pairs are exact duplicates — exact/"
+    "byte-level dedup already owns them. The cap changes the answer, so "
+    "this configuration carries its own oracle reproducing the drop rule "
+    "(kept CTE, HAVING count(*) <= cap)",
+)
+def dedup_audio_fingerprint_capped(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.multimodal import audio_fingerprint63
+
+    sims = audio_fingerprint63(T(spark, sf_dir, "documents"))
+    return hamming63_pairs(sims, radius=4, max_bucket_size=16, fp_col="afp")
+
+
 @register(
     "wav_decode_roundtrip",
     oracle="""

@@ -41,155 +41,30 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
     return deco
 
 
-# The driver's CORRECTNESS check covers the FIRST 50 registry entries, so the
-# window below is curated. Round-3 rotation (VERDICT r2 next-round item 3):
-# ~10 slots that were driver-green in r1+r2 and have a same-family green
-# representative still in-window rotate OUT (join_anti->join_semi,
-# set_except->set_intersect, keyfield_char_sort->keyfield_sorted_lines,
-# word_stats->word_count, map_inverse/kv_text_parse/nline_splits/
-# grep_regex_count->fieldsel_project+keyfield entries cover per-record
-# transforms and text parsing, doc_top_bigrams/doc_fingerprint->
-# doc_token_count+doc_winnow_near_dup). IN: the never-driver-validated
-# staging-dir sinks (mapfile/partitioned/codec/xml round trips — the most
-# environment-sensitive queries) and the corpus-prep + ANN-compression
-# headliners (pii scrub, sequence packing, temperature resample, bigram LM,
-# PQ encode, recall eval). Rotated-out entries stay covered by the repo's
-# own oracle gate (tests/test_inventory_oracle.py runs EVERY entry, with
-# Arrow-type equality since r3). Late-r3 swap: doc_tfidf_top_terms /
-# dedup_simhash / dedup_embedding_lsh (each twice driver-green with a
-# same-family green representative still in-window: doc_token_count+
-# doc_winnow cover text scoring, dedup_simhash_hamming's base fold is
-# dedup_minhash_lsh-adjacent, dedup_embedding_cosine+ivf cover similarity)
-# rotate out for the three new index/sketch entries, pre-validated under the
-# plain driver-protocol session at sf0.01.
-# Rotation #3 (late round 3): eight twice-driver-green entries whose family
-# keeps an in-window green representative (join_outer_full/join_override ->
-# the six remaining join entries; distinct_segments -> set_intersect;
-# secondary_sort -> terasort/global_sort/grouping_comparator; seqfilter_percent
-# -> repo gate (sample/filter family); doc_token_count -> doc_quality/
-# doc_lang/word_count; value_histogram_events -> cube/running_total/monthly;
-# fieldsel_project -> keyfield_sorted_lines) rotate OUT for the new
-# decision-support shapes (Q5/Q7/Q10/Q21) and LLM-pipeline headliners
-# (SemDeDup, quantile sketch, quality classifier, cluster-canonical) — all
-# eight pre-validated under the plain driver-protocol session (NY tz, 200
-# shuffle partitions, sf0.01) with Arrow-type equality.
-# Rotation #4 (close of round 3): four more twice-green entries with
-# in-window siblings out (join_theta -> 5 remaining join reps; range_join ->
-# asof family keeps both as-of variants; doc_winnow -> doc_quality/doc_lang/
-# word_count; knn_cosine_topk -> ivf_topk_search + dedup_embedding_cosine
-# anchor similarity) for four NEW operator families: bpe_train_merges
-# (tokenizer training loop), asof_nearest_purchase (merge_asof nearest),
-# kmv_set_overlap (sketch set algebra), ab_test_conversion (experiment
-# analysis) — all driver-protocol pre-validated with Arrow-type equality.
-# Rotation #5 (round 4) — the VERDICT r3 priority: burn down the
-# never-driver-validated backlog. 45 of the 50 slots go to FIRST-CONTACT
-# entries (none has ever had a CORRECTNESS row), every one pre-validated
-# under the exact driver protocol by tools/driver_check.py (plain session,
-# America/New_York tz, default 200 shuffle partitions, sf0.01, Arrow-type
-# equality) — which caught and fixed a real divergence the engine-session
-# pytest gate masked (zorder_layout_orders' session-tz-dependent DATE cast).
-# The 5 anchors keep a thrice-green representative of each core family
-# in-window (flagship agg, N-way join, LSH dedup, text, global sort); every
-# rotated-out entry remains covered by the repo oracle gate and its r1-r3
-# driver greens.
-# Rotation #6 (round 4, session 2): two of the four thrice-green anchors
-# rotate out for this session's flagship first-contact entries, each family
-# keeping an in-window representative (dedup_minhash_lsh -> the capped twin
-# dedup_minhash_lsh_capped exercises the same shingle/signature/banding
-# pipeline; word_count -> doc_repetition/doc_chunk_tokens/corpus_filter_
-# pipeline/bm25 cover text). IN: video_frames_sample (completes the codec
-# family's first contact: PNG + JPEG in-window, video new) and
-# dsir_importance_select (the data-selection headliner). Both pre-validated
-# under the exact driver protocol (tools/driver_check.py), as were all 46
-# existing first-contact slots. Window = 48 first-contact + 2 anchors.
-# Rotation #7 (round 5): the final burn-down rotation. 48 of the 50 slots go
-# to the remaining FIRST-CONTACT entries (never a CORRECTNESS row across
-# r1-r4; verified by set-diff over CORRECTNESS_r01-r04). The 9 entries left
-# never-validated after this rotation each have a driver-green family
-# sibling: hll_distinct_users + cumulative_unique_users (hll_rollup_grains
-# r4; hll_merge_daily in-window), ivf_filtered_topk (ivf_topk_multiprobe +
-# knn_filtered_topk r4), order_gaps_arrow (cogroup_order_fill in-window —
-# same procedural-reducer family; order_gaps_pandas r1), bpe_top_merges
-# (bpe_train_merges r3; bpe_apply_encode in-window), copurchase_triangles
-# (copurchase_pagerank r4; part_pairs/bfs/lift in-window),
-# doc_winnow_fingerprints (doc_winnow_near_dup r1-r3),
-# events_weekly_moving_avg (events_daily_gapfill r4; ewma/cusum in-window),
-# sort_validator_stats (terasort_rank + global_sort_rank r1-r3). All 48
-# pre-validated under the exact driver protocol via tools/driver_check.py.
-# Rotation #8 (round 6): finish the burn-down for good — the 14 entries that
-# have NEVER had a driver CORRECTNESS row (VERDICT r5 "What's missing" 1:
-# the four 100 TB capped twins, simhash64, PPS sampling, plus same-family
-# variants) rotate IN, together with this round's 3 new entries (DOULION
-# sampled triangles, capped-graph components/kept-corpus). OUT: 17 r5
-# first-contact greens whose family keeps an in-window representative
-# (7 TPC-H completions -> min_cost/product_type stay, all 22 shapes r5-green;
-# 7 customer-analytics windows -> cohort/first_last/transitions/exists stay;
-# copurchase_bfs/lift -> part_pairs + both triangle entries;
-# jsonl_roundtrip -> csv/schema_evolution). Every IN entry pre-validated
-# under the exact driver protocol this session (tools/driver_check.py,
-# sf0.01; the 3 new entries also at sf0.001). After this round's CORRECTNESS
-# rows, never-driver-validated = 0 of 224.
-# Rotation #9 (round 7, VERDICT r6 item 1): the last 4 never-driver-validated
-# entries rotate IN — the published-filter suite (gopher_rules_filter /
-# gopher_repetition_signals / c4_line_filter: Rae et al. 2021 A1.1 + Raffel
-# et al. 2020 §2.2, the most externally-meaningful LLM-pipeline entries) and
-# dedup_cluster_canonical_capped (completing the capped components family's
-# driver posture). OUT: four r6-green entries whose family keeps an in-window
-# representative (dedup_simhash64_hamming -> its capped production twin;
-# dedup_ngram_jaccard_capped -> dedup_containment_capped, same capped-shingle
-# generator; copurchase_triangles -> the sampled twin + copurchase_part_pairs;
-# events_daily_ewma -> events_cusum_drift/events_anomaly_zscore/
-# events_weekly_moving_avg cover the time-series family). All 4 IN entries
-# pre-validated under the exact driver protocol this session
-# (tools/driver_check.py, sf0.01). After this round's CORRECTNESS rows,
-# never-driver-validated = 0 of 228.
-# Rotation #10 (round 8) — the first RECENCY rotation (VERDICT r7 item 2;
-# burn-down complete since r7: never-driver-validated = 0 of 228, so from
-# here the window rotates onto the entries whose last driver green is
-# OLDEST, re-confirming every family against driver drift at most a few
-# rounds apart). Computed from CORRECTNESS_r01-r07 set algebra: the r1
-# cohort (35 oracled entries, last green 7 rounds ago — per-record
-# transforms, sampling, generators, streaming, events analytics, procedural
-# reducers, aggregate framework) all rotate IN, plus the 6 oldest r2
-# entries named by the cohort plan (keyfield/fieldsel/grep text transforms,
-# word_stats, secondary_sort, distinct_segments — the set-op rep over
-# set_except because set_except's output is 0 rows at gate SF, the weakest
-# possible driver evidence; the repo gate still runs set_except). Kept: the
-# 2 standing anchors
-# (q1, join_inner_nway) and one representative per 100 TB capped config
-# (minhash bucket cap, ngram df cap, simhash64 bucket cap, components
-# capped graph). IN for first contact: this round's 3 new entries —
-# order_gaps_native (the production twin of the procedural order_gaps
-# demos) and the exact-substring dedup pair (Lee et al. 2022 ExactSubstr,
-# uncapped anchor + occ-capped production twin). OUT: the 44 r7-green
-# first-contact entries (every family keeps in-window or repo-gate
-# coverage; the repo oracle gate runs all 230 every session).
-# multimodal_features (last contact r1) stayed out of #10 under a comment
-# claiming rows-only entries are barred — FALSE (VERDICT r8 What's-wrong 1):
-# the entry has had a DuckDB oracle since registration (the md5-seeded fake
-# kernel's exact SQL twin, plans/media_stream.py), leaving it the single
-# never-driver-validated entry for no reason. Corrected in rotation #11.
-# Rotation #11 (round 9) — recency continues (VERDICT r8 item 1).
-# IN: multimodal_features (first driver contact — see above), this round's
-# 2 new entries (dedup_image_dhash + capped twin: perceptual image near-dup,
-# PNG codec in the loop, banded-Hamming machinery shared with simhash64),
-# the full r1/r2 cohorts by last-green age (5 + 18 entries; set_except stays
-# out on the rotation-#10 precedent — its gate-SF output is 0 rows, the
-# weakest driver evidence, and the repo oracle gate still runs it), and 18
-# of the r3 cohort: the VERDICT-named decision-support + LLM-headliner set
-# (Q5/Q7/Q10/Q21 shapes, semantic_dedup_keep, value_quantile_sketch,
-# quality_classifier_score, dedup_cluster_canonical, inverted_index, cms,
-# substring_spans, bpe_train_merges, asof_nearest, kmv_set_overlap,
-# ab_test_conversion) plus dedup_minhash_lsh / global_sort_rank /
-# q3_shipping_priority (bench-headline queries whose driver greens are
-# oldest). Kept: the 2 standing anchors and one representative per 100 TB
-# capped config. OUT: the r8-green cohort (every family keeps in-window or
-# repo-gate coverage; the repo oracle gate runs all 238 every session).
-# Every IN entry pre-validated under the exact driver protocol
-# (tools/driver_check.py, sf0.01). After CORRECTNESS_r09,
-# never-driver-validated = 0 of 238 and max driver-row age <= 5 rounds.
+# The driver's CORRECTNESS check covers the FIRST 50 registry entries, so
+# the window below is curated each round. Full rotation history (#1-#11:
+# burn-down of never-driver-validated entries through r7, recency rotations
+# since) lives in NOTES.md ("Registry rotation history"); only the CURRENT
+# window's rationale is kept here.
+#
+# Rotation #12 (round 10) — recency continues (VERDICT r9 item 1). After
+# CORRECTNESS_r09 the oldest driver greens are the r3 remainder (30 entries
+# — TPC-H/agg/join/sort/text/codec/sampling kin plus doc_bigram_logprob,
+# whose sf1 re-row attribution is this round's measurement item) and the r4
+# cohort (47); the window takes all 30 r3 entries plus the 12 alphabetically
+# first r4 entries (deterministic pick over the oldest cohort). IN for first
+# contact: this round's 2 new entries — dedup_audio_fingerprint (+capped):
+# perceptual audio near-dup, G.711 WAV codec in the loop, banded-Hamming
+# machinery shared with simhash64/image-dhash. Kept: the 2 standing anchors
+# and one representative per 100 TB capped config. set_except stays out on
+# the rotation-#10 precedent (0-row gate output, weakest driver evidence;
+# the repo oracle gate still runs it). OUT: the r9-green cohort (every
+# family keeps in-window or repo-gate coverage; the repo oracle gate runs
+# all 240 every session). Every IN entry pre-validated under the exact
+# driver protocol (tools/driver_check.py, sf0.01). After CORRECTNESS_r10,
+# max driver-row age <= 4 rounds (r4 remainder = 35 entries, next up).
 _WINDOW: list[str] = [
-    # anchors (driver-green r1-r8)
+    # anchors (driver-green r1-r9)
     "q1_pricing_summary",
     "join_inner_nway",
     # one representative per 100 TB capped config
@@ -197,55 +72,53 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # first contact: the wrongly-barred oracled entry + round-9 additions
-    "multimodal_features",
-    "dedup_image_dhash",
-    "dedup_image_dhash_capped",
-    # recency cohort: last driver green r1 (5 entries)
-    "events_multigrain_rollup",
-    "events_pivot_daily",
-    "gen_text_wordcount",
-    "order_gaps_pandas",
-    "seqfilter_regex",
-    # recency cohort: last driver green r2 (18 entries; set_except excluded
-    # — 0-row gate output, rotation-#10 precedent)
-    "dedup_embedding_lsh",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_tfidf_top_terms",
-    "doc_token_count",
-    "doc_top_bigrams",
-    "doc_winnow_near_dup",
-    "join_anti",
-    "join_outer_full",
-    "join_override",
-    "join_theta_datajoin",
-    "knn_cosine_topk",
-    "kv_text_parse",
-    "map_inverse",
-    "nline_splits",
-    "range_join_ship_windows",
-    "seqfilter_percent",
-    "value_histogram_events",
-    # recency cohort: last driver green r3 (18 of 48)
-    "local_supplier_volume",
-    "volume_shipping_nations",
-    "returned_item_customers",
-    "waiting_suppliers",
-    "q3_shipping_priority",
-    "semantic_dedup_keep",
-    "value_quantile_sketch",
-    "quality_classifier_score",
-    "dedup_cluster_canonical",
-    "inverted_index_postings",
-    "cms_token_freq",
-    "dedup_substring_spans",
-    "bpe_train_merges",
-    "asof_nearest_purchase",
-    "kmv_set_overlap",
-    "ab_test_conversion",
-    "dedup_minhash_lsh",
-    "global_sort_rank",
+    # first contact: round-10 additions (audio perceptual near-dup)
+    "dedup_audio_fingerprint",
+    "dedup_audio_fingerprint_capped",
+    # recency cohort: last driver green r3 (the full 30-entry remainder)
+    "ann_recall_at_k",
+    "asof_purchase_value",
+    "codec_roundtrip_gzip",
+    "corpus_temperature_sample",
+    "cube_orders_pricing",
+    "dedup_embedding_cosine",
+    "doc_bigram_logprob",
+    "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_quality",
+    "events_hour_rollup",
+    "grouping_comparator_orders",
+    "ivf_topk_search",
+    "join_broadcast_parts",
+    "join_salted_custsales",
+    "join_semi",
+    "keyfield_sorted_lines",
+    "mapfile_point_lookup",
+    "orders_monthly_delta",
+    "pack_training_sequences",
+    "partitioned_output_lookup",
+    "pipe_typedbytes_sum",
+    "pq_encode_vectors",
+    "running_total_supplier",
+    "set_intersect",
+    "terasort_rank",
+    "top_k_orders",
+    "union_multi_input",
+    "word_count",
+    "xml_records_parse",
+    # recency cohort: last driver green r4 (12 of 47, alphabetical)
+    "asof_tolerance_purchase",
+    "bloom_filter_probe",
+    "bm25_search_topk",
+    "cdc_upsert_orders",
+    "copurchase_pagerank",
+    "corpus_filter_pipeline",
+    "corpus_global_shuffle",
+    "corpus_split_assign",
+    "customer_rfm_segments",
+    "decontaminate_eval_overlap",
+    "dedup_containment",
+    "dedup_incremental_exact",
 ]
 
 

@@ -1413,6 +1413,71 @@ def test_image_dhash_groups_logos_and_cap(spark):
     assert capped == group_pairs  # logo buckets (5 > 4) dropped, group kept
 
 
+def test_audio_fingerprint_groups_jingles_and_cap(spark):
+    """Perceptual audio fingerprint hand-verified on a 9-doc frame: the
+    kernel's codec-in-the-loop fingerprint (G.711 RIFF encode -> wav_decode
+    chunk walk + µ-law expansion) equals the pure-Python expansion
+    reference, the jingle cohort shares ONE fingerprint, one-frame group
+    replacements stay within Hamming 4 (<= 2 bits per perturbed member),
+    radius-4 banded search returns exactly brute force, and the bucket cap
+    drops the jingle pairs (cohort 5 > cap 4) while the 4-member group
+    passes untouched — the image-dhash proof, audio modality."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import hamming63_pairs
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        _ulaw_to_linear,
+        audio_fingerprint63,
+        audio_ulaw_bytes,
+        audiofp63_of_samples,
+    )
+
+    group = [8, 9, 10, 11]         # doc_id // 4 == 2, no member % 20 == 7
+    jingles = [7, 27, 47, 67, 87]  # doc_id % 20 == 7 -> one shared clip
+    docs = spark.createDataFrame(
+        [(i, "t") for i in group + jingles], "doc_id long, text string"
+    )
+    fps = {r["id"]: r["afp"] for r in audio_fingerprint63(docs).collect()}
+    assert fps == {
+        i: audiofp63_of_samples(
+            [_ulaw_to_linear(b) for b in audio_ulaw_bytes(i)]
+        )
+        for i in group + jingles
+    }
+    assert len({fps[i] for i in jingles}) == 1        # constant jingle clip
+    ham = lambda a, b: bin(fps[a] ^ fps[b]).count("1")  # noqa: E731
+    assert all(ham(8, m) <= 2 for m in (9, 10, 11))   # <= 2 bits vs base
+    assert all(
+        ham(a, b) <= 4 for i, a in enumerate(group) for b in group[i + 1 :]
+    )
+    assert any(ham(a, b) > 0 for a in group for b in group if a < b)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming63_pairs(
+            audio_fingerprint63(docs), radius=4, fp_col="afp"
+        ).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 4
+    }
+    assert got == brute
+    group_pairs = {t for t in brute if t[0] in group and t[1] in group}
+    jingle_pairs = {t for t in brute if t[0] in jingles}
+    assert len(group_pairs) == 6 and len(jingle_pairs) == 10
+    assert all(t[2] == 0 for t in jingle_pairs)
+
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming63_pairs(
+            audio_fingerprint63(docs), radius=4, max_bucket_size=4, fp_col="afp"
+        ).collect()
+    }
+    assert capped == group_pairs  # jingle buckets (5 > 4) dropped, group kept
+
+
 def test_image_dhash_id_type_contract(spark):
     """image_dhash63 declares BOTH output fields LongType regardless of the
     input id column's width (ADVICE r9: declaring the input's own type
