@@ -1178,33 +1178,32 @@ def c4_rules(pages):
     "order-dependent accumulation cannot diverge",
 )
 def doc_bigram_logprob(spark, sf_dir, *, eager: bool = True):
-    d = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 2)
+    from ..session import owned_persist
+
+    # Persist the TOKEN ARRAYS, not the exploded bigram stream (round-10
+    # rework, same shape as ccnet_lm_buckets): the bigram counts, the
+    # scoring join, and the unigram model all explode from one cached
+    # per-doc array frame — the r9 exploded-row persist paid a 26.6M-row
+    # string cache write plus a separate full tokenize scan for unigrams
+    # (sf10 A/B 14.0 -> 8.9 s min, artifacts/ccnet_toks_ab_r10.json).
+    # eager=False skips the materializing count for plan-only callers.
+    base = owned_persist(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
     )
+    if eager:
+        base.count()
+    d = base.filter(F.size("toks") >= 2)
     n = F.size("toks")
     pairs = F.arrays_zip(
         F.slice("toks", 1, n - 1).alias("w1"), F.slice("toks", 2, n - 1).alias("w2")
     )
-    from ..session import owned_persist
-
-    # the bigram stream feeds TWO consumers (the model's bigram counts and
-    # the scoring join) with no exchange to reuse between them — persist +
-    # eager count or the tokenize+explode scan runs once per consumer
-    # (ccnet A/B at sf10: 24.4 -> 11.6 s warm, ~2.1x). eager=False skips
-    # the materializing count for explain/schema-only callers (matching
-    # ngram_jaccard_pairs); keep the default when executing.
-    ex = owned_persist(
-        d.select("doc_id", F.explode(pairs).alias("p")).select(
-            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-        )
+    ex = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    if eager:
-        ex.count()
     uni = (
-        T(spark, sf_dir, "documents")
-        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        base.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("u"))
     )
@@ -2044,29 +2043,33 @@ def ccnet_bucket(docs):
     "and are excluded (same contract as doc_bigram_logprob)",
 )
 def ccnet_lm_buckets(spark, sf_dir, *, eager: bool = True):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", tokens(F.col("text")).alias("toks")
+    from ..session import owned_persist
+
+    # Persist the TOKEN ARRAYS, not the exploded bigram stream (round-10
+    # rework of the round-9 persist): the three consumers (bigram counts,
+    # the scoring join, AND the unigram model — which the r9 shape paid a
+    # full second tokenize scan for) all explode from one cached 500k-row
+    # array frame instead of materializing 26.6M exploded string rows.
+    # Interleaved A/B at sf10: 14.0 -> 8.9 s min (artifacts/
+    # ccnet_toks_ab_r10.json); the explode re-runs per consumer but is
+    # map-side over cached arrays — cache write/read of the exploded rows
+    # was the bigger cost. eager=False skips the materializing count for
+    # explain/schema-only callers; keep the default to execute.
+    d = owned_persist(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", tokens(F.col("text")).alias("toks")
+        )
     )
+    if eager:
+        d.count()
     scoreable = d.filter(F.size("toks") >= 2)
     n = F.size("toks")
     pairs = F.arrays_zip(
         F.slice("toks", 1, n - 1).alias("w1"), F.slice("toks", 2, n - 1).alias("w2")
     )
-    from ..session import owned_persist
-
-    # two consumers of the corpus-scale bigram stream (model counts + the
-    # scoring join), no reusable exchange between them — persist + eager
-    # count, measured 24.4 -> 11.6 s warm at sf10 (~2.1x; the unpersisted
-    # plan re-runs the tokenize+explode scan once per consumer).
-    # eager=False skips the materializing count for explain/schema-only
-    # callers (matching ngram_jaccard_pairs); keep the default to execute.
-    ex = owned_persist(
-        scoreable.select("doc_id", F.explode(pairs).alias("p")).select(
-            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-        )
+    ex = scoreable.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    if eager:
-        ex.count()
     uni = (
         d.select(F.explode("toks").alias("w")).groupBy("w").agg(F.count("*").alias("u"))
     )
