@@ -226,6 +226,10 @@ def _alaw_to_linear(a: int) -> int:
     return sample if a & 0x80 else -sample
 
 
+_ULAW_TABLE = [_ulaw_to_linear(b) for b in range(256)]
+_ALAW_TABLE = [_alaw_to_linear(b) for b in range(256)]
+
+
 def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     """Decode WAV bytes to ``(channels, framerate, sampwidth, interleaved
     samples)`` — standard-library only. Formats: PCM 16-bit (signed LE),
@@ -256,7 +260,11 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
             break
         pos += 8 + ln + (ln % 2)
     if fmt_code in (6, 7):  # A-law / µ-law
-        table = _alaw_to_linear if fmt_code == 6 else _ulaw_to_linear
+        # precomputed 256-entry expansion tables: the per-byte formula call
+        # dominated the audio-fingerprint kernel (1024 samples/clip -> ~50M
+        # interpreted calls at a 50k-doc fixture); a list index is the same
+        # ITU expansion, memoized
+        table = _ALAW_TABLE if fmt_code == 6 else _ULAW_TABLE
         ch, fr = _struct.unpack("<HI", data[pos + 10 : pos + 16])
         payload = None
         pos = 12
@@ -271,7 +279,7 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
             pos += 8 + ln + (ln % 2)
         if payload is None:
             raise ValueError("malformed WAV: no data chunk")
-        return ch, fr, 2, [table(b) for b in payload]
+        return ch, fr, 2, [table[b] for b in payload]
     with wave.open(io.BytesIO(data), "rb") as w:
         ch, sw, fr = w.getnchannels(), w.getsampwidth(), w.getframerate()
         frames = w.readframes(w.getnframes())
@@ -902,7 +910,11 @@ def image_dhash63(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                  "dhash": pd.Series(fps, dtype="int64")}
             )
 
-    return df.select(id_col).mapInPandas(kernel, schema)
+    from ..session import ensure_parallelism
+
+    # the codec kernel is the CPU cost — spread a one-row-group scan across
+    # cores before it (no-op at the thousands-of-files 100 TB layout)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(kernel, schema)
 
 
 def duckdb_image_dhash63(table: str, id_col: str = "doc_id") -> str:
@@ -1064,6 +1076,21 @@ def audio_fingerprint63(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        # vectorized twin of audiofp63_of_samples (hand-equality-pinned in
+        # tests): |samples| reshaped (frames, frame_len), exact int64 row
+        # sums, strict-greater deltas dotted with the bit weights
+        weights = (1 << np.arange(AUDIO_FRAMES - 1, dtype=np.int64))
+
+        def fp_of(samples: list[int]) -> int:
+            e = (
+                np.abs(np.asarray(samples, dtype=np.int64))
+                .reshape(AUDIO_FRAMES, AUDIO_FRAME_LEN)
+                .sum(axis=1)
+            )
+            return int(((e[:-1] > e[1:]).astype(np.int64) * weights).sum())
+
         for pdf in batches:
             ids = []
             fps = []
@@ -1077,13 +1104,17 @@ def audio_fingerprint63(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         f"sw={sw} for doc {did}"
                     )
                 ids.append(did)
-                fps.append(audiofp63_of_samples(samples))
+                fps.append(fp_of(samples))
             yield pd.DataFrame(
                 {"id": pd.Series(ids, dtype="int64"),
                  "afp": pd.Series(fps, dtype="int64")}
             )
 
-    return df.select(id_col).mapInPandas(kernel, schema)
+    from ..session import ensure_parallelism
+
+    # the codec kernel is the CPU cost — spread a one-row-group scan across
+    # cores before it (no-op at the thousands-of-files 100 TB layout)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(kernel, schema)
 
 
 def duckdb_audio_fingerprint63(table: str, id_col: str = "doc_id") -> str:
