@@ -21,6 +21,7 @@ per-task memory.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 
 from .jpeg import jpeg_decode, jpeg_encode
@@ -269,3 +270,171 @@ def mjpeg_frame_sample_stats(df, id_col: str = "doc_id", every_n: int = 2):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual video near-dup fingerprint (frame-level temporal signature)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 64  # frames per clip -> 63 temporal delta bits
+
+
+def video_levels(did: int) -> bytes:
+    """Deterministic 64-frame luminance track for document ``did`` with
+    built-in near-dup structure — the video member of the fixture family
+    (images: dhash_pixels, audio: audio_ulaw_bytes):
+
+    - documents with ``did % 20 == 7`` all carry the SAME "trailer" clip
+      (intros/outros/ad rolls — the boilerplate-video cohort whose
+      identical fingerprints blow up quadratically, governed by the capped
+      twin);
+    - the rest form groups of 4 (seed ``did // 4``) where members with
+      ``did % 4 != 0`` replace ONE frame's level (index ``did % 64`` —
+      distinct frames within a group since the 4 ids are consecutive): a
+      re-cut/inserted frame. One changed level flips at most the 2 delta
+      bits adjacent to that frame -> pair Hamming <= 4 within a group, so
+      radius-4 banded search recovers every group pair by pigeonhole.
+
+    Each frame of the synthesized clip is FLAT at its level — at JPEG
+    quality 100 a flat frame is DC-only and round-trips bit-exactly, which
+    is what lets the fingerprint carry a DuckDB oracle through a lossy
+    codec (the video_frames_sample argument, composed with dedup).
+    """
+    jingle = did % 20 == 7
+    seed = "trailer" if jingle else str(did // 4)
+    levels = bytearray()
+    for c in range(VIDEO_FRAMES // 16):
+        levels += hashlib.md5(f"{seed}:vid:{c}".encode()).digest()
+    if not jingle and did % 4 != 0:
+        levels[did % VIDEO_FRAMES] = hashlib.md5(f"{did}:pert".encode()).digest()[0]
+    return bytes(levels)
+
+
+def videofp63_of_levels(levels: bytes) -> int:
+    """63-bit temporal delta fingerprint of a per-frame luminance track:
+    bit ``f`` is set iff ``level[f] > level[f+1]`` (strict; ties clear) —
+    the scene-change signature shape (TMK/temporal-hash family) with the
+    per-frame statistic being the exact mean luminance, integer-exact on
+    both engines."""
+    if len(levels) != VIDEO_FRAMES:
+        raise ValueError(f"expected {VIDEO_FRAMES} frame levels, got {len(levels)}")
+    fp = 0
+    for f in range(VIDEO_FRAMES - 1):
+        if levels[f] > levels[f + 1]:
+            fp |= 1 << f
+    return fp
+
+
+def video_fingerprint63(df, id_col: str = "doc_id"):
+    """Per-document 63-bit perceptual video fingerprint with the REAL
+    MJPEG-AVI codec chain in the loop: synthesize the 64-frame flat clip
+    (:func:`video_levels`), JPEG-encode every frame at quality 100
+    (functions.jpeg — flat frames are DC-only, bit-exact), wrap them in a
+    real AVI container (:func:`avi_encode_mjpeg`), then parse the container
+    back and entropy-decode EVERY frame (:func:`avi_decode_mjpeg` +
+    jpeg_decode) and fingerprint the DECODED frame levels. The oracle
+    rebuilds the levels hex-pair by hex-pair from the same md5 seeds, so
+    parity proves the container+JPEG+hash chain bit-exact —
+    video_frames_sample's codec proof composed with dedup, completing
+    near-dup across all four modalities (text simhash64, image dhash,
+    audio energy-delta, video here).
+
+    mapInPandas Arrow kernel, map-side only; the flat-frame JPEG encodes
+    are memoized per level (256 possible flat frames), so the measured
+    kernel cost is the honest DECODE path (container walk + 64 per-frame
+    entropy decodes per clip). At a real corpus the synth step is replaced
+    by reading the video binary column and the per-frame statistic by a
+    real luminance mean over sampled frames — schema, banding, cap, and
+    verify contracts unchanged. Output: (id, vfp), LongType both (integral
+    id contract, as image_dhash63/audio_fingerprint63).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegralType, LongType, StructField, StructType
+
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
+        raise TypeError(
+            f"video_fingerprint63 requires an integral id column; "
+            f"{id_col!r} is {df.schema[id_col].dataType.simpleString()}"
+        )
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("vfp", LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        flat_jpeg: dict[int, bytes] = {}  # level -> encoded flat frame
+
+        def enc(lv: int) -> bytes:
+            f = flat_jpeg.get(lv)
+            if f is None:
+                f = flat_jpeg[lv] = jpeg_encode(8, 8, 1, bytes([lv]) * 64, quality=100)
+            return f
+
+        for pdf in batches:
+            ids = []
+            fps = []
+            for did in pdf[id_col]:
+                did = int(did)
+                levels = video_levels(did)
+                avi = avi_encode_mjpeg(8, 8, [enc(lv) for lv in levels], fps=10)
+                w, h, _fps, payloads = avi_decode_mjpeg(avi)
+                if (w, h, len(payloads)) != (8, 8, VIDEO_FRAMES):
+                    raise ValueError(
+                        f"AVI round trip returned {w}x{h}/{len(payloads)} "
+                        f"frames for doc {did}"
+                    )
+                back = bytes(jpeg_decode(p)[3][0] for p in payloads)
+                ids.append(did)
+                fps.append(videofp63_of_levels(back))
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"),
+                 "vfp": pd.Series(fps, dtype="int64")}
+            )
+
+    from ..session import ensure_parallelism
+
+    # the codec kernel is the CPU cost — spread a one-row-group scan across
+    # cores before it (no-op at the thousands-of-files 100 TB layout)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(kernel, schema)
+
+
+def duckdb_video_fingerprint63(table: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`video_fingerprint63` — rebuilds the 64 frame
+    levels hex-pair by hex-pair from the same md5 seeds (trailer / group /
+    perturbation rules identical) and assembles the 63 temporal delta bits
+    with exact integer arithmetic. No codec on this side: flat frames at
+    quality 100 round-trip losslessly through the JPEG+AVI chain, so
+    level-identical input implies fingerprint-identical output — which
+    makes this an oracle on the Spark side's container+JPEG+hash chain."""
+    digests = ",\n               ".join(
+        f"md5(seed || ':vid:{c}') AS h{c}" for c in range(VIDEO_FRAMES // 16)
+    )
+    levels = ",\n               ".join(
+        f"CASE WHEN pert AND pf = {f} THEN pv "
+        f"ELSE ('0x' || substr(h{f // 16}, {2 * (f % 16) + 1}, 2))::BIGINT END AS l{f}"
+        for f in range(VIDEO_FRAMES)
+    )
+    bits = " + ".join(
+        f"CASE WHEN l{f} > l{f + 1} "
+        f"THEN CAST({1 << f} AS BIGINT) ELSE 0 END"
+        for f in range(VIDEO_FRAMES - 1)
+    )
+    return f"""
+        SELECT id, CAST({bits} AS BIGINT) AS vfp FROM (
+            SELECT id, {levels}
+            FROM (
+                SELECT {id_col} AS id,
+                       CASE WHEN {id_col} % 20 = 7 THEN 'trailer'
+                            ELSE CAST({id_col} // 4 AS VARCHAR) END AS seed,
+                       ({id_col} % 20 <> 7 AND {id_col} % 4 <> 0) AS pert,
+                       {id_col} % {VIDEO_FRAMES} AS pf,
+                       ('0x' || substr(md5({id_col}::VARCHAR || ':pert'), 1, 2))::BIGINT AS pv,
+                       {digests}
+                FROM {table}
+            )
+        )
+    """

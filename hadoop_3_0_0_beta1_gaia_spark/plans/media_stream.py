@@ -564,6 +564,70 @@ def dedup_audio_fingerprint_capped(spark, sf_dir):
     return hamming63_pairs(sims, radius=4, max_bucket_size=16, fp_col="afp")
 
 
+def _video_fp_oracle(max_bucket_size=None):
+    from ..functions.dedup import duckdb_hamming63_pairs
+    from ..functions.video import duckdb_video_fingerprint63
+
+    return duckdb_hamming63_pairs(
+        duckdb_video_fingerprint63("documents"),
+        radius=4,
+        max_bucket_size=max_bucket_size,
+        fp_col="vfp",
+    )
+
+
+@register(
+    "dedup_video_fingerprint",
+    oracle=_video_fp_oracle(),
+    ref="perceptual video near-dup — near-dup now spans ALL FOUR modalities "
+    "(text simhash64, image dhash, audio energy-delta, video here): 63-bit "
+    "temporal delta fingerprint per clip — bit f set iff frame f's decoded "
+    "mean luminance exceeds frame f+1's over a 64-frame track (the "
+    "scene-change-signature shape) — then the SAME banded-Hamming pair "
+    "machinery (dedup.hamming63_pairs). The REAL MJPEG-AVI codec chain is "
+    "in the Spark loop: 64 flat 8x8 frames JPEG-encoded at quality 100 "
+    "(DC-only, bit-exact), wrapped in a real AVI container, parsed back, "
+    "EVERY frame entropy-decoded, and the fingerprint computed from the "
+    "DECODED levels, while the oracle rebuilds the levels hex-pair by "
+    "hex-pair — parity proves the container+JPEG+hash chain bit-exact "
+    "(video_frames_sample's proof composed with dedup). Fixture clips "
+    "carry near-dup structure: groups of 4 one-frame-recut variants "
+    "(Hamming <= 4; radius-4 recovers every group pair by pigeonhole) plus "
+    "a 5% constant-trailer cohort whose identical fingerprints are the "
+    "quadratic blow-up the capped twin governs. UNCAPPED recall anchor by "
+    "contract; production runs the capped twin",
+)
+def dedup_video_fingerprint(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.video import video_fingerprint63
+
+    sims = video_fingerprint63(T(spark, sf_dir, "documents"))
+    return hamming63_pairs(sims, radius=4, fp_col="vfp")
+
+
+@register(
+    "dedup_video_fingerprint_capped",
+    oracle=_video_fp_oracle(max_bucket_size=16),
+    ref="the 100 TB configuration of dedup_video_fingerprint, same cap "
+    "governance as the simhash64/image-dhash/audio capped twins: band "
+    "buckets holding more than 16 clips drop before the self-join. Why it "
+    "exists: identical/boilerplate video (trailers, intros, ad rolls — the "
+    "fixture's 5% trailer cohort, 25 clips sharing one fingerprint at gate "
+    "SF) collides on EVERY band, so uncapped candidate volume grows as "
+    "cohort^2 while one-frame-recut groups (bucket population ~4) pass "
+    "untouched. Dropped trailer pairs are exact duplicates — exact/"
+    "byte-level dedup already owns them. The cap changes the answer, so "
+    "this configuration carries its own oracle reproducing the drop rule "
+    "(kept CTE, HAVING count(*) <= cap)",
+)
+def dedup_video_fingerprint_capped(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.video import video_fingerprint63
+
+    sims = video_fingerprint63(T(spark, sf_dir, "documents"))
+    return hamming63_pairs(sims, radius=4, max_bucket_size=16, fp_col="vfp")
+
+
 @register(
     "wav_decode_roundtrip",
     oracle="""

@@ -53,9 +53,13 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # whose sf1 re-row attribution is this round's measurement item) and the r4
 # cohort (47); the window takes all 30 r3 entries plus the 12 alphabetically
 # first r4 entries (deterministic pick over the oldest cohort). IN for first
-# contact: this round's 2 new entries — dedup_audio_fingerprint (+capped):
-# perceptual audio near-dup, G.711 WAV codec in the loop, banded-Hamming
-# machinery shared with simhash64/image-dhash. Kept: the 2 standing anchors
+# contact: this round's 4 new entries — dedup_audio_fingerprint (+capped):
+# perceptual audio near-dup, G.711 WAV codec in the loop; and
+# dedup_video_fingerprint (+capped): perceptual video near-dup, MJPEG-AVI
+# codec chain in the loop — near-dup now spans all four modalities, all on
+# the banded-Hamming machinery shared with simhash64/image-dhash. The r4
+# pick drops to 10 to hold the window at 50 (dedup_containment /
+# dedup_incremental_exact return with the r4 remainder next round). Kept: the 2 standing anchors
 # and one representative per 100 TB capped config. set_except stays out on
 # the rotation-#10 precedent (0-row gate output, weakest driver evidence;
 # the repo oracle gate still runs it). OUT: the r9-green cohort (every
@@ -72,9 +76,11 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # first contact: round-10 additions (audio perceptual near-dup)
+    # first contact: round-10 additions (audio + video perceptual near-dup)
     "dedup_audio_fingerprint",
     "dedup_audio_fingerprint_capped",
+    "dedup_video_fingerprint",
+    "dedup_video_fingerprint_capped",
     # recency cohort: last driver green r3 (the full 30-entry remainder)
     "ann_recall_at_k",
     "asof_purchase_value",
@@ -106,7 +112,7 @@ _WINDOW: list[str] = [
     "union_multi_input",
     "word_count",
     "xml_records_parse",
-    # recency cohort: last driver green r4 (12 of 47, alphabetical)
+    # recency cohort: last driver green r4 (10 of 47, alphabetical)
     "asof_tolerance_purchase",
     "bloom_filter_probe",
     "bm25_search_topk",
@@ -117,8 +123,6 @@ _WINDOW: list[str] = [
     "corpus_split_assign",
     "customer_rfm_segments",
     "decontaminate_eval_overlap",
-    "dedup_containment",
-    "dedup_incremental_exact",
 ]
 
 

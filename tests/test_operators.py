@@ -1478,6 +1478,66 @@ def test_audio_fingerprint_groups_jingles_and_cap(spark):
     assert capped == group_pairs  # jingle buckets (5 > 4) dropped, group kept
 
 
+def test_video_fingerprint_groups_trailers_and_cap(spark):
+    """Perceptual video fingerprint hand-verified on a 9-doc frame: the
+    kernel's codec-chain fingerprint (per-frame JPEG q100 -> AVI container
+    -> parse -> per-frame entropy decode) equals the pure-Python levels
+    reference (flat frames are DC-only, bit-exact), the trailer cohort
+    shares ONE fingerprint, one-frame group recuts stay within Hamming 4,
+    radius-4 banded search returns exactly brute force, and the bucket cap
+    drops the trailer pairs (cohort 5 > cap 4) while the group passes —
+    the image/audio proof, fourth modality."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import hamming63_pairs
+    from hadoop_3_0_0_beta1_gaia_spark.functions.video import (
+        video_fingerprint63,
+        video_levels,
+        videofp63_of_levels,
+    )
+
+    group = [8, 9, 10, 11]          # doc_id // 4 == 2, no member % 20 == 7
+    trailers = [7, 27, 47, 67, 87]  # doc_id % 20 == 7 -> one shared clip
+    docs = spark.createDataFrame(
+        [(i, "t") for i in group + trailers], "doc_id long, text string"
+    )
+    fps = {r["id"]: r["vfp"] for r in video_fingerprint63(docs).collect()}
+    assert fps == {
+        i: videofp63_of_levels(video_levels(i)) for i in group + trailers
+    }
+    assert len({fps[i] for i in trailers}) == 1      # constant trailer clip
+    ham = lambda a, b: bin(fps[a] ^ fps[b]).count("1")  # noqa: E731
+    assert all(ham(8, m) <= 2 for m in (9, 10, 11))
+    assert all(
+        ham(a, b) <= 4 for i, a in enumerate(group) for b in group[i + 1 :]
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming63_pairs(
+            video_fingerprint63(docs), radius=4, fp_col="vfp"
+        ).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 4
+    }
+    assert got == brute
+    group_pairs = {t for t in brute if t[0] in group and t[1] in group}
+    trailer_pairs = {t for t in brute if t[0] in trailers}
+    assert len(group_pairs) == 6 and len(trailer_pairs) == 10
+    assert all(t[2] == 0 for t in trailer_pairs)
+
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming63_pairs(
+            video_fingerprint63(docs), radius=4, max_bucket_size=4, fp_col="vfp"
+        ).collect()
+    }
+    assert capped == group_pairs
+
+
 def test_image_dhash_id_type_contract(spark):
     """image_dhash63 declares BOTH output fields LongType regardless of the
     input id column's width (ADVICE r9: declaring the input's own type
