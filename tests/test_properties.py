@@ -264,3 +264,48 @@ def test_fraction_of_total_rewrite(values, denom):
     total = sum(values)
     for v in values:
         assert (v * denom > total) == (Fraction(v) > Fraction(total, denom))
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_fingerprint_twins_agree_for_any_ids(ids):
+    """The three perceptual-fingerprint DuckDB twins (image dhash, audio
+    energy-delta, video temporal-delta) must reproduce the pure-Python
+    reference for ARBITRARY document ids — the md5 seed derivations,
+    jingle/logo/trailer cohort rules, perturbation arithmetic, and exact
+    integer bit assembly all twin byte-for-byte, not just on the curated
+    fixture ids the unit tests walk. (The Spark kernels are pinned equal to
+    the same Python references in test_operators; chaining the two
+    equalities covers Spark == DuckDB without a session here.)"""
+    import duckdb
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.multimodal import (
+        _ulaw_to_linear,
+        audio_ulaw_bytes,
+        audiofp63_of_samples,
+        dhash63_of_pixels,
+        dhash_pixels,
+        duckdb_audio_fingerprint63,
+        duckdb_image_dhash63,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.functions.video import (
+        duckdb_video_fingerprint63,
+        video_levels,
+        videofp63_of_levels,
+    )
+
+    py_img = {d: dhash63_of_pixels(dhash_pixels(d)) for d in ids}
+    py_aud = {
+        d: audiofp63_of_samples([_ulaw_to_linear(b) for b in audio_ulaw_bytes(d)])
+        for d in ids
+    }
+    py_vid = {d: videofp63_of_levels(video_levels(d)) for d in ids}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT unnest(?::BIGINT[]) AS doc_id", [ids])
+    assert dict(con.execute(duckdb_image_dhash63("docs")).fetchall()) == py_img
+    assert dict(con.execute(duckdb_audio_fingerprint63("docs")).fetchall()) == py_aud
+    assert dict(con.execute(duckdb_video_fingerprint63("docs")).fetchall()) == py_vid
+    for fp in (*py_img.values(), *py_aud.values(), *py_vid.values()):
+        assert 0 <= fp < 1 << 63  # non-negative BIGINT on both engines
+    con.close()
