@@ -205,9 +205,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
-        )
+        # partial fixtures are legitimate (/tmp/sf30 is documents-only);
+        # register the views that exist and let an entry touching a missing
+        # table fail loudly at its own row rather than killing the sweep
+        path = os.path.join(SF_DIR, t) + ".parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        else:
+            print(f"note: {t} absent in {SF_DIR}; view not registered", flush=True)
 
     # Resume skips only already-recorded names from an AUTO run; explicitly
     # requested names always re-run (retrying a failed entry must not be
@@ -290,7 +295,16 @@ def main() -> int:
                 continue
             if count_only or spark_only:
                 rec["mode"] = "count" if count_only else "spark-only"
-                n_spark = df.count()
+                if spark_only:
+                    # a bare count() lets Catalyst prune every computed
+                    # column (a per-doc scoring entry undertimed 5-10x in
+                    # the r10 slope probes) — spark-only rows force full
+                    # value evaluation through the engine-side digest
+                    sd = _spark_digest(df)
+                    n_spark = sd[0]
+                    rec["digest_spark"] = list(sd)
+                else:
+                    n_spark = df.count()
                 rec["spark_s"] = round(time.perf_counter() - t0, 1)
                 rec["rows"] = n_spark
                 if count_only and e.oracle is not None:
@@ -304,7 +318,11 @@ def main() -> int:
                         rec["err"] = f"counts {n_spark} vs {n_duck}"
                 watchdog.cancel()
                 force_release_all(spark)
-                _retime(rec, spark, e, cap, lambda d: d.count())
+                action = (
+                    (lambda d: _spark_digest(d)[0]) if spark_only
+                    else (lambda d: d.count())
+                )
+                _retime(rec, spark, e, cap, action)
                 if rec["status"] != "PASS":
                     fails += 1
                 emit(rec)
