@@ -628,6 +628,60 @@ def dedup_video_fingerprint_capped(spark, sf_dir):
     return hamming63_pairs(sims, radius=4, max_bucket_size=16, fp_col="vfp")
 
 
+_INCR_SPLIT_FP = 400  # doc_id < split = existing corpus; >= split = new batch
+
+
+@register(
+    "dedup_incremental_fingerprint",
+    oracle=f"""
+        WITH pairs AS ({_image_dhash_oracle(max_bucket_size=16)}),
+        batch AS (SELECT doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT_FP}),
+        rejected AS (
+            SELECT DISTINCT id_b AS doc_id FROM pairs
+            WHERE id_a < {_INCR_SPLIT_FP} AND id_b >= {_INCR_SPLIT_FP}
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM batch) AS batch_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM rejected) AS dup_new_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM batch b
+                WHERE NOT EXISTS (SELECT 1 FROM rejected r
+                                  WHERE r.doc_id = b.doc_id)) AS admitted_docs
+    """,
+    ref="incremental MEDIA admission — dedup_incremental_minhash's shape for "
+    "the perceptual-fingerprint families: a new batch (doc_id >= split) is "
+    "admitted only where no banded-Hamming candidate against the EXISTING "
+    "corpus (doc_id < split) survives the bit_count verify at radius 4. "
+    "Runs the CAPPED production configuration (bucket cap 16 — the "
+    "admission path at corpus scale always does; the uncapped recall anchor "
+    "is dedup_image_dhash) and keeps only cross-side pairs — id_a < split "
+    "<= id_b holds automatically because the pair search orients by id. At "
+    "100 TB the existing side is the persisted fingerprint store (64 bits/ "
+    "object); the batch side is the only fresh codec compute — the "
+    "continuously-crawled-corpus steady state for images/audio/video alike "
+    "(image dhash here; the audio/video fingerprints plug into the same "
+    "two lines)",
+)
+def dedup_incremental_fingerprint(spark, sf_dir):
+    from ..functions.dedup import hamming63_pairs
+    from ..functions.multimodal import image_dhash63
+
+    d = T(spark, sf_dir, "documents")
+    sims = image_dhash63(d)
+    pairs = hamming63_pairs(
+        sims, radius=4, max_bucket_size=16, fp_col="dhash"
+    ).filter((F.col("id_a") < _INCR_SPLIT_FP) & (F.col("id_b") >= _INCR_SPLIT_FP))
+    batch = d.filter(F.col("doc_id") >= _INCR_SPLIT_FP).select("doc_id")
+    rejected = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+    admitted = batch.join(rejected, "doc_id", "left_anti")
+    out = (
+        batch.agg(F.count("*").cast("long").alias("batch_docs"))
+        .crossJoin(rejected.agg(F.count("*").cast("long").alias("dup_new_docs")))
+        .crossJoin(admitted.agg(F.count("*").cast("long").alias("admitted_docs")))
+    )
+    out = out.localCheckpoint(eager=True)
+    rejected.unpersist()
+    return out
+
+
 @register(
     "wav_decode_roundtrip",
     oracle="""

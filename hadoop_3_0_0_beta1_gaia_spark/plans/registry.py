@@ -57,9 +57,11 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # perceptual audio near-dup, G.711 WAV codec in the loop; and
 # dedup_video_fingerprint (+capped): perceptual video near-dup, MJPEG-AVI
 # codec chain in the loop — near-dup now spans all four modalities, all on
-# the banded-Hamming machinery shared with simhash64/image-dhash. The r4
-# pick drops to 10 to hold the window at 50 (dedup_containment /
-# dedup_incremental_exact return with the r4 remainder next round). Kept: the 2 standing anchors
+# the banded-Hamming machinery shared with simhash64/image-dhash — and
+# dedup_incremental_fingerprint (the capped cross-side admission shape for
+# media, dedup_incremental_minhash's pattern). The r4 pick drops to 9 to
+# hold the window at 50 (dedup_containment / dedup_incremental_exact /
+# decontaminate_eval_overlap return with the r4 remainder next round). Kept: the 2 standing anchors
 # and one representative per 100 TB capped config. set_except stays out on
 # the rotation-#10 precedent (0-row gate output, weakest driver evidence;
 # the repo oracle gate still runs it). OUT: the r9-green cohort (every
@@ -81,6 +83,7 @@ _WINDOW: list[str] = [
     "dedup_audio_fingerprint_capped",
     "dedup_video_fingerprint",
     "dedup_video_fingerprint_capped",
+    "dedup_incremental_fingerprint",
     # recency cohort: last driver green r3 (the full 30-entry remainder)
     "ann_recall_at_k",
     "asof_purchase_value",
@@ -112,7 +115,7 @@ _WINDOW: list[str] = [
     "union_multi_input",
     "word_count",
     "xml_records_parse",
-    # recency cohort: last driver green r4 (10 of 47, alphabetical)
+    # recency cohort: last driver green r4 (9 of 47, alphabetical)
     "asof_tolerance_purchase",
     "bloom_filter_probe",
     "bm25_search_topk",
@@ -122,7 +125,6 @@ _WINDOW: list[str] = [
     "corpus_global_shuffle",
     "corpus_split_assign",
     "customer_rfm_segments",
-    "decontaminate_eval_overlap",
 ]
 
 
