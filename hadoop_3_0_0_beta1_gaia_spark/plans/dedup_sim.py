@@ -972,3 +972,60 @@ def dedup_cluster_canonical(spark, sf_dir):
             F.col("n_chars").cast("long").alias("canonical_chars"),
         )
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+        WITH comp AS ({duckdb_connected_components(duckdb_ngram_jaccard("documents", **_NGRAM, max_df=4))}),
+        g AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(comp.component, d.doc_id) AS BIGINT) AS group_id
+            FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        ),
+        a AS (
+            SELECT doc_id, group_id,
+                   {__import__("hadoop_3_0_0_beta1_gaia_spark.functions.dedup", fromlist=["duck_md5_long"]).duck_md5_long("group_id::VARCHAR || ':gsplit:7'")}
+                       % 100 AS bucket
+            FROM g
+        )
+        SELECT doc_id, group_id,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM a
+    """,
+    ref="leakage-safe train/val/test assignment: the split of a document is a "
+    "pure md5 function of its near-dup GROUP id (connected component over the "
+    "capped pair graph — dedup_components_capped's production configuration), "
+    "not of the document id, so near-duplicates can never straddle the "
+    "train/eval boundary (the contamination mode corpus_split_assign's "
+    "per-doc rule cannot prevent and decontaminate_eval_overlap can only "
+    "report after the fact). Singletons fall back to their own id — "
+    "byte-compatible with corpus_split_assign's 90/5/5 hash rule. 100 TB "
+    "posture: the group table is the capped components fixpoint (pair volume "
+    "governed at the generator); the assignment itself is one left join plus "
+    "a map-side hash — stable under corpus growth (adding docs never moves "
+    "an existing group between splits)",
+)
+def leakage_safe_split(spark, sf_dir):
+    from ..functions.dedup import md5_long
+
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, **_NGRAM, max_df=4)
+    comp = connected_components(pairs)
+    g = d.select("doc_id").join(
+        comp.select(F.col("doc_id").alias("c_doc"), "component"),
+        F.col("doc_id") == F.col("c_doc"),
+        "left",
+    )
+    group_id = F.coalesce(F.col("component"), F.col("doc_id")).cast("long")
+    bucket = (
+        md5_long(F.concat(group_id.cast("string"), F.lit(":gsplit:7"))) % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return g.select(
+        "doc_id", group_id.alias("group_id"), split.alias("split")
+    )

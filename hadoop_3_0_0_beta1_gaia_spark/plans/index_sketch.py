@@ -834,3 +834,239 @@ def kmv_set_overlap(spark, sf_dir):
         ev.filter(F.col("event_type") == "purchase"),
         "user_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and the
+# semantic (cosine kNN) top-k lists
+# ---------------------------------------------------------------------------
+
+# RRF constant (Cormack/Clarke/Buettcher 2009's k=60) and the fixed semantic
+# query id (doc_id == vec_id in the fixture, so both lists rank the same
+# corpus). Each list contributes 1/(C + rank); absent docs contribute 0.
+_RRF_C = 60
+_RRF_QID = 42
+_RRF_K = 10
+
+
+def _rrf_oracle() -> str:
+    from ..functions.similarity import duckdb_cosine_topk
+
+    from .registry import _REGISTRY
+
+    lex = _REGISTRY["bm25_search_topk"].oracle
+    sem = duckdb_cosine_topk(
+        "embeddings", k=_RRF_K, query_where=f"vec_id = {_RRF_QID}"
+    )
+    score = duck_fround(
+        f"coalesce(1.0 / ({_RRF_C} + lr), 0.0)"
+        f" + coalesce(1.0 / ({_RRF_C} + sr), 0.0)",
+        9,
+    )
+    return f"""
+        WITH lex AS (SELECT doc_id, rank AS lr FROM ({lex})),
+        sem AS (SELECT n_id AS doc_id, rank AS sr FROM ({sem})),
+        fused AS (
+            SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                   CAST(coalesce(lr, -1) AS BIGINT) AS lex_rank,
+                   CAST(coalesce(sr, -1) AS BIGINT) AS sem_rank,
+                   {score} AS rrf_score
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS rrf_rank
+        FROM fused
+    """
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_rrf_oracle(),
+    ref="hybrid lexical+semantic retrieval via reciprocal-rank fusion "
+    "(Cormack et al. 2009, the standard BM25 x dense fusion of a RAG / "
+    "data-selection stack): the bm25_search_topk list (shared frame — rule "
+    "inputs cannot drift from the audited entry) is fused with the cosine "
+    f"top-{_RRF_K} of query vec {_RRF_QID} by sum(1/({_RRF_C}+rank)), "
+    "absent-list docs contribute 0, ranks re-assigned on the fused score. "
+    "100 TB posture: each list is an independently-governed top-k (BM25 = "
+    "scan-side term filter + TakeOrdered; cosine = the documented ANN "
+    "surface — swap in ivf_topk at scale); the fusion itself joins two "
+    "k-row frames — driver-side small, broadcast by construction, never a "
+    "corpus-sized shuffle. Score arithmetic is two exact divisions summed "
+    "in fixed order, so both engines agree to the bit",
+)
+def hybrid_rrf_search(spark, sf_dir):
+    from ..functions.similarity import cosine_topk_vectorized
+
+    lex = bm25_search_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lr")
+    )
+    sem = cosine_topk_vectorized(
+        T(spark, sf_dir, "embeddings"),
+        k=_RRF_K,
+        query_filter=F.col("id") == _RRF_QID,
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("sr"))
+    return rrf_fuse(lex, sem)
+
+
+def rrf_fuse(lex, sem, c: int = _RRF_C):
+    """Fuse two rank lists — frames of (doc_id, lr) and (doc_id, sr) — by
+    reciprocal-rank fusion: score = 1/(c+lr) + 1/(c+sr), a missing list
+    contributes 0 (full outer join), absent ranks surface as -1. The in-both
+    branch is pinned by a constructed-overlap unit test (the fixture's two
+    lists happen to be disjoint at gate SF, so the oracle compare alone
+    would leave that branch unexercised)."""
+    fused = lex.join(sem, "doc_id", "full_outer")
+    score = fround(
+        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lr")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sr")), F.lit(0.0)),
+        9,
+    )
+    scored = fused.select(
+        "doc_id",
+        F.coalesce(F.col("lr"), F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("sr"), F.lit(-1)).cast("long").alias("sem_rank"),
+        score.alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return scored.withColumn("rrf_rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late-interaction retrieval (multi-vector / ColBERT-style scoring)
+# ---------------------------------------------------------------------------
+
+# The 64-dim fixture embedding is treated as _MS_SUB=4 "token vectors" of 16
+# dims each (the multi-vector layout a late-interaction index stores per
+# document). score(q, d) = sum_i max_j cos(q_i, d_j) — each query token takes
+# its best-matching document token (Khattab & Zaharia 2020, ColBERT eq. 3).
+_MS_QID = 42
+_MS_SUB = 4
+_MS_DIM = 64
+_MS_K = 10
+_MS_SUBDIM = _MS_DIM // _MS_SUB
+
+
+def _maxsim_oracle() -> str:
+    qcols = ", ".join(
+        f"list_slice(qv, {i * _MS_SUBDIM + 1}, {(i + 1) * _MS_SUBDIM}) AS q{i}, "
+        f"list_dot_product(list_slice(qv, {i * _MS_SUBDIM + 1}, {(i + 1) * _MS_SUBDIM}),"
+        f" list_slice(qv, {i * _MS_SUBDIM + 1}, {(i + 1) * _MS_SUBDIM})) AS qn{i}"
+        for i in range(_MS_SUB)
+    )
+    dcols = ", ".join(
+        f"list_slice(dv, {j * _MS_SUBDIM + 1}, {(j + 1) * _MS_SUBDIM}) AS d{j}, "
+        f"list_dot_product(list_slice(dv, {j * _MS_SUBDIM + 1}, {(j + 1) * _MS_SUBDIM}),"
+        f" list_slice(dv, {j * _MS_SUBDIM + 1}, {(j + 1) * _MS_SUBDIM})) AS nn{j}"
+        for j in range(_MS_SUB)
+    )
+    m = [
+        "greatest("
+        + ", ".join(
+            duck_fround(f"list_dot_product(q{i}, d{j}) / sqrt(qn{i} * nn{j})", 6)
+            for j in range(_MS_SUB)
+        )
+        + ")"
+        for i in range(_MS_SUB)
+    ]
+    total = m[0]
+    for t in m[1:]:
+        total = f"({total} + {t})"
+    return f"""
+        WITH q AS (
+            SELECT {qcols}
+            FROM (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+                  FROM embeddings WHERE vec_id = {_MS_QID})
+        ),
+        d AS (
+            SELECT vec_id, {dcols}
+            FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+                  FROM embeddings WHERE vec_id <> {_MS_QID})
+        ),
+        scored AS (
+            SELECT vec_id AS n_id, {duck_fround(total, 6)} AS maxsim
+            FROM d CROSS JOIN q
+        )
+        SELECT n_id, maxsim, rank FROM (
+            SELECT n_id, maxsim,
+                   CAST(row_number() OVER (ORDER BY maxsim DESC, n_id)
+                        AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {_MS_K}
+    """
+
+
+@register(
+    "maxsim_multivector_topk",
+    oracle=_maxsim_oracle(),
+    ref="late-interaction (MaxSim) retrieval over multi-vector embeddings "
+    "(Khattab & Zaharia 2020): the fixture's 64-dim embedding is stored as "
+    f"{_MS_SUB} sub-vectors per document, score = sum over query sub-vectors "
+    "of the max cosine against any document sub-vector — each query token "
+    "picks its best document token, the scoring rule dense-retrieval "
+    "rerankers use where a single pooled vector loses token-level signal. "
+    "100 TB posture: the query's sub-vectors are a collected 1-row literal "
+    "(closed over, broadcast by construction); per-document scoring is one "
+    "map-side projection over the embedding scan — zero shuffles before the "
+    "distributed TakeOrdered top-k; at corpus scale the same expression runs "
+    "after an IVF bucket prune (ivf_topk_search) exactly like the "
+    "single-vector path. Every sub-pair cosine is rounded identically in "
+    "both engines before max/sum, so rank order is bit-portable. Both "
+    "engines' expressions are generated from ONE loop (this module) — the "
+    "sub-vector layout cannot drift",
+)
+def maxsim_multivector_topk(spark, sf_dir):
+    from ..functions.similarity import as_double
+
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == _MS_QID)
+        .select(as_double(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    )
+    d = emb.filter(F.col("vec_id") != _MS_QID).select(
+        F.col("vec_id").alias("n_id"), as_double(F.col("embedding")).alias("dv")
+    )
+    scored = maxsim_scored(d, qvec)
+    topk = scored.orderBy(F.col("maxsim").desc(), F.col("n_id")).limit(_MS_K)
+    w = Window.orderBy(F.col("maxsim").desc(), F.col("n_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def maxsim_scored(d, qvec):
+    """MaxSim score for every row of ``d`` — (n_id, dv: array<double> of
+    _MS_DIM) — against the collected query vector ``qvec``: the sum over the
+    query's _MS_SUB sub-vectors of the max rounded cosine against any
+    document sub-vector. Pure map-side projection (the query is a closed-over
+    literal); identical sub-pair rounding to the DuckDB twin."""
+    from ..functions.similarity import dot
+
+    qsubs = [
+        F.array(
+            *[
+                F.lit(float(v))
+                for v in qvec[i * _MS_SUBDIM : (i + 1) * _MS_SUBDIM]
+            ]
+        )
+        for i in range(_MS_SUB)
+    ]
+    dsubs = [
+        F.slice(F.col("dv"), j * _MS_SUBDIM + 1, _MS_SUBDIM)
+        for j in range(_MS_SUB)
+    ]
+    qn = [dot(qsubs[i], qsubs[i]) for i in range(_MS_SUB)]
+    nn = [dot(dsubs[j], dsubs[j]) for j in range(_MS_SUB)]
+    m = [
+        F.greatest(
+            *[
+                fround(dot(qsubs[i], dsubs[j]) / F.sqrt(qn[i] * nn[j]), 6)
+                for j in range(_MS_SUB)
+            ]
+        )
+        for i in range(_MS_SUB)
+    ]
+    total = m[0]
+    for t in m[1:]:
+        total = total + t
+    return d.select("n_id", fround(total, 6).alias("maxsim"))

@@ -115,16 +115,23 @@ _WINDOW: list[str] = [
     "union_multi_input",
     "word_count",
     "xml_records_parse",
-    # recency cohort: last driver green r4 (9 of 47, alphabetical)
+    # first contact: round-10 session-3 additions (hybrid retrieval fusion,
+    # multi-vector MaxSim, leakage-safe split). hybrid_rrf_search reuses the
+    # bm25_search_topk frame (also in-window below); leakage_safe_split is
+    # the group-aware successor of corpus_split_assign, which hands it the
+    # split-family slot and returns with the r4 remainder next round.
+    "hybrid_rrf_search",
+    "maxsim_multivector_topk",
+    "leakage_safe_split",
+    # recency cohort: last driver green r4 (first 6 of the alphabetical 9;
+    # corpus_global_shuffle / corpus_split_assign / customer_rfm_segments
+    # return with the r4 remainder next round)
     "asof_tolerance_purchase",
     "bloom_filter_probe",
     "bm25_search_topk",
     "cdc_upsert_orders",
     "copurchase_pagerank",
     "corpus_filter_pipeline",
-    "corpus_global_shuffle",
-    "corpus_split_assign",
-    "customer_rfm_segments",
 ]
 
 

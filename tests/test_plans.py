@@ -834,3 +834,101 @@ def test_ccnet_buckets_has_no_unpartitioned_window(spark, sf_dir):
         assert not ("Window" in line and m), line
     # the window that IS there must be keyed on the partition id
     assert "__pid" in plan, "expected the two-phase prefix-sum shape"
+
+
+def test_rrf_overlap_branch_arithmetic(spark):
+    """rrf_fuse's in-both branch: the fixture's two top-k lists are disjoint
+    at gate SF, so the oracle compare never exercises a doc present in BOTH
+    lists. Constructed overlap: doc 1 is rank 1 lexically and rank 2
+    semantically -> score must be exactly 1/61 + 1/62 (both terms summed),
+    and doc-only-in-one rows keep the -1 sentinel on the absent side."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import _RRF_C, rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, lr long")
+    sem = spark.createDataFrame([(1, 2), (3, 1)], "doc_id long, sr long")
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, sem).collect()}
+    both = 1.0 / (_RRF_C + 1) + 1.0 / (_RRF_C + 2)
+    assert abs(out[1]["rrf_score"] - both) < 1e-9
+    assert out[1]["lex_rank"] == 1 and out[1]["sem_rank"] == 2
+    assert out[1]["rrf_rank"] == 1  # in-both outranks either single-list doc
+    assert out[2]["sem_rank"] == -1 and out[3]["lex_rank"] == -1
+    assert abs(out[3]["rrf_score"] - 1.0 / (_RRF_C + 1)) < 1e-9
+
+
+def test_maxsim_self_scores_perfect(spark, sf_dir):
+    """MaxSim sanity: a document whose sub-vectors ARE the query's scores
+    exactly _MS_SUB (every per-sub max cosine = 1.0), and every score is
+    bounded by [-_MS_SUB, _MS_SUB]."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import as_double
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        _MS_QID,
+        _MS_SUB,
+        maxsim_scored,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == _MS_QID)
+        .select(as_double(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    )
+    self_df = emb.filter(F.col("vec_id") == _MS_QID).select(
+        F.col("vec_id").alias("n_id"), as_double(F.col("embedding")).alias("dv")
+    )
+    assert maxsim_scored(self_df, qvec).collect()[0]["maxsim"] == float(_MS_SUB)
+    others = emb.select(
+        F.col("vec_id").alias("n_id"), as_double(F.col("embedding")).alias("dv")
+    )
+    bounds = maxsim_scored(others, qvec).agg(
+        F.min("maxsim").alias("lo"), F.max("maxsim").alias("hi")
+    ).collect()[0]
+    assert -_MS_SUB <= bounds["lo"] <= bounds["hi"] <= _MS_SUB
+
+
+def test_maxsim_scoring_is_map_side(spark, sf_dir):
+    """maxsim_multivector_topk's scoring must reach the TakeOrdered top-k
+    with ZERO exchanges: the query is a closed-over literal, scoring is one
+    projection over the embedding scan. (The trailing k-row rank window may
+    exchange the 10-row frame — only the plan BELOW the TakeOrdered is
+    pinned.)"""
+    plan = _plan(spark, sf_dir, "maxsim_multivector_topk")
+    take = plan.find("TakeOrderedAndProject")
+    assert take != -1, plan[:2000]
+    assert "Exchange" not in plan[take:], (
+        "scoring stage shuffled before the distributed top-k"
+    )
+
+
+def test_leakage_safe_split_group_atomicity(spark, sf_dir):
+    """The leakage guarantee itself: (1) every near-dup group lands in
+    exactly one split; (2) every capped near-dup PAIR has both ends in the
+    same split — the contamination mode the per-doc split rule cannot
+    prevent; (3) the 90/5/5 rule produces only the three split labels."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import ngram_jaccard_pairs
+    from hadoop_3_0_0_beta1_gaia_spark.plans.dedup_sim import (
+        _NGRAM,
+        leakage_safe_split,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    out = leakage_safe_split(spark, sf_dir)
+    per_group = out.groupBy("group_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    pairs = ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), **_NGRAM, max_df=4
+    )
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddle = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0, "a near-dup pair straddles the split boundary"
