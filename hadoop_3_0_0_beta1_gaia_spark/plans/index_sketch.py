@@ -1028,7 +1028,7 @@ def maxsim_multivector_topk(spark, sf_dir):
     d = emb.filter(F.col("vec_id") != _MS_QID).select(
         F.col("vec_id").alias("n_id"), as_double(F.col("embedding")).alias("dv")
     )
-    scored = maxsim_scored(d, qvec)
+    scored = maxsim_scored_vectorized(d, qvec)
     topk = scored.orderBy(F.col("maxsim").desc(), F.col("n_id")).limit(_MS_K)
     w = Window.orderBy(F.col("maxsim").desc(), F.col("n_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1070,3 +1070,67 @@ def maxsim_scored(d, qvec):
     for t in m[1:]:
         total = total + t
     return d.select("n_id", fround(total, 6).alias("maxsim"))
+
+
+def maxsim_scored_vectorized(d, qvec):
+    """Bit-identical fast path for :func:`maxsim_scored` (the
+    cosine_topk_vectorized pattern): the per-row interpreted higher-order
+    fold — _MS_SUB² sub-vector dots per document — is the hot cost; this
+    kernel keeps the EXACT same IEEE operation sequence (left fold per
+    dimension, floor-round per sub-pair cosine, fixed-order sum of the
+    per-query-sub maxima, final floor-round) but evaluates each step across
+    the whole Arrow batch with numpy. Equality with the expression fold is
+    asserted in tests; the DuckDB oracle covers it end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    scale = float(10**6)
+    q = [
+        [float(v) for v in qvec[i * _MS_SUBDIM : (i + 1) * _MS_SUBDIM]]
+        for i in range(_MS_SUB)
+    ]
+    # query-side norms: scalar left fold, the same IEEE sequence as the
+    # engine's dot(qsub, qsub) over the literal array
+    qn = []
+    for i in range(_MS_SUB):
+        acc = 0.0
+        for t in range(_MS_SUBDIM):
+            acc += q[i][t] * q[i][t]
+        qn.append(acc)
+
+    schema = StructType(
+        [
+            StructField("n_id", LongType(), False),
+            StructField("maxsim", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["dv"]), dtype=np.float64)
+            ids = pdf["n_id"].to_numpy(dtype=np.int64)
+            nn = []
+            for j in range(_MS_SUB):
+                acc = np.zeros(len(V), dtype=np.float64)
+                for t in range(_MS_SUBDIM):
+                    col = V[:, j * _MS_SUBDIM + t]
+                    acc += col * col
+                nn.append(acc)
+            total = None
+            for i in range(_MS_SUB):
+                m_i = None
+                for j in range(_MS_SUB):
+                    acc = np.zeros(len(V), dtype=np.float64)
+                    for t in range(_MS_SUBDIM):
+                        acc += q[i][t] * V[:, j * _MS_SUBDIM + t]
+                    c = acc / np.sqrt(qn[i] * nn[j])
+                    c = np.floor(c * scale + 0.5) / scale  # fround
+                    m_i = c if m_i is None else np.maximum(m_i, c)
+                total = m_i if total is None else total + m_i
+            total = np.floor(total * scale + 0.5) / scale
+            yield pd.DataFrame({"n_id": ids, "maxsim": total})
+
+    return d.mapInPandas(kernel, schema=schema)

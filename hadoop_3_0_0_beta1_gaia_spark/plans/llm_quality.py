@@ -138,9 +138,17 @@ _REPETITION_ORACLE = f"""
     "equivalent unnest+groupBy formulation, so the fold itself is what's verified",
 )
 def doc_repetition(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+    return repetition_metrics(
+        T(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+def repetition_metrics(docs):
+    """The doc_repetition metrics over any (doc_id, text) frame — factored so
+    callers that feed a single-row-group fixture scan (the funnel) can spread
+    it with ensure_parallelism first; the standalone entry passes the bare
+    scan, keeping its zero-Exchange plan pin byte-identical."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -2214,4 +2222,188 @@ def gopher_dup_line_signals(spark, sf_dir):
         T(spark, sf_dir, "documents").select(
             "doc_id", dup_line_page().alias("page")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+# Near-dup stage config: dedup_sim's production shape (3-gram Jaccard >= 0.4
+# over the max_df=4 capped shingle universe — the components family's 100 TB
+# configuration).
+_FUNNEL_NGRAM = dict(n=3, threshold=0.4, max_df=4)
+
+
+def _funnel_oracle() -> str:
+    from ..functions.dedup import (
+        duck_md5_long,
+        duck_normalized_fp,
+        duckdb_connected_components,
+        duckdb_ngram_jaccard,
+    )
+
+    comp = duckdb_connected_components(
+        duckdb_ngram_jaccard("s2", **_FUNNEL_NGRAM)
+    )
+    stage = (
+        "SELECT '{name}' AS stage, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM {src}"
+    )
+    frac = f"{duck_md5_long(chr(39) + 'tsample:' + chr(39) + ' || doc_id::VARCHAR')} / 1.152921504606847e+18"
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, text, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        rep AS ({_REPETITION_ORACLE}),
+        s1 AS MATERIALIZED (
+            SELECT base.* FROM base
+            JOIN (SELECT doc_id FROM rep
+                  WHERE n_tokens >= {_MIN_TOKENS} AND n_tokens <= {_MAX_TOKENS}
+                    AND distinct_ratio >= {_MIN_DISTINCT}
+                    AND top_bigram_frac <= {_MAX_TOPBG}) USING (doc_id)
+        ),
+        e AS (SELECT doc_id, {duck_normalized_fp('text')} AS fp FROM s1),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM e GROUP BY fp),
+        s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN keepers USING (doc_id)),
+        comp AS MATERIALIZED ({comp}),
+        s3 AS MATERIALIZED (
+            SELECT s2.* FROM s2
+            LEFT JOIN comp ON comp.doc_id = s2.doc_id
+            WHERE comp.component IS NULL OR comp.component = s2.doc_id
+        ),
+        rates AS (
+            SELECT lang,
+                   least(1.0, {_TEMP_C} * sqrt(n_total::DOUBLE / n_l)) AS rate
+            FROM (SELECT lang, count(*) AS n_l,
+                         (SELECT count(*) FROM s3) AS n_total
+                  FROM s3 GROUP BY lang)
+        ),
+        s4 AS (
+            SELECT s3.* FROM s3 JOIN rates USING (lang)
+            WHERE {frac} < rate
+        )
+        {stage.format(name='00_total', src='base')}
+        UNION ALL {stage.format(name='01_filter_rules', src='s1')}
+        UNION ALL {stage.format(name='02_exact_dedup', src='s2')}
+        UNION ALL {stage.format(name='03_near_dup', src='s3')}
+        UNION ALL {stage.format(name='04_lang_sample', src='s4')}
+    """
+
+
+@register(
+    "curation_funnel_report",
+    oracle=_funnel_oracle(),
+    ref="the END-TO-END curation funnel: every document flows through the "
+    "audited rule chain (corpus_filter_pipeline's prioritized length/"
+    "diversity/repetition rules — the Gopher-style chain that actually "
+    "discriminates on this corpus; the published-threshold entries "
+    "gopher_rules_filter / c4_line_filter stay standalone), exact dedup "
+    "(normalized-text fingerprint, min-id winner), capped near-dup "
+    "components (3-gram Jaccard >= 0.4, max_df=4 — the components family's "
+    "production configuration) and language-temperature sampling IN "
+    "SEQUENCE, and the report is the per-stage survivor count + token "
+    "volume a pipeline operator signs off before training. Every stage "
+    "reuses the audited entry's own metrics frame / oracle CTE "
+    "(doc_repetition, exact_dedup_groups' rule, the capped pair graph, "
+    "corpus_temperature_sample's rate rule recomputed over the survivors), "
+    "so funnel stages CANNOT drift from the standalone entries. 100 TB "
+    "posture: map-side rules, one fp shuffle, the capped pair graph, a "
+    "|langs|-row broadcast rate table; the funnel adds only doc_id "
+    "semi-joins between stages and five 1-row aggregates — no new shuffle "
+    "shape",
+)
+def curation_funnel_report(spark, sf_dir):
+    from ..functions.dedup import (
+        connected_components,
+        md5_long,
+        ngram_jaccard_pairs,
+        normalized_fp,
+    )
+    from ..session import ensure_parallelism, owned_persist
+
+    d = T(spark, sf_dir, "documents")
+    # Spread the scan before the CPU-heavy rule fold: a one-row-group fixture
+    # file otherwise runs the whole bigram fold on 1-2 cores (measured 67 s
+    # vs 4 s at sf1); a no-op on real multi-file input.
+    spread = ensure_parallelism(d.select("doc_id", "text", "lang"))
+    base = spread.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    # The metrics frame is persisted BEFORE the threshold filter: a filter on
+    # computed columns pushes through the round-robin exchange by alias
+    # substitution, landing the whole bigram fold back on the unspread scan
+    # tasks (measured: the fold re-ran at 2-task parallelism, 77 s at sf1;
+    # with the persist barrier 4 s). The frame is 5 narrow columns, no text.
+    metrics = owned_persist(
+        repetition_metrics(spread.select("doc_id", "text"))
+    )
+    metrics.count()  # eager materialization (persist-gate contract)
+    rules_keep = metrics.filter(
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("n_tokens") <= _MAX_TOKENS)
+        & (F.col("distinct_ratio") >= _MIN_DISTINCT)
+        & (F.col("top_bigram_frac") <= _MAX_TOPBG)
+    ).select("doc_id")
+    # Each stage frame feeds (a) its own 1-row aggregate and (b) the next
+    # stage's producer chain — unpersisted, the five stage aggregates
+    # re-evaluate the whole lineage up to the components FIXPOINT once per
+    # consumer (measured 244 s at sf1; persisted chain 11 s).
+    s1 = owned_persist(base.join(rules_keep, "doc_id"))
+    s1.count()  # eager materialization (persist-gate contract)
+    keep_ids = (
+        s1.select("doc_id", normalized_fp("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = owned_persist(s1.join(keep_ids, "doc_id"))
+    s2.count()  # eager materialization (persist-gate contract)
+    pairs = ngram_jaccard_pairs(
+        s2.select("doc_id", "text"), **_FUNNEL_NGRAM
+    )
+    comp = connected_components(pairs)
+    s3 = owned_persist(
+        s2.join(
+            comp.select(F.col("doc_id").alias("c_doc"), "component"),
+            F.col("doc_id") == F.col("c_doc"),
+            "left",
+        )
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", "text", "lang", "n_tok")
+    )
+    s3.count()  # eager materialization (persist-gate contract)
+    lang_counts = s3.groupBy("lang").agg(F.count("*").alias("n_l"))
+    total = s3.agg(F.count("*").alias("n_total"))
+    rates = lang_counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            _TEMP_C * F.sqrt(F.col("n_total").cast("double") / F.col("n_l")),
+        ).alias("rate"),
+    )
+    frac = md5_long(
+        F.concat(F.lit("tsample:"), F.col("doc_id").cast("string"))
+    ) / float(2**60)
+    s4 = s3.join(F.broadcast(rates), "lang").filter(frac < F.col("rate"))
+
+    def stage(name, df):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        stage("00_total", base)
+        .unionAll(stage("01_filter_rules", s1))
+        .unionAll(stage("02_exact_dedup", s2))
+        .unionAll(stage("03_near_dup", s3))
+        .unionAll(stage("04_lang_sample", s4))
     )

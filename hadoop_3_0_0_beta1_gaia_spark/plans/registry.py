@@ -123,15 +123,19 @@ _WINDOW: list[str] = [
     "hybrid_rrf_search",
     "maxsim_multivector_topk",
     "leakage_safe_split",
-    # recency cohort: last driver green r4 (first 6 of the alphabetical 9;
-    # corpus_global_shuffle / corpus_split_assign / customer_rfm_segments
-    # return with the r4 remainder next round)
+    # first contact: the end-to-end curation funnel (composes the audited
+    # rule chain, exact dedup, capped near-dup components and temperature
+    # sampling as shared frames; corpus_filter_pipeline hands it the
+    # rule-chain family slot and returns with the r4 remainder next round)
+    "curation_funnel_report",
+    # recency cohort: last driver green r4 (first 5 of the alphabetical 9;
+    # corpus_filter_pipeline / corpus_global_shuffle / corpus_split_assign /
+    # customer_rfm_segments return with the r4 remainder next round)
     "asof_tolerance_purchase",
     "bloom_filter_probe",
     "bm25_search_topk",
     "cdc_upsert_orders",
     "copurchase_pagerank",
-    "corpus_filter_pipeline",
 ]
 
 

@@ -888,6 +888,36 @@ def test_maxsim_self_scores_perfect(spark, sf_dir):
     assert -_MS_SUB <= bounds["lo"] <= bounds["hi"] <= _MS_SUB
 
 
+def test_maxsim_vectorized_is_bit_identical(spark, sf_dir):
+    """The numpy kernel the entry runs must equal the expression fold
+    bit-for-bit on every row (the cosine_topk_vectorized contract)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import as_double
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        _MS_QID,
+        maxsim_scored,
+        maxsim_scored_vectorized,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == _MS_QID)
+        .select(as_double(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    )
+    d = emb.select(
+        F.col("vec_id").alias("n_id"), as_double(F.col("embedding")).alias("dv")
+    )
+    ref = {r["n_id"]: r["maxsim"] for r in maxsim_scored(d, qvec).collect()}
+    fast = {
+        r["n_id"]: r["maxsim"]
+        for r in maxsim_scored_vectorized(d, qvec).collect()
+    }
+    assert ref == fast  # exact float equality, every row
+
+
 def test_maxsim_scoring_is_map_side(spark, sf_dir):
     """maxsim_multivector_topk's scoring must reach the TakeOrdered top-k
     with ZERO exchanges: the query is a closed-over literal, scoring is one
@@ -932,3 +962,31 @@ def test_leakage_safe_split_group_atomicity(spark, sf_dir):
         pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb"))
     )
     assert straddle.count() == 0, "a near-dup pair straddles the split boundary"
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
+    """Funnel sanity: stage survivor counts and token volumes are monotone
+    non-increasing in stage order, stage 0 equals the corpus, and every
+    stage discriminates OR is an honest pass-through (exact dedup on a
+    fixture with no exact dups)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        curation_funnel_report,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    rows = sorted(
+        curation_funnel_report(spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "00_total",
+        "01_filter_rules",
+        "02_exact_dedup",
+        "03_near_dup",
+        "04_lang_sample",
+    ]
+    assert rows[0]["n_docs"] == T(spark, sf_dir, "documents").count()
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"], (a, b)
+        assert b["n_tokens"] <= a["n_tokens"], (a, b)
+    assert rows[-1]["n_docs"] > 0  # the funnel must not drain the corpus
