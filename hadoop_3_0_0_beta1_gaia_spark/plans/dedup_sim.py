@@ -1005,8 +1005,13 @@ def dedup_cluster_canonical(spark, sf_dir):
     "byte-compatible with corpus_split_assign's 90/5/5 hash rule. 100 TB "
     "posture: the group table is the capped components fixpoint (pair volume "
     "governed at the generator); the assignment itself is one left join plus "
-    "a map-side hash — stable under corpus growth (adding docs never moves "
-    "an existing group between splits)",
+    "a map-side hash. Stability caveat (unlike the per-doc rule): a split is "
+    "stable only while its GROUP id is — a new document that bridges two "
+    "groups or carries a smaller id than the current canonical changes the "
+    "group id and reassigns the merged group wholesale; at 100 TB, pin "
+    "group ids from a reference corpus snapshot (the "
+    "dedup_incremental_minhash admission pattern) when split stability "
+    "across refreshes matters more than strict leakage-safety of the union",
 )
 def leakage_safe_split(spark, sf_dir):
     from ..functions.dedup import md5_long

@@ -990,3 +990,37 @@ def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
         assert b["n_docs"] <= a["n_docs"], (a, b)
         assert b["n_tokens"] <= a["n_tokens"], (a, b)
     assert rows[-1]["n_docs"] > 0  # the funnel must not drain the corpus
+
+
+def test_maxsim_vectorized_bit_identical_on_adversarial_vectors(spark):
+    """Extends the fixture-distribution equality pin: kernel == expression
+    fold bit-for-bit over seeded random vectors spanning magnitudes 1e-6 to
+    1e6, signs, near-parallel pairs, and a constant vector — the cases where
+    a different summation order would actually diverge in the last ulp."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        _MS_DIM,
+        maxsim_scored,
+        maxsim_scored_vectorized,
+    )
+
+    rng = np.random.default_rng(1337)
+    rows = []
+    for i in range(200):
+        scale = 10.0 ** rng.integers(-6, 7)
+        v = rng.standard_normal(_MS_DIM) * scale
+        rows.append((i, [float(x) for x in v]))
+    q = rng.standard_normal(_MS_DIM)
+    rows.append((200, [float(x) for x in q * 3.0]))          # parallel to query
+    rows.append((201, [float(x) for x in -q]))               # anti-parallel
+    rows.append((202, [1.0] * _MS_DIM))                      # constant vector
+    qvec = [float(x) for x in q]
+    d = spark.createDataFrame(rows, "n_id long, dv array<double>")
+    ref = {r["n_id"]: r["maxsim"] for r in maxsim_scored(d, qvec).collect()}
+    fast = {
+        r["n_id"]: r["maxsim"]
+        for r in maxsim_scored_vectorized(d, qvec).collect()
+    }
+    assert ref == fast
