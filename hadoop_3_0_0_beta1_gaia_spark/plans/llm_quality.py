@@ -2567,3 +2567,60 @@ def mixture_token_budget(spark, sf_dir):
         .cast("long")
         .alias("alloc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression for aggregate release
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+@register(
+    "k_anonymity_release",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang, source
+        )
+        SELECT CASE WHEN n_docs >= {_KANON_K} THEN lang
+                    ELSE '__other__' END AS lang,
+               CASE WHEN n_docs >= {_KANON_K} THEN source
+                    ELSE '__other__' END AS source,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM g GROUP BY 1, 2
+    """,
+    ref="k-anonymity suppression for aggregate release (the governance rule "
+    "before publishing per-cohort corpus statistics): any (lang, source) "
+    f"cell with fewer than k={_KANON_K} documents is coalesced into a "
+    "single '__other__' cell instead of being released — small cells are "
+    "re-identification vectors, and the coalesced remainder keeps the "
+    "released table's totals exactly equal to the corpus totals (pinned in "
+    "tests: sum over released rows == corpus counts, and no released "
+    "NON-other cell is below k). 100 TB posture: two hash aggregations "
+    "with map-side partials (cell aggregate, then suppression re-group) — "
+    "the released table is |cells|-sized, never corpus-sized",
+)
+def k_anonymity_release(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    ok = F.col("n_docs") >= _KANON_K
+    return (
+        g.select(
+            F.when(ok, F.col("lang")).otherwise("__other__").alias("lang"),
+            F.when(ok, F.col("source")).otherwise("__other__").alias("source"),
+            "n_docs",
+            "n_chars",
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

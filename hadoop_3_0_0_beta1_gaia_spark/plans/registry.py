@@ -134,12 +134,12 @@ _WINDOW: list[str] = [
     "quality_percentile_filter",
     "mixture_token_budget",
     "bitext_margin_mining",
-    # recency cohort: last driver green r4 (first 2 of the alphabetical 9;
+    "k_anonymity_release",
+    # recency cohort: last driver green r4 (first 1 of the alphabetical 9;
     # first contact for new entries outranks recency — the r4 remainder,
     # including bm25_search_topk (whose frame hybrid_rrf_search reuses
-    # in-window) and the 4 already-listed returns, rotates back next round)
+    # in-window) and the already-listed returns, rotates back next round)
     "asof_tolerance_purchase",
-    "bloom_filter_probe",
 ]
 
 

@@ -1103,3 +1103,26 @@ def test_bitext_kernel_bit_identical_to_expression(spark, sf_dir):
         for r in bitext_pairs_vectorized(spark, sf_dir).collect()
     }
     assert ref == fast
+
+
+def test_k_anonymity_release_invariants(spark, sf_dir):
+    """Released totals equal corpus totals exactly (suppression never loses
+    a document), and every released non-__other__ cell is >= k."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _KANON_K,
+        k_anonymity_release,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    rows = k_anonymity_release(spark, sf_dir).collect()
+    d = T(spark, sf_dir, "documents")
+    tot = d.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == tot["n"]
+    assert sum(r["n_chars"] for r in rows) == tot["c"]
+    for r in rows:
+        if r["lang"] != "__other__" and r["source"] != "__other__":
+            assert r["n_docs"] >= _KANON_K, r
