@@ -1351,3 +1351,145 @@ def bitext_pairs_vectorized(spark, sf_dir):
         )
     )
     return b.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-style two-pass BM25)
+# ---------------------------------------------------------------------------
+
+# expansion config: top _PRF_E terms by total tf within the top-_BT... the
+# pass-1 feedback set (the bm25_search_topk top-10), query terms excluded,
+# corpus df capped (stopword guard). Original terms weigh 2, expansion
+# terms weigh 1 (the RM3 interpolation expressed in exact integers).
+_PRF_E = 5
+_PRF_DF_CAP = 64
+_PRF_W_ORIG, _PRF_W_EXP = 2, 1
+_PRF_TOPK = 10
+
+
+def _prf_oracle() -> str:
+    from .registry import _REGISTRY
+
+    lex = _REGISTRY["bm25_search_topk"].oracle
+    qlist = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    s_e6 = (
+        "CAST(floor(("
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * tf * ({_BM25_K1} + 1.0)"
+        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        ") * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+        WITH fb AS (SELECT doc_id FROM ({lex})),
+        d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf_all AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf_all GROUP BY term),
+        exp_terms AS (
+            SELECT term FROM (
+                SELECT t.term, sum(t.tf) AS fb_tf
+                FROM tf_all t
+                JOIN fb USING (doc_id)
+                JOIN dfreq USING (term)
+                WHERE t.term NOT IN ({qlist}) AND df <= {_PRF_DF_CAP}
+                GROUP BY t.term
+                ORDER BY fb_tf DESC, t.term
+                LIMIT {_PRF_E}
+            )
+        ),
+        terms AS (
+            SELECT unnest([{qlist}]) AS term, {_PRF_W_ORIG} AS w
+            UNION ALL SELECT term, {_PRF_W_EXP} AS w FROM exp_terms
+        ),
+        scored AS (
+            SELECT tf_all.doc_id,
+                   CAST(sum({s_e6} * w) AS BIGINT) AS score_e6
+            FROM tf_all
+            JOIN terms USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf_all.doc_id
+            CROSS JOIN stats
+            GROUP BY tf_all.doc_id
+        )
+        SELECT doc_id, score_e6, rank FROM (
+            SELECT doc_id, score_e6,
+                   CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {_PRF_TOPK}
+    """
+
+
+@register(
+    "prf_rm3_search",
+    oracle=_prf_oracle(),
+    ref="pseudo-relevance feedback retrieval (the RM3 / Rocchio two-pass "
+    "pattern, Abdul-Jaleel et al. 2004): pass 1 is the audited "
+    "bm25_search_topk list (shared frame); its top-10 documents vote the "
+    f"top {_PRF_E} non-query terms (corpus df <= {_PRF_DF_CAP} stopword "
+    "guard, ties by term) into an expanded query; pass 2 re-scores with "
+    f"original terms weighted {_PRF_W_ORIG} and expansion terms "
+    f"{_PRF_W_EXP}. Engine portability one step beyond the bm25 entry: "
+    "every per-(doc, term) BM25 contribution is FROZEN to a µ-unit BIGINT "
+    "before weighting, so the weighted document score is an order-free "
+    "integer sum — no float fold order anywhere in pass 2. 100 TB "
+    "posture: both passes filter the token stream to a handful of terms "
+    "AT THE SCAN (IN predicate over |query|+|expansion| literals/broadcast "
+    "rows); the feedback-term election aggregates only the 10 feedback "
+    "documents' tokens; df/dl/corpus stats are the same "
+    "term-count-sized / 1-row broadcast frames as bm25_search_topk; final "
+    "top-k is a TakeOrdered",
+)
+def prf_rm3_search(spark, sf_dir):
+    fb = bm25_search_topk(spark, sf_dir).select("doc_id")
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf_all = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+    exp_terms = (
+        tf_all.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*_BM25_QUERY))
+        .join(F.broadcast(dfreq.filter(F.col("df") <= _PRF_DF_CAP)), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .orderBy(F.col("fb_tf").desc(), F.col("term"))
+        .limit(_PRF_E)
+        .select("term", F.lit(_PRF_W_EXP).alias("w"))
+    )
+    orig_terms = spark.createDataFrame(
+        [(t, _PRF_W_ORIG) for t in _BM25_QUERY], "term string, w int"
+    )
+    terms = orig_terms.unionAll(exp_terms)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    s_e6 = F.floor(term_score * 1_000_000 + F.lit(0.5)).cast("long")
+    scored = (
+        tf_all.join(F.broadcast(terms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(s_e6 * F.col("w")).cast("long").alias("score_e6"))
+    )
+    topk = scored.orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    ).limit(_PRF_TOPK)
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -135,11 +135,12 @@ _WINDOW: list[str] = [
     "mixture_token_budget",
     "bitext_margin_mining",
     "k_anonymity_release",
-    # recency cohort: last driver green r4 (first 1 of the alphabetical 9;
-    # first contact for new entries outranks recency — the r4 remainder,
-    # including bm25_search_topk (whose frame hybrid_rrf_search reuses
-    # in-window) and the already-listed returns, rotates back next round)
-    "asof_tolerance_purchase",
+    "prf_rm3_search",
+    # (no r4 slots left this window: first contact for the 9 session-3
+    # entries outranks recency; the full r4 cohort — including
+    # bm25_search_topk, whose frame hybrid_rrf_search AND prf_rm3_search
+    # reuse in-window — rotates back next round, and the 30-entry r3
+    # remainder above still carries the recency burn-down)
 ]
 
 
