@@ -336,6 +336,28 @@ _BM25_QUERY = ("table", "spark", "filter")
 _BM25_TOPK = 10
 
 
+def bm25_doc_toks(spark, sf_dir, *, eager: bool = True):
+    """(doc_id, toks) token arrays for the BM25 retrieval family — ONE
+    tokenize of the corpus, persisted (ledger-owned), so every consumer
+    across the family (document lengths, corpus stats, pass-1 term tf,
+    feedback-term election, pass-2 scoring) explodes from the cached
+    2-column array frame instead of re-running the regex tokenizer per
+    branch. This is the ccnet_lm_buckets token-array pattern
+    (llm_quality.py) applied to retrieval: the tokenize is the dominant
+    scan cost at sf10 and the arrays are narrow. ``eager=False`` skips the
+    materializing count for explain/schema-only callers."""
+    from ..session import owned_persist
+
+    d = owned_persist(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
+    )
+    if eager:
+        d.count()
+    return d
+
+
 @register(
     "bm25_search_topk",
     oracle=f"""
@@ -374,17 +396,20 @@ _BM25_TOPK = 10
     """,
     ref="BM25 ranked retrieval over the inverted-index statistics (Robertson "
     "k1=1.2 b=0.75) for a fixed conjunctive query — the search half of "
-    "inverted_index_postings. The token stream filters to query terms BEFORE "
-    "any shuffle (scan-side IN predicate), so the per-(doc,term) agg touches "
-    "query-matching tokens only; df and the (N, avgdl) corpus stats are "
-    "term-count-sized / 1-row frames joined broadcast; final top-k is a "
-    "TakeOrdered, never a global sort. Ranks order by the ROUNDED score + "
-    "doc_id so both engines agree despite float fold order",
+    "inverted_index_postings. The corpus is tokenized ONCE into a persisted "
+    "token-array frame shared by every consumer (dl, corpus stats, term tf "
+    "— and, via the `toks` parameter, the whole retrieval family: "
+    "prf_rm3_search and hybrid_rrf_search reuse the same cache instead of "
+    "re-running the regex tokenizer per branch; the ccnet_lm_buckets "
+    "token-array pattern). The exploded stream filters to query terms "
+    "BEFORE any shuffle (IN predicate over literals), so the per-(doc,term) "
+    "agg touches query-matching tokens only; df and the (N, avgdl) corpus "
+    "stats are term-count-sized / 1-row frames joined broadcast; final "
+    "top-k is a TakeOrdered, never a global sort. Ranks order by the "
+    "ROUNDED score + doc_id so both engines agree despite float fold order",
 )
-def bm25_search_topk(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
+def bm25_search_topk(spark, sf_dir, *, toks=None):
+    d = toks if toks is not None else bm25_doc_toks(spark, sf_dir)
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -1438,32 +1463,51 @@ def _prf_oracle() -> str:
     "every per-(doc, term) BM25 contribution is FROZEN to a µ-unit BIGINT "
     "before weighting, so the weighted document score is an order-free "
     "integer sum — no float fold order anywhere in pass 2. 100 TB "
-    "posture: both passes filter the token stream to a handful of terms "
-    "AT THE SCAN (IN predicate over |query|+|expansion| literals/broadcast "
-    "rows); the feedback-term election aggregates only the 10 feedback "
-    "documents' tokens; df/dl/corpus stats are the same "
-    "term-count-sized / 1-row broadcast frames as bm25_search_topk; final "
-    "top-k is a TakeOrdered",
+    "posture: one regex tokenize feeds the whole two-pass plan (the shared "
+    "persisted token-array frame, bm25_doc_toks); the feedback-term "
+    "election explodes only the 10 feedback documents' arrays; the ONE "
+    "corpus-wide (doc, term) aggregation is pre-filtered by a BROADCAST "
+    "join against the candidate-term list (feedback vocabulary + query "
+    "terms) applied to the exploded stream BEFORE the aggregation — the "
+    "shuffle carries candidate-matching tokens only, never the full "
+    "vocabulary — and df, the stopword guard, and pass-2 scoring all read "
+    "that one candidate-restricted frame; dl/corpus stats are the same "
+    "1-row broadcast frames as bm25_search_topk; final top-k is a "
+    "TakeOrdered. (The broadcast-semi filter lives one node above the "
+    "scan: the candidate list is computed, not literal, so it cannot be a "
+    "parquet-pushed IN — the aggregation-input reduction is the same.)",
 )
 def prf_rm3_search(spark, sf_dir):
-    fb = bm25_search_topk(spark, sf_dir).select("doc_id")
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
+    from ..session import owned_persist
+
+    d = bm25_doc_toks(spark, sf_dir)
+    fb = bm25_search_topk(spark, sf_dir, toks=d).select("doc_id")
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf_all = (
+    # feedback-term election input: explode ONLY the 10 feedback docs
+    fb_tf = (
+        d.join(F.broadcast(fb), "doc_id")
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("fb_tf"))
+    )
+    # candidate terms = feedback vocabulary + query terms (small frame);
+    # broadcast-filter the exploded corpus BEFORE the (doc, term) agg so
+    # the shuffle never carries the full vocabulary
+    orig_only = spark.createDataFrame(
+        [(t,) for t in _BM25_QUERY], "term string"
+    )
+    cand_terms = fb_tf.select("term").unionAll(orig_only).distinct()
+    cand_tf = owned_persist(
         d.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(cand_terms), "term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = cand_tf.groupBy("term").agg(F.count("*").alias("df"))
     exp_terms = (
-        tf_all.join(F.broadcast(fb), "doc_id")
-        .filter(~F.col("term").isin(*_BM25_QUERY))
+        fb_tf.filter(~F.col("term").isin(*_BM25_QUERY))
         .join(F.broadcast(dfreq.filter(F.col("df") <= _PRF_DF_CAP)), "term")
-        .groupBy("term")
-        .agg(F.sum("tf").alias("fb_tf"))
         .orderBy(F.col("fb_tf").desc(), F.col("term"))
         .limit(_PRF_E)
         .select("term", F.lit(_PRF_W_EXP).alias("w"))
@@ -1481,7 +1525,7 @@ def prf_rm3_search(spark, sf_dir):
     )
     s_e6 = F.floor(term_score * 1_000_000 + F.lit(0.5)).cast("long")
     scored = (
-        tf_all.join(F.broadcast(terms), "term")
+        cand_tf.join(F.broadcast(terms), "term")
         .join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))

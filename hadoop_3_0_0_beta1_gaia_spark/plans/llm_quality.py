@@ -2576,6 +2576,9 @@ def mixture_token_budget(spark, sf_dir):
 _KANON_K = 10
 
 
+_KANON_SENTINEL = "__other__"
+
+
 @register(
     "k_anonymity_release",
     oracle=f"""
@@ -2584,25 +2587,38 @@ _KANON_K = 10
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY lang, source
+        ),
+        sup AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM g WHERE n_docs < {_KANON_K}
         )
-        SELECT CASE WHEN n_docs >= {_KANON_K} THEN lang
-                    ELSE '__other__' END AS lang,
-               CASE WHEN n_docs >= {_KANON_K} THEN source
-                    ELSE '__other__' END AS source,
-               CAST(sum(n_docs) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS n_chars
-        FROM g GROUP BY 1, 2
+        SELECT lang, source, n_docs, n_chars
+        FROM g WHERE n_docs >= {_KANON_K}
+        UNION ALL
+        SELECT '{_KANON_SENTINEL}', '{_KANON_SENTINEL}', n_docs, n_chars
+        FROM sup WHERE n_cells >= 2 AND n_docs >= {_KANON_K}
     """,
     ref="k-anonymity suppression for aggregate release (the governance rule "
     "before publishing per-cohort corpus statistics): any (lang, source) "
-    f"cell with fewer than k={_KANON_K} documents is coalesced into a "
-    "single '__other__' cell instead of being released — small cells are "
-    "re-identification vectors, and the coalesced remainder keeps the "
-    "released table's totals exactly equal to the corpus totals (pinned in "
-    "tests: sum over released rows == corpus counts, and no released "
-    "NON-other cell is below k). 100 TB posture: two hash aggregations "
-    "with map-side partials (cell aggregate, then suppression re-group) — "
-    "the released table is |cells|-sized, never corpus-sized",
+    f"cell with fewer than k={_KANON_K} documents is withheld; the withheld "
+    "cells are released only as a single coalesced '__other__' remainder, "
+    "and ONLY when that remainder is itself non-identifying — at least 2 "
+    "suppressed cells merged AND remainder n_docs >= k. With a single "
+    "suppressed cell (or a sub-k remainder) the remainder row is withheld "
+    "entirely, because released totals that exactly equal corpus totals "
+    "would otherwise let an attacker recover the one suppressed cell by "
+    "subtraction (the subtraction attack). Consequence, pinned in tests: "
+    "released totals equal corpus totals IFF the remainder row is present; "
+    "otherwise the release undercounts by the withheld remainder — the "
+    "privacy-correct direction. The sentinel cannot silently collide with "
+    "a real value: the Spark release guards every released NON-remainder "
+    "cell with raise_error if its lang/source equals the sentinel. "
+    "100 TB posture: two hash aggregations with map-side partials (cell "
+    "aggregate, then a 1-row suppressed-cell summary broadcast into the "
+    "remainder gate) — the released table is |cells|-sized, never "
+    "corpus-sized",
 )
 def k_anonymity_release(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -2610,17 +2626,34 @@ def k_anonymity_release(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
-    ok = F.col("n_docs") >= _KANON_K
-    return (
-        g.select(
-            F.when(ok, F.col("lang")).otherwise("__other__").alias("lang"),
-            F.when(ok, F.col("source")).otherwise("__other__").alias("source"),
-            "n_docs",
-            "n_chars",
-        )
-        .groupBy("lang", "source")
+    # collision guard: a REAL cohort value equal to the sentinel would merge
+    # with the suppression bucket and misattribute counts — fail loudly
+    # instead (kept inside the released columns so Catalyst cannot prune it).
+    def guarded(col: str):
+        return F.when(
+            F.col(col) == _KANON_SENTINEL,
+            F.raise_error(
+                f"k_anonymity_release: real {col} value collides with "
+                f"sentinel {_KANON_SENTINEL!r}"
+            ),
+        ).otherwise(F.col(col)).alias(col)
+
+    kept = g.filter(F.col("n_docs") >= _KANON_K).select(
+        guarded("lang"), guarded("source"), "n_docs", "n_chars"
+    )
+    sup = (
+        g.filter(F.col("n_docs") < _KANON_K)
         .agg(
+            F.count("*").cast("long").alias("n_cells"),
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
+        .filter((F.col("n_cells") >= 2) & (F.col("n_docs") >= _KANON_K))
+        .select(
+            F.lit(_KANON_SENTINEL).alias("lang"),
+            F.lit(_KANON_SENTINEL).alias("source"),
+            "n_docs",
+            "n_chars",
+        )
     )
+    return kept.unionAll(sup)

@@ -117,7 +117,7 @@ _WINDOW: list[str] = [
     "xml_records_parse",
     # first contact: round-10 session-3 additions (hybrid retrieval fusion,
     # multi-vector MaxSim, leakage-safe split). hybrid_rrf_search reuses the
-    # bm25_search_topk frame (also in-window below); leakage_safe_split is
+    # bm25_search_topk frame; leakage_safe_split is
     # the group-aware successor of corpus_split_assign, which hands it the
     # split-family slot and returns with the r4 remainder next round.
     "hybrid_rrf_search",

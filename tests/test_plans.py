@@ -6,6 +6,7 @@ column pruning, dimension broadcast, and range partitioning for global sorts.
 from __future__ import annotations
 
 import io
+import os
 from contextlib import redirect_stdout
 
 import pytest
@@ -1106,40 +1107,114 @@ def test_bitext_kernel_bit_identical_to_expression(spark, sf_dir):
 
 
 def test_k_anonymity_release_invariants(spark, sf_dir):
-    """Released totals equal corpus totals exactly (suppression never loses
-    a document), and every released non-__other__ cell is >= k."""
+    """Every released non-remainder cell is >= k; the remainder row, when
+    present, merges >= 2 suppressed cells and is itself >= k; released
+    totals equal corpus totals IFF the remainder row is present (otherwise
+    the release undercounts by exactly the withheld remainder — the
+    subtraction-attack guard)."""
     from pyspark.sql import functions as F
 
     from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
         _KANON_K,
+        _KANON_SENTINEL,
         k_anonymity_release,
     )
     from hadoop_3_0_0_beta1_gaia_spark.session import table as T
 
     rows = k_anonymity_release(spark, sf_dir).collect()
     d = T(spark, sf_dir, "documents")
-    tot = d.agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("c")
-    ).collect()[0]
-    assert sum(r["n_docs"] for r in rows) == tot["n"]
-    assert sum(r["n_chars"] for r in rows) == tot["c"]
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    )
+    sup = [r for r in cells if r["n"] < _KANON_K]
+    other = [r for r in rows if r["lang"] == _KANON_SENTINEL]
+    assert len(other) <= 1
     for r in rows:
-        if r["lang"] != "__other__" and r["source"] != "__other__":
+        if r["lang"] != _KANON_SENTINEL and r["source"] != _KANON_SENTINEL:
             assert r["n_docs"] >= _KANON_K, r
+    if other:
+        # remainder released => non-identifying and totals exactly match
+        assert len(sup) >= 2
+        assert other[0]["n_docs"] >= _KANON_K
+        assert other[0]["n_docs"] == sum(r["n"] for r in sup)
+        assert other[0]["n_chars"] == sum(r["c"] for r in sup)
+        assert sum(r["n_docs"] for r in rows) == sum(r["n"] for r in cells)
+        assert sum(r["n_chars"] for r in rows) == sum(r["c"] for r in cells)
+    else:
+        # remainder withheld => release undercounts by exactly the withheld
+        # suppressed cells (never over-releases)
+        assert len(sup) < 2 or sum(r["n"] for r in sup) < _KANON_K
+        assert sum(r["n_docs"] for r in rows) == sum(
+            r["n"] for r in cells
+        ) - sum(r["n"] for r in sup)
 
 
-def test_prf_expansion_changes_the_ranking(spark):
+def test_k_anonymity_remainder_withheld_when_identifying(spark, tmp_path):
+    """A corpus with exactly ONE sub-k cell must NOT release a remainder
+    row (subtraction attack), and a sentinel-valued real cohort fails
+    loudly instead of merging with the suppression bucket."""
+    from pyspark.sql import Row
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _KANON_K,
+        _KANON_SENTINEL,
+        k_anonymity_release,
+    )
+
+    def write_docs(rows, name):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            p + "/documents.parquet"
+        )
+        return p
+
+    big = [
+        Row(lang="en", source="web", n_chars=100) for _ in range(_KANON_K)
+    ]
+    one_small = big + [Row(lang="fr", source="web", n_chars=7)]
+    sf = write_docs(one_small, "one_small")
+    rows = k_anonymity_release(spark, sf).collect()
+    assert all(r["lang"] != _KANON_SENTINEL for r in rows)
+    assert sum(r["n_docs"] for r in rows) == _KANON_K  # fr cell withheld
+
+    two_small = big + [
+        Row(lang="fr", source="web", n_chars=7)
+        for _ in range(_KANON_K // 2)
+    ] + [
+        Row(lang="de", source="web", n_chars=9)
+        for _ in range(_KANON_K - _KANON_K // 2)
+    ]
+    sf = write_docs(two_small, "two_small")
+    rows = k_anonymity_release(spark, sf).collect()
+    other = [r for r in rows if r["lang"] == _KANON_SENTINEL]
+    assert len(other) == 1 and other[0]["n_docs"] == _KANON_K
+
+    collide = big + [
+        Row(lang=_KANON_SENTINEL, source="web", n_chars=1)
+        for _ in range(_KANON_K)
+    ]
+    sf = write_docs(collide, "collide")
+    with pytest.raises(Exception, match="collides with sentinel"):
+        k_anonymity_release(spark, sf).collect()
+
+
+def test_prf_expansion_changes_the_ranking(spark, sf_dir):
     """PRF sanity AT GATE SF (sf0.01 — the 50-doc sf0.001 corpus is too
     small for the feedback loop to move anything): the expanded second pass
     surfaces at least one document the lexical-only top-k missed, and ranks
     are deterministic and dense. Measured at registration: 9 of 10 slots
-    change."""
+    change. The gate-SF dir is derived as a SIBLING of the configured
+    fixture dir (so SPARK_GRAFT_TEST_SF_DIR relocations keep working)."""
     from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
         bm25_search_topk,
         prf_rm3_search,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = os.path.join(os.path.dirname(os.path.abspath(sf_dir)), "sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"gate-SF fixture dir not present: {sf}")
     lex = {r["doc_id"] for r in bm25_search_topk(spark, sf).collect()}
     rows = prf_rm3_search(spark, sf).collect()
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
