@@ -1106,6 +1106,50 @@ def test_bitext_kernel_bit_identical_to_expression(spark, sf_dir):
     assert ref == fast
 
 
+def test_bitext_capped_candidates_are_bit_equal_subset(spark, sf_dir):
+    """The IVF-capped candidate generator emits a strict subset of the
+    brute-force cross pairs, and every shared pair's µ-unit cosine is
+    bit-identical (the cogrouped block kernel and the streaming kernel use
+    the same per-dimension fold)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        bitext_pairs_ivf_capped,
+        bitext_pairs_vectorized,
+    )
+
+    full = {
+        (r["a_id"], r["b_id"]): r["cos_e6"]
+        for r in bitext_pairs_vectorized(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["cos_e6"]
+        for r in bitext_pairs_ivf_capped(spark, sf_dir).collect()
+    }
+    assert 0 < len(capped) < len(full)  # pruned, but not empty
+    for k, v in capped.items():
+        assert full[k] == v, k
+
+
+def test_bitext_capped_recall_floor(spark, sf_dir):
+    """Recall sanity for the scale-safe twin: a meaningful share of the
+    brute-force top-N pairs survives IVF pruning (measured at registration:
+    9/20 at sf0.001 and sf0.01 with nprobe=3 on the near-uniform synthetic
+    embeddings — the docstring records the full nprobe curve), and ranks
+    are dense."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        bitext_margin_mining,
+        bitext_margin_mining_capped,
+    )
+
+    t_full = {
+        (r["a_id"], r["b_id"])
+        for r in bitext_margin_mining(spark, sf_dir).collect()
+    }
+    rows = bitext_margin_mining_capped(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    t_cap = {(r["a_id"], r["b_id"]) for r in rows}
+    assert len(t_full & t_cap) >= 3
+
+
 def test_k_anonymity_release_invariants(spark, sf_dir):
     """Every released non-remainder cell is >= k; the remainder row, when
     present, merges >= 2 suppressed cells and is itself >= k; released
