@@ -1004,6 +1004,41 @@ def test_jpeg_codec_baseline():
         jpeg_decode(bytes(baseline))
 
 
+def test_jpeg_decode_batch_bit_identical():
+    """jpeg_decode_batch (the MJPEG per-frame path: shared header parse +
+    one cross-image IDCT) is bit-identical to per-image jpeg_decode over a
+    mixed batch — flat gray tiles (shared header, the MJPEG case), a
+    gradient, RGB 4:4:4, and 4:2:0 subsampled color with odd dimensions
+    (distinct headers mixed into the same batch)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_decode_batch,
+        jpeg_encode,
+    )
+
+    payloads = [
+        jpeg_encode(8, 8, 1, bytes([lv]) * 64, quality=100)
+        for lv in (0, 17, 137, 255)
+    ]
+    grad = bytes([(x * 11 + y * 7) % 256 for y in range(24) for x in range(16)])
+    payloads.append(jpeg_encode(16, 24, 1, grad, quality=92))
+    rgb = bytes(
+        b for i in range(16 * 8) for b in ((i * 5) % 256, (i * 9) % 256, (i * 13) % 256)
+    )
+    payloads.append(jpeg_encode(16, 8, 3, rgb, quality=95))
+    smooth = bytes(
+        b
+        for y in range(12)
+        for x in range(20)
+        for b in (min(255, 100 + x * 4), min(255, 50 + y * 8), 90)
+    )
+    payloads.append(jpeg_encode(20, 12, 3, smooth, quality=90, subsample=True))
+
+    assert jpeg_decode_batch(payloads) == [jpeg_decode(p) for p in payloads]
+    assert jpeg_decode_batch([]) == []
+    assert jpeg_decode_batch(payloads[:1]) == [jpeg_decode(payloads[0])]
+
+
 def test_multimodal_real_jpeg_features(spark):
     """decode=real now extracts features from JPEG bytes through the same
     mapInPandas kernel as PNG — the container dispatch is by magic bytes."""
