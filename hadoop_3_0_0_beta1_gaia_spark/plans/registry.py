@@ -47,30 +47,36 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # since) lives in NOTES.md ("Registry rotation history"); only the CURRENT
 # window's rationale is kept here.
 #
-# Rotation #12 (round 10) — recency continues (VERDICT r9 item 1). After
-# CORRECTNESS_r09 the oldest driver greens are the r3 remainder (30 entries
-# — TPC-H/agg/join/sort/text/codec/sampling kin plus doc_bigram_logprob,
-# whose sf1 re-row attribution is this round's measurement item) and the r4
-# cohort (47); the window takes all 30 r3 entries plus the 12 alphabetically
-# first r4 entries (deterministic pick over the oldest cohort). IN for first
-# contact: this round's 4 new entries — dedup_audio_fingerprint (+capped):
-# perceptual audio near-dup, G.711 WAV codec in the loop; and
-# dedup_video_fingerprint (+capped): perceptual video near-dup, MJPEG-AVI
-# codec chain in the loop — near-dup now spans all four modalities, all on
-# the banded-Hamming machinery shared with simhash64/image-dhash — and
-# dedup_incremental_fingerprint (the capped cross-side admission shape for
-# media, dedup_incremental_minhash's pattern). The r4 pick drops to 9 to
-# hold the window at 50 (dedup_containment / dedup_incremental_exact /
-# decontaminate_eval_overlap return with the r4 remainder next round). Kept: the 2 standing anchors
-# and one representative per 100 TB capped config. set_except stays out on
-# the rotation-#10 precedent (0-row gate output, weakest driver evidence;
-# the repo oracle gate still runs it). OUT: the r9-green cohort (every
-# family keeps in-window or repo-gate coverage; the repo oracle gate runs
-# all 240 every session). Every IN entry pre-validated under the exact
-# driver protocol (tools/driver_check.py, sf0.01). After CORRECTNESS_r10,
-# max driver-row age <= 4 rounds (r4 remainder = 35 entries, next up).
+# Rotation #13 (round 11) — the r4 burn-down (VERDICT r10 item 3). After
+# CORRECTNESS_r10 the oldest driver greens are the r4 cohort (47 entries,
+# incl. the three dropped by rotation #12 to hold the window at 50:
+# dedup_containment / dedup_incremental_exact / decontaminate_eval_overlap).
+# The window takes the 39 alphabetically-first r4 entries PLUS
+# video_frames_sample (out of alphabetical order because its decode path
+# changed this round: jpeg_decode_batch — changed-plan re-validation
+# outranks the recency tie); the 7 r4 leftovers (stream_sliding_topk
+# supplier_cnt_notin top_supplier_per_part url_normalize_dedup
+# user_hour_bitmap validate_orders_constraints zorder_layout_orders) lead
+# rotation #14 with the r5 cohort (17). IN for first contact:
+# bitext_margin_mining_capped (the IVF-pruned scale-safe twin, new this
+# round). IN for changed-semantics re-validation: k_anonymity_release (the
+# remainder row is now withheld unless >= 2 suppressed cells merge to >= k
+# docs — ADVICE r10), prf_rm3_search (pass 2 restructured to the
+# candidate-term broadcast pre-filter + shared token arrays), and
+# hybrid_rrf_search (BM25 side now reads the shared persisted token-array
+# frame; bm25_search_topk itself is in the r4 pick above). Kept: the 2
+# standing anchors and one representative per 100 TB capped config.
+# set_except stays out on the rotation-#10 precedent (0-row gate output,
+# weakest driver evidence; the repo oracle gate still runs it). OUT: the
+# r10-green cohort (every family keeps in-window or repo-gate coverage;
+# the repo oracle gate runs all 253 every session — dedup_video_fingerprint
+# (+capped) re-validated via tools/driver_check.py after the decode-path
+# change, digests pinned vs r10 artifacts). Every IN entry pre-validated
+# under the exact driver protocol (tools/driver_check.py, sf0.01). After
+# CORRECTNESS_r11, max driver-row age <= 4 rounds for everything except
+# the 7 r4 leftovers (age 7, first up next round).
 _WINDOW: list[str] = [
-    # anchors (driver-green r1-r9)
+    # anchors (driver-green r1-r10)
     "q1_pricing_summary",
     "join_inner_nway",
     # one representative per 100 TB capped config
@@ -78,69 +84,54 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
-    # first contact: round-10 additions (audio + video perceptual near-dup)
-    "dedup_audio_fingerprint",
-    "dedup_audio_fingerprint_capped",
-    "dedup_video_fingerprint",
-    "dedup_video_fingerprint_capped",
-    "dedup_incremental_fingerprint",
-    # recency cohort: last driver green r3 (the full 30-entry remainder)
-    "ann_recall_at_k",
-    "asof_purchase_value",
-    "codec_roundtrip_gzip",
-    "corpus_temperature_sample",
-    "cube_orders_pricing",
-    "dedup_embedding_cosine",
-    "doc_bigram_logprob",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_quality",
-    "events_hour_rollup",
-    "grouping_comparator_orders",
-    "ivf_topk_search",
-    "join_broadcast_parts",
-    "join_salted_custsales",
-    "join_semi",
-    "keyfield_sorted_lines",
-    "mapfile_point_lookup",
-    "orders_monthly_delta",
-    "pack_training_sequences",
-    "partitioned_output_lookup",
-    "pipe_typedbytes_sum",
-    "pq_encode_vectors",
-    "running_total_supplier",
-    "set_intersect",
-    "terasort_rank",
-    "top_k_orders",
-    "union_multi_input",
-    "word_count",
-    "xml_records_parse",
-    # first contact: round-10 session-3 additions (hybrid retrieval fusion,
-    # multi-vector MaxSim, leakage-safe split). hybrid_rrf_search reuses the
-    # bm25_search_topk frame; leakage_safe_split is
-    # the group-aware successor of corpus_split_assign, which hands it the
-    # split-family slot and returns with the r4 remainder next round.
-    "hybrid_rrf_search",
-    "maxsim_multivector_topk",
-    "leakage_safe_split",
-    # first contact: the end-to-end curation funnel (composes the audited
-    # rule chain, exact dedup, capped near-dup components and temperature
-    # sampling as shared frames; corpus_filter_pipeline hands it the
-    # rule-chain family slot and returns with the r4 remainder next round)
-    "curation_funnel_report",
-    # first contact: session-3 batch 2 — per-source quality percentile
-    # (FineWeb-Edu-style), token-budget mixture apportionment (largest
-    # remainder), and margin-based bitext mining (Artetxe & Schwenk 2019)
-    "quality_percentile_filter",
-    "mixture_token_budget",
-    "bitext_margin_mining",
+    # first contact: round-11 addition (IVF-pruned bitext mining twin)
+    "bitext_margin_mining_capped",
+    # changed-semantics / changed-plan re-validation (round 11)
     "k_anonymity_release",
     "prf_rm3_search",
-    # (no r4 slots left this window: first contact for the 9 session-3
-    # entries outranks recency; the full r4 cohort — including
-    # bm25_search_topk, whose frame hybrid_rrf_search AND prf_rm3_search
-    # reuse in-window — rotates back next round, and the 30-entry r3
-    # remainder above still carries the recency burn-down)
+    "hybrid_rrf_search",
+    # recency cohort: last driver green r4 (39 alphabetically-first + the
+    # decode-path-changed video_frames_sample)
+    "asof_tolerance_purchase",
+    "bloom_filter_probe",
+    "bm25_search_topk",
+    "cdc_upsert_orders",
+    "copurchase_pagerank",
+    "corpus_filter_pipeline",
+    "corpus_global_shuffle",
+    "corpus_split_assign",
+    "customer_rfm_segments",
+    "decontaminate_eval_overlap",
+    "dedup_containment",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_simhash_hamming",
+    "doc_chunk_tokens",
+    "doc_repetition",
+    "domain_quota_filter",
+    "dsir_importance_select",
+    "embed_quantize_int8",
+    "events_daily_gapfill",
+    "fuzzy_match_customers",
+    "hll_rollup_grains",
+    "image_decode_roundtrip",
+    "incremental_agg_maintenance",
+    "ivf_topk_multiprobe",
+    "jpeg_decode_blocks",
+    "kmeans_lloyd_refine",
+    "knn_filtered_topk",
+    "large_volume_customers",
+    "lsh_recall_vs_exact",
+    "mix_domain_weights",
+    "orc_roundtrip_scan",
+    "pq_topk_search_adc",
+    "price_qty_corr_by_flag",
+    "promo_revenue_monthly",
+    "scd2_order_history",
+    "session_path_topk",
+    "stream_interval_join",
+    "stream_late_data_drop",
+    "video_frames_sample",
 ]
 
 
