@@ -2657,3 +2657,115 @@ def k_anonymity_release(spark, sf_dir):
         )
     )
     return kept.unionAll(sup)
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (geometric mechanism)
+# ---------------------------------------------------------------------------
+
+# Truncated two-sided geometric ("discrete Laplace") noise: alpha = 1/2
+# (epsilon = ln 2 per released count at sensitivity 1), support [-8, 8].
+# Weights alpha^|k| scale to EXACT integers (2^(8-|k|)), so the inverse-CDF
+# is a pure integer threshold table — no float ever decides a noise draw,
+# and both engines walk the identical table.
+_DP_TRUNC = 8
+
+
+def _dp_noise_table():
+    """[(k, cumulative_weight)] over k in [-8, 8] plus the total weight —
+    the single source both the Spark expression and the SQL CASE are
+    generated from (the _z_terms rule: one loop, engines cannot drift)."""
+    ks = list(range(-_DP_TRUNC, _DP_TRUNC + 1))
+    cum, acc = [], 0
+    for k in ks:
+        acc += 2 ** (_DP_TRUNC - abs(k))
+        cum.append((k, acc))
+    return cum, acc
+
+
+def _dp_noise_exprs():
+    """(spark_noise_builder(h_col), duck_case_sql(h_sql)) mapping a uniform
+    integer h in [0, total) to the truncated geometric noise draw."""
+    cum, total = _dp_noise_table()
+
+    def spark(h):
+        expr = None
+        for k, c in cum:
+            cond = h < F.lit(c)
+            expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
+        return expr.cast("long")
+
+    parts = " ".join(f"WHEN {{h}} < {c} THEN {k}" for k, c in cum)
+    duck = f"(CASE {parts} END)"
+    return spark, duck, total
+
+
+@register(
+    "dp_count_release",
+    oracle=None,  # set below (needs the generated CASE); see _dp_finalize
+    ref="differentially-private per-(lang, source) document-count release "
+    "via the geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009 — "
+    "the discrete counterpart of Laplace noise, universally utility-optimal "
+    "for counts): each cell's exact count gets an independent two-sided "
+    "geometric noise draw with alpha = 1/2 (epsilon = ln 2 at the count "
+    "query's sensitivity of 1), truncated to [-8, +8] (truncation "
+    "probability < 0.4% per tail) and clipped at zero after addition. The "
+    "draw is the inverse-CDF walk of an EXACT integer weight table "
+    "(weights 2^(8-|k|), total 766) over h = md5(cell-seed) mod 766 — "
+    "deterministic seeding is the cross-engine-reproducibility device this "
+    "repo uses for every synthetic random draw (pi_estimate, gen_teragen); "
+    "a production release swaps h for calibrated SECURE randomness, "
+    "changing nothing else. Counts only: a count query has sensitivity "
+    "exactly 1, so the epsilon claim is textbook-correct — noised SUMS "
+    "(n_chars etc.) would need sensitivity-scaled noise and are "
+    "deliberately not released here. Complements k_anonymity_release: "
+    "suppression hides small cells, DP noise protects every cell's exact "
+    "value. 100 TB posture: one hash aggregation with map-side partials; "
+    "the noise is a map-side expression over the |cells|-row result",
+)
+def dp_count_release(spark, sf_dir):
+    from ..functions.dedup import md5_int32
+
+    spark_noise, _duck_case, total = _dp_noise_exprs()
+    d = T(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    seed = F.concat(
+        F.col("lang"), F.lit(":"), F.col("source"), F.lit(":dp")
+    )
+    h = md5_int32(seed) % total
+    return g.select(
+        "lang",
+        "source",
+        F.greatest(F.col("n_docs") + spark_noise(h), F.lit(0))
+        .cast("long")
+        .alias("n_docs_dp"),
+    )
+
+
+def _dp_oracle() -> str:
+    from ..functions.dedup import duck_md5_int32
+
+    _spark_noise, duck_case, total = _dp_noise_exprs()
+    seed_sql = "lang || ':' || source || ':dp'"
+    h = f"({duck_md5_int32(seed_sql)} % {total})"
+    case = duck_case.format(h=h)
+    return f"""
+        SELECT lang, source,
+               CAST(greatest(count(*) + {case}, 0) AS BIGINT) AS n_docs_dp
+        FROM documents GROUP BY lang, source
+    """
+
+
+# register() stores the oracle at decoration time; the SQL needs the
+# generated CASE, so patch the frozen entry in place via object.__setattr__
+# (InventoryEntry is a frozen dataclass).
+def _dp_finalize():
+    from .registry import _REGISTRY
+
+    e = _REGISTRY["dp_count_release"]
+    object.__setattr__(e, "oracle", _dp_oracle())
+
+
+_dp_finalize()

@@ -1195,6 +1195,51 @@ def test_k_anonymity_release_invariants(spark, sf_dir):
         ) - sum(r["n"] for r in sup)
 
 
+def test_dp_count_release_noise_pinned_to_table(spark, sf_dir):
+    """Every released count equals max(exact + noise, 0) where noise is the
+    pure-Python inverse-CDF walk of the integer weight table over the md5
+    seed — the geometric mechanism's draw recomputed outside both engines;
+    and every draw is inside the documented truncation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        _DP_TRUNC,
+        _dp_noise_table,
+        dp_count_release,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    cum, total = _dp_noise_table()
+
+    def noise(lang, source):
+        h = int(
+            hashlib.md5(f"{lang}:{source}:dp".encode()).hexdigest()[:8], 16
+        ) % total
+        for k, c in cum:
+            if h < c:
+                return k
+        raise AssertionError("threshold table must cover [0, total)")
+
+    exact = {
+        (r["lang"], r["source"]): r["n"]
+        for r in T(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = dp_count_release(spark, sf_dir).collect()
+    assert {(r["lang"], r["source"]) for r in rows} == set(exact)
+    drew_nonzero = False
+    for r in rows:
+        nz = noise(r["lang"], r["source"])
+        assert abs(nz) <= _DP_TRUNC
+        drew_nonzero = drew_nonzero or nz != 0
+        assert r["n_docs_dp"] == max(exact[(r["lang"], r["source"])] + nz, 0)
+    assert drew_nonzero  # the table is not degenerate on the fixture
+
+
 def test_k_anonymity_remainder_withheld_when_identifying(spark, tmp_path):
     """A corpus with exactly ONE sub-k cell must NOT release a remainder
     row (subtraction attack), and a sentinel-valued real cohort fails
