@@ -1699,6 +1699,7 @@ def prf_rm3_search(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    cand_tf.count()  # eager materialization (persist-gate contract)
     dfreq = cand_tf.groupBy("term").agg(F.count("*").alias("df"))
     exp_terms = (
         fb_tf.filter(~F.col("term").isin(*_BM25_QUERY))

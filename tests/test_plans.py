@@ -1195,6 +1195,38 @@ def test_k_anonymity_release_invariants(spark, sf_dir):
         ) - sum(r["n"] for r in sup)
 
 
+def test_jl_projection_recall_invariants(spark, sf_dir):
+    """The JL sign table is deterministic and near-balanced, and the recall
+    report is internally consistent (hits bounded by queries*k, ppm-rounded
+    ratio matches the integer counts)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.dedup_sim import (
+        _JL_IN,
+        _JL_OUT,
+        _RECALL_K,
+        _jl_signs,
+        jl_projection_recall,
+    )
+
+    signs = _jl_signs()
+    assert signs == _jl_signs()  # definition-time determinism
+    assert len(signs) == _JL_OUT and all(len(r) == _JL_IN for r in signs)
+    flat = [s for r in signs for s in r]
+    assert set(flat) == {1.0, -1.0}
+    # md5-seeded signs are near-balanced (binomial: |mean| well under 0.2)
+    assert abs(sum(flat)) / len(flat) < 0.2
+
+    r = jl_projection_recall(spark, sf_dir).collect()[0]
+    assert 0 < r["n_queries"]
+    assert 0 <= r["n_hits"] <= r["n_queries"] * _RECALL_K
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+    expected = (
+        int(r["n_hits"] * 1_000_000 / (r["n_queries"] * _RECALL_K) + 0.5)
+        / 1_000_000
+    )
+    assert abs(r["recall_at_k"] - expected) < 1e-9
+    assert 0 <= r["n_perfect"] <= r["n_queries"]
+
+
 def test_dp_count_release_noise_pinned_to_table(spark, sf_dir):
     """Every released count equals max(exact + noise, 0) where noise is the
     pure-Python inverse-CDF walk of the integer weight table over the md5
