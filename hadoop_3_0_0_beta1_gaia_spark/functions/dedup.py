@@ -382,6 +382,32 @@ def minhash_signatures(
     return base.select("id", sig.alias("sig"))
 
 
+def banded_signatures(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bsig) band rows of a signature frame — the map-side array
+    slice shared by the symmetric bucket generator
+    (:func:`lsh_candidate_pairs`) and the cross-side broadcast probe
+    (plans.dedup_sim.decontaminate_near_dup, where one side is tiny and the
+    bucket groupBy would be the wrong shape)."""
+    bands = F.transform(
+        F.sequence(
+            F.lit(0), (F.size("sig") / rows_per_band).cast("int") - 1
+        ),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice("sig", b.cast("int") * rows_per_band + 1, rows_per_band),
+                    lambda m: m.cast("string"),
+                ),
+                "_",
+            ).alias("bsig"),
+        ),
+    )
+    return sig.select("id", F.explode(bands).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     rows_per_band: int = 4,
@@ -411,24 +437,7 @@ def lsh_candidate_pairs(
     ``seed // rows_per_band`` would keep a partial final band — callers
     (``minhash_lsh_pairs``/``duckdb_minhash_lsh``) enforce divisibility so
     the twins cannot diverge."""
-    bands = F.transform(
-        F.sequence(
-            F.lit(0), (F.size("sig") / rows_per_band).cast("int") - 1
-        ),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.array_join(
-                F.transform(
-                    F.slice("sig", b.cast("int") * rows_per_band + 1, rows_per_band),
-                    lambda m: m.cast("string"),
-                ),
-                "_",
-            ).alias("bsig"),
-        ),
-    )
-    banded = sig.select("id", F.explode(bands).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-    )
+    banded = banded_signatures(sig, rows_per_band)
     buckets = (
         banded.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))

@@ -701,6 +701,173 @@ def _jl_finalize():
 _jl_finalize()
 
 
+# Near-dup eval decontamination: pseudo eval split (doc_id % mod == 0,
+# ~14% here so the gate-SF fixture exercises the path; a real run
+# substitutes the benchmark suite, which is far smaller and broadcasts
+# even more comfortably).
+_DECON_MOD = 7
+
+
+def _decon_nd_oracle() -> str:
+    from ..functions.dedup import _MINHASH_P, _minhash_coeffs, duck_shingles
+    from ..functions.rounding import duck_fround
+
+    n, num_hashes = _MINHASH["n"], _MINHASH["num_hashes"]
+    rpb, thr = _MINHASH["rows_per_band"], _MINHASH["threshold"]
+    coeffs = _minhash_coeffs(num_hashes)
+    perm_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    jac = duck_fround("i.inter / (st.sz + se.sz - i.inter)", 4)
+    return f"""
+        WITH sh AS ({duck_shingles("documents", n)}),
+        perms(seed, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+            SELECT id, seed,
+                   min((a * (shingle % {_MINHASH_P}) + b) % {_MINHASH_P}) AS mh
+            FROM sh, perms
+            GROUP BY id, seed
+        ),
+        banded AS (
+            SELECT id, CAST(seed // {rpb} AS INT) AS band,
+                   string_agg(mh::VARCHAR, '_' ORDER BY seed) AS bsig
+            FROM sig GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT DISTINCT t.id AS doc_id, e.id AS eval_id
+            FROM banded t JOIN banded e
+              ON t.band = e.band AND t.bsig = e.bsig
+            WHERE t.id % {_DECON_MOD} <> 0 AND e.id % {_DECON_MOD} = 0
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT t.id AS doc_id, e.id AS eval_id, count(*) AS inter
+            FROM sh t JOIN sh e ON t.shingle = e.shingle
+            WHERE t.id % {_DECON_MOD} <> 0 AND e.id % {_DECON_MOD} = 0
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.doc_id, i.eval_id, {jac} AS jaccard
+            FROM inter i
+            JOIN cands c ON c.doc_id = i.doc_id AND c.eval_id = i.eval_id
+            JOIN sizes st ON st.id = i.doc_id
+            JOIN sizes se ON se.id = i.eval_id
+            WHERE {jac} >= {thr}
+        ),
+        best AS (
+            SELECT doc_id, eval_id AS best_eval_id, jaccard AS best_jaccard
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY jaccard DESC, eval_id) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        )
+        SELECT c.doc_id,
+               CAST(c.n_eval_matches AS BIGINT) AS n_eval_matches,
+               CAST(b.best_eval_id AS BIGINT) AS best_eval_id,
+               b.best_jaccard
+        FROM (SELECT doc_id, count(*) AS n_eval_matches
+              FROM pairs GROUP BY doc_id) c
+        JOIN best b ON b.doc_id = c.doc_id
+    """
+
+
+@register(
+    "decontaminate_near_dup",
+    oracle=None,  # set by _decon_nd_finalize (needs generated perm literals)
+    ref="NEAR-DUP benchmark decontamination — the fuzzy complement of "
+    "decontaminate_eval_overlap's exact 8-token-span rule (Llama/GPT-style "
+    "audits run both: verbatim spans catch quotation, near-dup catches "
+    "paraphrase/reformat contamination an exact span misses): every TRAIN "
+    "document whose MinHash-LSH candidate set contains an eval document "
+    "and survives the exact-Jaccard verify is reported with its match "
+    "count, best-matching eval doc, and best Jaccard — the audit table "
+    "that drives the drop list, with provenance. The plan shape is the "
+    "POINT: unlike the symmetric corpus x corpus banding (one bucket "
+    "groupBy), the eval side is benchmark-sized, so its band rows and its "
+    "shingle arrays BROADCAST and the training side streams map-side "
+    "through two broadcast hash joins — no shuffle keyed on band or "
+    "shingle anywhere, linear in corpus size (the "
+    "decontaminate_eval_overlap posture lifted from span hashes to the "
+    "full LSH pipeline; band/signature machinery shared verbatim with "
+    "minhash_lsh_pairs via banded_signatures)",
+)
+def decontaminate_near_dup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.dedup import (
+        banded_signatures,
+        minhash_signatures,
+        shingle_arrays,
+    )
+    from ..functions.rounding import fround
+
+    d = T(spark, sf_dir, "documents")
+    sh = owned_persist(
+        shingle_arrays(d, _MINHASH["n"])
+    )
+    sh.count()  # eager materialization (persist-gate contract)
+    banded = banded_signatures(
+        minhash_signatures(sh, _MINHASH["num_hashes"]),
+        _MINHASH["rows_per_band"],
+    )
+    is_eval = F.col("id") % _DECON_MOD == 0
+    ev_bands = banded.filter(is_eval).select(
+        F.col("id").alias("eval_id"), "band", "bsig"
+    )
+    cands = (
+        banded.filter(~is_eval)
+        .join(F.broadcast(ev_bands), ["band", "bsig"])
+        .select(F.col("id").alias("doc_id"), "eval_id")
+        .distinct()
+    )
+    tr_sh = sh.select(F.col("id").alias("doc_id"), F.col("shingles").alias("sh_t"))
+    ev_sh = sh.filter(is_eval).select(
+        F.col("id").alias("eval_id"), F.col("shingles").alias("sh_e")
+    )
+    ver = cands.join(tr_sh, "doc_id").join(F.broadcast(ev_sh), "eval_id").select(
+        "doc_id",
+        "eval_id",
+        F.size(F.array_intersect("sh_t", "sh_e")).cast("long").alias("inter"),
+        F.size("sh_t").cast("long").alias("sz_t"),
+        F.size("sh_e").cast("long").alias("sz_e"),
+    )
+    jac = fround(
+        F.col("inter") / (F.col("sz_t") + F.col("sz_e") - F.col("inter")), 4
+    )
+    pairs = (
+        ver.withColumn("jaccard", jac)
+        .filter((F.col("inter") > 0) & (F.col("jaccard") >= _MINHASH["threshold"]))
+        .select("doc_id", "eval_id", "jaccard")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("eval_id")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    counts = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_eval_matches")
+    )
+    return counts.join(best, "doc_id").select(
+        "doc_id", "n_eval_matches", "best_eval_id", "best_jaccard"
+    )
+
+
+def _decon_nd_finalize():
+    from .registry import _REGISTRY
+
+    e = _REGISTRY["decontaminate_near_dup"]
+    object.__setattr__(e, "oracle", _decon_nd_oracle())
+
+
+_decon_nd_finalize()
+
+
 _INCR_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
 
 

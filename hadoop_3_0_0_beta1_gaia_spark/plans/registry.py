@@ -51,19 +51,24 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # CORRECTNESS_r10 the oldest driver greens are the r4 cohort (47 entries,
 # incl. the three dropped by rotation #12 to hold the window at 50:
 # dedup_containment / dedup_incremental_exact / decontaminate_eval_overlap).
-# The window takes the 37 alphabetically-first r4 entries PLUS
+# The window takes the 35 alphabetically-first r4 entries PLUS
 # video_frames_sample (out of alphabetical order because its decode path
 # changed this round: jpeg_decode_batch — changed-plan re-validation
-# outranks the recency tie); the 9 r4 leftovers (stream_sliding_topk
+# outranks the recency tie); the 11 r4 leftovers (stream_sliding_topk
 # supplier_cnt_notin top_supplier_per_part url_normalize_dedup
 # user_hour_bitmap validate_orders_constraints zorder_layout_orders —
-# plus stream_late_data_drop and stream_interval_join, which handed
-# their slots to the session-2 first contacts dp_count_release and
-# jl_projection_recall) lead rotation #14 with the r5 cohort (17). IN
+# plus stream_late_data_drop, stream_interval_join, session_path_topk
+# and scd2_order_history, which handed their slots to the session-2/3
+# first contacts dp_count_release, jl_projection_recall,
+# decontaminate_near_dup and trending_decay_topk) lead rotation #14 with
+# the r5 cohort (17). IN
 # for first contact: bitext_margin_mining_capped (the IVF-pruned
 # scale-safe twin, new this round), dp_count_release (geometric-
-# mechanism DP count release, session 2), and jl_projection_recall
-# (Johnson-Lindenstrauss projection recall gate, session 2) — first
+# mechanism DP count release, session 2), jl_projection_recall
+# (Johnson-Lindenstrauss projection recall gate, session 2), and
+# decontaminate_near_dup (broadcast cross-side LSH decontamination,
+# session 3), and trending_decay_topk (exact-integer decayed trending,
+# session 3) — first
 # contact outranks the recency tie, the rotation-#12 precedent. IN for
 # changed-semantics re-validation: k_anonymity_release (the
 # remainder row is now withheld unless >= 2 suppressed cells merge to >= k
@@ -80,7 +85,7 @@ def register(name: str, oracle: str | None = None, ref: str = ""):
 # change, digests pinned vs r10 artifacts). Every IN entry pre-validated
 # under the exact driver protocol (tools/driver_check.py, sf0.01). After
 # CORRECTNESS_r11, max driver-row age <= 4 rounds for everything except
-# the 9 r4 leftovers (age 7, first up next round).
+# the 11 r4 leftovers (age 7, first up next round).
 _WINDOW: list[str] = [
     # anchors (driver-green r1-r10)
     "q1_pricing_summary",
@@ -91,15 +96,18 @@ _WINDOW: list[str] = [
     "dedup_simhash64_hamming_capped",
     "dedup_components_capped",
     # first contact: round-11 additions (IVF-pruned bitext mining twin;
-    # geometric-mechanism DP count release; JL projection recall gate)
+    # geometric-mechanism DP count release; JL projection recall gate;
+    # broadcast cross-side near-dup decontamination; decayed trending)
     "bitext_margin_mining_capped",
     "dp_count_release",
     "jl_projection_recall",
+    "decontaminate_near_dup",
+    "trending_decay_topk",
     # changed-semantics / changed-plan re-validation (round 11)
     "k_anonymity_release",
     "prf_rm3_search",
     "hybrid_rrf_search",
-    # recency cohort: last driver green r4 (37 alphabetically-first + the
+    # recency cohort: last driver green r4 (35 alphabetically-first + the
     # decode-path-changed video_frames_sample)
     "asof_tolerance_purchase",
     "bloom_filter_probe",
@@ -136,8 +144,6 @@ _WINDOW: list[str] = [
     "pq_topk_search_adc",
     "price_qty_corr_by_flag",
     "promo_revenue_monthly",
-    "scd2_order_history",
-    "session_path_topk",
     "video_frames_sample",
 ]
 

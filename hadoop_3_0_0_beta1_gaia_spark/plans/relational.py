@@ -704,6 +704,95 @@ def events_hour_rollup(spark, sf_dir):
     )
 
 
+# Trending detection: half-life W = 1 day (one decay bucket per day of
+# age), horizon B buckets (older events weigh exactly 0 — documented
+# truncation), top K items reported. Weights are exact powers of two so
+# the decayed score is an order-free BIGINT sum.
+_TREND_W_MICROS = 86_400 * 1_000_000
+_TREND_B = 20
+_TREND_K = 10
+
+
+@register(
+    "trending_decay_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+                   epoch_ns(ts) // 1000 AS t
+            FROM events
+        ),
+        m AS (SELECT max(t) AS tmax FROM e),
+        w AS (
+            SELECT item, CAST((tmax - t) // {_TREND_W_MICROS} AS BIGINT) AS bucket
+            FROM e CROSS JOIN m
+        ),
+        s AS (
+            SELECT item,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN bucket <= {_TREND_B}
+                                 THEN (1::BIGINT << ({_TREND_B} - bucket))
+                                 ELSE 0 END) AS BIGINT) AS score_q
+            FROM w GROUP BY item
+        )
+        SELECT item, n_events, score_q, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY score_q DESC, item) AS BIGINT) AS rank
+            FROM s
+        ) WHERE rank <= {_TREND_K}
+    """,
+    ref="trending detection via exponentially-decayed counts (the "
+    "trending-topics / hot-items primitive: a plain count window ranks "
+    "stale-but-large items above recently-hot ones; exponential decay "
+    "downweights age smoothly): each event of an item (the numeric key in "
+    "its props payload, one regexp_extract on both engines) contributes "
+    "weight 2^-age, with age measured in whole 1-day half-life buckets "
+    "back from the corpus max timestamp. Engine portability: "
+    "piecewise-constant decay makes every weight an exact power of two — "
+    "score = sum of 2^(B - bucket) as a BIGINT shift, an ORDER-FREE "
+    f"integer sum (a float e^-lambda*t fold is order-sensitive at the last "
+    f"ulp); events older than B={_TREND_B} buckets weigh exactly 0 "
+    "(documented truncation — 2^-20 is below any ranking relevance). "
+    "Timestamps travel as exact integer micros (instant_ts / epoch_ns "
+    "// 1000 on the two engines — the repo-wide NANOS contract). 100 TB "
+    "posture: one map-side expression per event, one hash aggregation "
+    "with map-side partials keyed by item, a 1-row max broadcast, and a "
+    "TakeOrdered top-k — no window over the event stream, no shuffle "
+    "beyond the item agg; incremental maintenance halves every stored "
+    "score once per bucket boundary and adds new events' weights",
+)
+def trending_decay_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..session import instant_ts
+
+    ev = instant_ts(T(spark, sf_dir, "events"))
+    base = ev.select(
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long").alias("item"),
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    tmax = base.agg(F.max("t").alias("tmax"))
+    bucket = F.expr(f"(tmax - t) DIV {_TREND_W_MICROS}").cast("long")
+    weighted = base.crossJoin(F.broadcast(tmax)).select(
+        "item", bucket.alias("bucket")
+    )
+    score = F.sum(
+        F.when(
+            F.col("bucket") <= _TREND_B,
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({_TREND_B} - bucket AS INT))"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    s = weighted.groupBy("item").agg(
+        F.count("*").cast("long").alias("n_events"),
+        score.cast("long").alias("score_q"),
+    )
+    topk = s.orderBy(F.col("score_q").desc(), F.col("item")).limit(_TREND_K)
+    w = Window.orderBy(F.col("score_q").desc(), F.col("item"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 @register(
     "q3_shipping_priority",
     oracle="""

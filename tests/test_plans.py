@@ -1195,6 +1195,79 @@ def test_k_anonymity_release_invariants(spark, sf_dir):
         ) - sum(r["n"] for r in sup)
 
 
+def test_trending_decay_scores_halve_per_bucket(spark, tmp_path):
+    """Constructed fixture pins the decay semantics exactly: 3 events at
+    age bucket 0 tie 6 events at bucket 1 (each bucket of age halves the
+    weight), ties break to the smaller item, and events past the horizon
+    weigh exactly zero."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.relational import (
+        _TREND_B,
+        trending_decay_topk,
+    )
+
+    t0 = dt.datetime(2024, 6, 30, 12, 0, 0)
+    day = dt.timedelta(days=1)
+
+    def ev(i, item, ts):
+        return Row(
+            event_id=i, ts=ts, user_id=1, event_type="view",
+            value=1.0, props='{"k": %d}' % item,
+        )
+
+    rows = (
+        [ev(i, 1, t0) for i in range(3)]                      # bucket 0
+        + [ev(10 + i, 2, t0 - day) for i in range(6)]         # bucket 1
+        + [ev(20 + i, 3, t0 - (_TREND_B + 5) * day) for i in range(50)]  # 0-wt
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        sf + "/events.parquet"
+    )
+    out = {r["item"]: r for r in trending_decay_topk(spark, sf).collect()}
+    assert out[1]["score_q"] == 3 * (1 << _TREND_B)
+    assert out[2]["score_q"] == 6 * (1 << (_TREND_B - 1))
+    assert out[1]["score_q"] == out[2]["score_q"]  # the designed tie
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2  # item tie-break
+    assert out[3]["score_q"] == 0 and out[3]["n_events"] == 50
+
+
+def test_decontaminate_near_dup_broadcast_shape_and_semantics(spark, sf_dir):
+    """The eval side must BROADCAST (band probe and shingle verify are
+    broadcast hash joins — no sort-merge join keyed on band or shingle
+    anywhere), and every reported row is a genuine cross-split near-dup:
+    train doc not in the eval split, best eval doc in it, best_jaccard at
+    or above the family threshold and consistent with match counts."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.dedup_sim import (
+        _DECON_MOD,
+        _MINHASH,
+        decontaminate_near_dup,
+    )
+
+    df = decontaminate_near_dup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # any sort-merge join may only be the final counts-vs-best REPORT join
+    # (keyed on doc_id, report-sized) — never the band probe or the shingle
+    # verify
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line, (
+                "sort-merge join on a non-report key:\n" + plan
+            )
+    assert "SortMergeJoin [band" not in plan, plan
+    rows = df.collect()
+    assert rows, "fixture must exercise the cross-split path"
+    for r in rows:
+        assert r["doc_id"] % _DECON_MOD != 0
+        assert r["best_eval_id"] % _DECON_MOD == 0
+        assert r["best_jaccard"] >= _MINHASH["threshold"]
+        assert r["n_eval_matches"] >= 1
+
+
 def test_jl_projection_recall_invariants(spark, sf_dir):
     """The JL sign table is deterministic and near-balanced, and the recall
     report is internally consistent (hits bounded by queries*k, ppm-rounded
