@@ -640,13 +640,24 @@ def set_intersect(spark, sf_dir):
     oracle="""
         SELECT c_custkey AS custkey FROM customer
         EXCEPT
-        SELECT o_custkey FROM orders
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     """,
-    ref="except (free in Spark) — SURVEY §2.8",
+    ref="except (free in Spark) — SURVEY §2.8. Customers minus those with "
+    "an OPEN ('O') order: the subtracted side is status-filtered because "
+    "the unfiltered form (customers minus ALL order customers) is empty "
+    "at every fixture SF — a 0-row gate output is the weakest possible "
+    "driver evidence (the rotation-#10 lesson that kept this entry out "
+    "of the window); the filtered form returns 49 rows at gate SF so the "
+    "hash compare actually exercises values. The status filter pushes "
+    "into the orders scan below the EXCEPT's aggregate",
 )
 def set_except(spark, sf_dir):
     cust = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    ordc = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    ordc = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return cust.subtract(ordc)
 
 
