@@ -110,9 +110,16 @@ def _spark_digest(df):
     for c in sorted(df.columns):
         dt = df.schema[c].dataType.simpleString()
         col = F.col(c)
-        s = F.format_string("%.9f", col) if dt in ("double", "float") else col.cast(
-            "string"
-        )
+        if dt in ("double", "float"):
+            # format_string renders a NULL argument as the literal string
+            # "null" (Java String.format semantics) instead of propagating
+            # SQL NULL, so the coalesce below would never fire and the row
+            # string diverges from DuckDB's printf (which propagates NULL)
+            # — found by the first digest-mode sweep over an entry with a
+            # nullable double column (asof_* at sf10, r11)
+            s = F.when(col.isNotNull(), F.format_string("%.9f", col))
+        else:
+            s = col.cast("string")
         parts.append(F.coalesce(s, F.lit("NULL")))
     h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
         "long"
