@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.rounding import duck_fround, fround
-from ..functions.text_metrics import duck_tokens, tokens
+from ..functions.text_metrics import ALNUM_LOWER, WS_CHARS, duck_tokens, tokens
 from ..session import table as T
 from .registry import register
 
@@ -1459,8 +1459,12 @@ def quality_classifier_score(spark, sf_dir):
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
     ).cast("long")
-    n_punct = (
-        F.length(lt) - F.length(F.regexp_replace(lt, r"[^a-z0-9\s]", ""))
+    # Single-pass translate count == the [^a-z0-9\s] regexp_replace count
+    # (Java \s = exactly the 6 chars in WS_CHARS): measured 19.8 s → 0.9 s
+    # over the sf10 fixture, 0 mismatches (OPTIMIZATION_r11.md). The oracle
+    # keeps the regex formulation — the driver hash-compare pins equality.
+    n_punct = F.length(
+        F.translate(lt, ALNUM_LOWER + WS_CHARS, "")
     ).cast("long")
     n_digit = (
         F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))

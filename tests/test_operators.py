@@ -2707,3 +2707,47 @@ def test_gopher_dup_line_metrics_thresholds(spark):
     assert got[3] == (10, 2, True)    # char-fraction fires (100 of 116 chars:
                                       # 2x50 'x' lines + 8x2 'u{i}' lines)
     assert got[4] == (5, 0, False)
+
+
+def test_translate_counts_equal_regex_counts(spark):
+    """r11 optimization pin: the translate()-based character-class counts in
+    quality_score / quality_classifier_score are value-identical to the
+    regexp_replace formulations they replaced (the oracle still uses the
+    regex form, so any divergence fails the driver hash-compare too).
+    Adversarial inputs: every Java \\s member, unicode whitespace that \\s
+    does NOT match (NBSP, ideographic space), digits, unicode letters,
+    emoji, empty string."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.text_metrics import (
+        ALNUM_LOWER,
+        WS_CHARS,
+    )
+
+    rows = [
+        ("plain words and 123 numbers!",),
+        (" \t\n\x0b\x0c\r",),                     # all six Java \s chars
+        ("  　",),                  # unicode WS: NOT \s in Java
+        ("punct!!! ###$%^&*()",),
+        ("ÜmläütÉ çhârs ß and 漢字 🚀",),          # non-ASCII letters + emoji
+        ("",),
+        ("0123456789",),
+        ("a,b.c;d:e'f\"g",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    t = F.lower(F.col("text"))
+    regex_non_ws = F.length(F.regexp_replace(t, r"\s+", ""))
+    regex_punct = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    )
+    tr_non_ws = F.length(F.translate(t, WS_CHARS, ""))
+    tr_punct = F.length(F.translate(t, ALNUM_LOWER + WS_CHARS, ""))
+    got = df.select(
+        regex_non_ws.alias("rn"),
+        tr_non_ws.alias("tn"),
+        regex_punct.alias("rp"),
+        tr_punct.alias("tp"),
+    ).collect()
+    for r in got:
+        assert r["rn"] == r["tn"], r
+        assert r["rp"] == r["tp"], r
