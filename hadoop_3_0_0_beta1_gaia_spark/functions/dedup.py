@@ -153,6 +153,7 @@ def _df_capped_shingles(
     max_df: int,
     generator: str = "ngram_jaccard",
     diag: dict | None = None,
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Document-frequency cap for shingle-join candidate generation: drop
     shingles appearing in > ``max_df`` documents BEFORE the self-join.
@@ -184,7 +185,15 @@ def _df_capped_shingles(
     )
     _record_cap_obs(diag, f"shingle_df_cap_{generator}", obs)
     rare = freq.filter(F.col("df") <= max_df).select("shingle")
-    capped = sh.join(rare, "shingle")
+    # The capped stream feeds THREE independent consumers downstream (pair
+    # join a-side, b-side, per-doc sizes); unpersisted, each re-runs the
+    # explode + freq + rare join (r11 optimization: stage-isolated at sf10
+    # the re-derivation cost ~5 s per consumer on a 35 s entry — persist +
+    # eager populate cuts the capped family ~20-30%). Rows are (id, shingle)
+    # longs — ~16 B/row, MEMORY_AND_DISK spills at scale.
+    capped = owned_persist(sh.join(rare, "shingle"))
+    if eager:
+        capped.count()
     sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
     return capped, sizes
 
@@ -263,7 +272,7 @@ def ngram_jaccard_pairs(
         sh_arr.count()
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        sh, sizes = _df_capped_shingles(sh, max_df, diag=diag)
+        sh, sizes = _df_capped_shingles(sh, max_df, diag=diag, eager=eager)
     else:
         # set size is the per-row array length — no aggregation shuffle
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
@@ -1718,7 +1727,7 @@ def containment_pairs(
     sh = sh_arr.select("id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         sh, sizes = _df_capped_shingles(sh, max_df, generator="containment",
-                                        diag=diag)
+                                        diag=diag, eager=eager)
     else:
         sizes = sh_arr.select("id", F.size("shingles").cast("long").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")

@@ -1414,3 +1414,15 @@ def test_prf_expansion_changes_the_ranking(spark, sf_dir):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     prf = {r["doc_id"] for r in rows}
     assert prf - lex, "expansion surfaced no new documents"
+
+
+def test_capped_shingle_stream_is_persisted(spark, sf_dir):
+    """r11 optimization pin: the df-capped (id, shingle) stream feeds three
+    independent consumers (pair-join a-side, b-side, per-doc sizes);
+    unpersisted, each re-derives the explode + freq + rare join (measured
+    ~5 s per consumer on a 35 s sf10 entry; interleaved A/B: 28.2 -> 16.0 s
+    mean). The capped plan must read the stream from cache — at least two
+    cache scans (a/b sides) on top of the shingle-array cache."""
+    p = _plan(spark, sf_dir, "dedup_ngram_jaccard_capped")
+    hits = p.count("InMemoryTableScan") + p.count("TableCacheQueryStage")
+    assert hits >= 2, f"capped shingle stream not read from cache:\n{p[:2000]}"
