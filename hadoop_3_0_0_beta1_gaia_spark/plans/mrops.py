@@ -1071,21 +1071,28 @@ def orders_monthly_delta(spark, sf_dir):
     "distinct frame is the only full shuffle; the self-join keys on user_id",
 )
 def events_daily_retention(spark, sf_dir):
+    from pyspark.sql import Window
+
     ev = T(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     du = ev.select(day.alias("day"), "user_id").distinct()
-    base = du.groupBy("day").agg(F.count("*").alias("dau"))
+    # r11 optimization (guide §2.4, remove shuffles): the +1-day self-join
+    # shuffled the distinct frame once per join side; within a user the
+    # distinct days are unique, so "user active on day+1" is exactly
+    # "lead(day) == day+1" under ONE (user_id) partitioning — identical
+    # counts (full-row-verified at sf1 and sf10), interleaved A/B at sf10
+    # 2.9-3.3 -> 1.9-2.0 s. dau and retained then fall out of one groupBy.
+    w = Window.partitionBy("user_id").orderBy("day")
     nxt = F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd")
-    a = du.select("day", "user_id", nxt.alias("next_day"))
-    b = du.select(F.col("day").alias("b_day"), F.col("user_id").alias("b_user"))
-    ret = (
-        a.join(b, (a.user_id == b.b_user) & (a.next_day == b.b_day))
-        .groupBy("day")
-        .agg(F.count("*").alias("retained"))
+    flagged = du.select(
+        "day", "user_id", (F.lead("day").over(w) == nxt).alias("is_retained")
     )
-    joined = base.join(ret, "day", "left")
-    retained = F.coalesce(F.col("retained"), F.lit(0))
-    return joined.select(
+    agg = flagged.groupBy("day").agg(
+        F.count("*").alias("dau"),
+        F.sum(F.col("is_retained").cast("long")).alias("ret_raw"),
+    )
+    retained = F.coalesce(F.col("ret_raw"), F.lit(0))
+    return agg.select(
         "day",
         "dau",
         retained.alias("retained"),

@@ -2751,3 +2751,37 @@ def test_translate_counts_equal_regex_counts(spark):
     for r in got:
         assert r["rn"] == r["tn"], r
         assert r["rp"] == r["tp"], r
+
+
+def test_retention_lead_window_semantics(spark):
+    """r11 optimization pin for the events_daily_retention rewrite: within a
+    user the distinct days are unique and sorted, so lead(day) == day+1 is
+    exactly 'active on the next calendar day' — including month/year
+    boundaries, gaps, and single-day users."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1: consecutive across a month boundary + a gap
+        (1, "2024-01-31 10:00:00"), (1, "2024-02-01 09:00:00"),
+        (1, "2024-02-03 09:00:00"),
+        # u2: single day only
+        (2, "2024-01-31 23:59:59"),
+        # u3: same day twice (distinct collapses), then next day
+        (3, "2024-01-31 01:00:00"), (3, "2024-01-31 02:00:00"),
+        (3, "2024-02-01 01:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    import hadoop_3_0_0_beta1_gaia_spark.plans.mrops as M
+
+    orig = M.T
+    try:
+        M.T = lambda spark, sf_dir, name: ev
+        got = {r["day"]: (r["dau"], r["retained"]) for r in
+               M.events_daily_retention(spark, "unused").collect()}
+    finally:
+        M.T = orig
+    assert got["2024-01-31"] == (3, 2)   # u1 and u3 retained, u2 not
+    assert got["2024-02-01"] == (2, 0)   # u1 gap to 02-03, u3 ends
+    assert got["2024-02-03"] == (1, 0)

@@ -1426,3 +1426,17 @@ def test_capped_shingle_stream_is_persisted(spark, sf_dir):
     p = _plan(spark, sf_dir, "dedup_ngram_jaccard_capped")
     hits = p.count("InMemoryTableScan") + p.count("TableCacheQueryStage")
     assert hits >= 2, f"capped shingle stream not read from cache:\n{p[:2000]}"
+
+
+def test_retention_has_no_self_join(spark, sf_dir):
+    """r11 optimization pin: events_daily_retention computes next-day
+    retention with lead() under ONE (user_id) partitioning — the +1-day
+    self-join of the distinct (day, user) frame (one shuffle per join side;
+    7 exchanges total) must not come back. Interleaved sf10 A/B: 2.9-3.3 ->
+    1.9-2.0 s, identical rows."""
+    import re
+
+    p = _plan(spark, sf_dir, "events_daily_retention")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    exchanges = set(re.findall(r"Exchange \((\d+)\)", p))
+    assert len(exchanges) <= 3, f"expected <=3 Exchanges, got {exchanges}"
