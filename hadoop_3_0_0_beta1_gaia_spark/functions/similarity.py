@@ -418,6 +418,7 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    vec_transform=None,
 ) -> DataFrame:
     """Bit-identical fast path for :func:`cosine_topk`.
 
@@ -434,6 +435,16 @@ def cosine_topk_vectorized(
     neighbors stream through ``mapInPandas`` with a per-partition top-k under
     the same (rounded cos DESC, id ASC) total order as the final window, so
     the partition-level prune can never drop a global top-k row.
+
+    ``vec_transform`` (r11, guide §4.2): optional numpy batch function
+    ``(n, d_in) -> (n, d_out)`` applied to BOTH the collected query batch
+    and every streamed neighbor batch before the cosine fold. Lets callers
+    evaluate a per-vector linear map (e.g. the JL signed projection) inside
+    the vectorized kernel instead of as a JVM expression column — a
+    1024-node projection expression falls out of whole-stage codegen and is
+    interpreted per row (measured 3.7 s for 20k rows at sf1), while the
+    same left-fold in numpy is milliseconds and bit-identical (pinned by
+    test_jl_numpy_projection_matches_expression).
     """
     import numpy as np
     import pandas as pd
@@ -447,6 +458,8 @@ def cosine_topk_vectorized(
     q_rows = q_df.collect()  # small query batch
     q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["__vec"] for r in q_rows], dtype=np.float64)
+    if vec_transform is not None:
+        Q = vec_transform(Q)
     scale = float(10**round_digits)
 
     def _fold_dots(V: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
@@ -478,6 +491,8 @@ def cosine_topk_vectorized(
             if not len(pdf):
                 continue
             V = np.array(list(pdf["__vec"]), dtype=np.float64)
+            if vec_transform is not None:
+                V = vec_transform(V)
             ids = pdf["id"].to_numpy(dtype=np.int64)
             nn = _fold_norms(V)
             cos = _fold_dots(V, Q) / np.sqrt(np.outer(nn, qn))  # b×q

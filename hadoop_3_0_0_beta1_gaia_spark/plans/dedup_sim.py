@@ -594,6 +594,28 @@ def _jl_project_exprs():
     return spark, duck
 
 
+def _jl_np_project(V):
+    """Numpy twin of the Spark/Duck projection term chain: out[:, j] is the
+    SAME left fold ``((s0*v0) + s1*v1) + ...`` the generated expression
+    evaluates, one vectorized multiply-add per input dimension, so every
+    IEEE intermediate — and therefore every projected value — is
+    bit-identical to the expression column
+    (test_jl_numpy_projection_matches_expression). Exists because the
+    16x64-term expression column exceeds what whole-stage codegen will
+    compile and fell back to per-row interpretation: measured
+    3.7 s for 20k rows at sf1 (~185 us/row) vs milliseconds here."""
+    import numpy as np
+
+    S = np.array(_jl_signs(), dtype=np.float64)  # (out_dims, in_dims)
+    out = np.empty((V.shape[0], S.shape[0]), dtype=np.float64)
+    for j in range(S.shape[0]):
+        acc = S[j, 0] * V[:, 0]
+        for i in range(1, S.shape[1]):
+            acc = acc + S[j, i] * V[:, i]
+        out[:, j] = acc
+    return out
+
+
 def _jl_oracle() -> str:
     _spark, duck_list = _jl_project_exprs()
     v = "list_transform(embedding, x -> x::DOUBLE)"
@@ -656,19 +678,23 @@ def _jl_oracle() -> str:
 )
 def jl_projection_recall(spark, sf_dir):
     from ..functions.rounding import fround
-    from ..functions.similarity import as_double
 
-    spark_proj, _duck = _jl_project_exprs()
     emb = T(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
-    proj = emb.select(
-        "vec_id", F.array(*spark_proj(v)).alias("embedding")
-    )
     exact = cosine_topk_vectorized(
         emb, query_filter=F.col("id") < 100, k=_RECALL_K, round_digits=6
     ).select("q_id", "n_id")
+    # r11 (guide §4.2): the projection runs INSIDE the numpy kernel
+    # (vec_transform) instead of as a generated expression column — the
+    # 16x64-term chain fell out of whole-stage codegen into per-row
+    # interpretation (3.7 s for 20k rows at sf1, the entry's dominant
+    # stage); the numpy twin is the identical IEEE fold (bit-equality
+    # pinned) and costs milliseconds. Full entry warm 7.8 -> 1.7 s at sf1.
     approx = cosine_topk_vectorized(
-        proj, query_filter=F.col("id") < 100, k=_RECALL_K, round_digits=6
+        emb,
+        query_filter=F.col("id") < 100,
+        k=_RECALL_K,
+        round_digits=6,
+        vec_transform=_jl_np_project,
     ).select(F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n"))
     hits = (
         exact.join(

@@ -1679,13 +1679,21 @@ def prf_rm3_search(spark, sf_dir):
     fb = bm25_search_topk(spark, sf_dir, toks=d).select("doc_id")
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    # feedback-term election input: explode ONLY the 10 feedback docs
-    fb_tf = (
+    # feedback-term election input: explode ONLY the 10 feedback docs.
+    # Persisted (r11, guide §5): fb_tf's lineage contains the whole BM25
+    # pass 1, and it has TWO consumers in separate actions — the
+    # candidate-term broadcast built during the cand_tf persist populate,
+    # and exp_terms in the final query — so without the persist pass 1's
+    # corpus explode ran twice per invocation (stage isolation at sf10:
+    # the cand_terms branch alone re-paid 4.2 s; interleaved A/B mean
+    # 18.9 -> 14.6 s). The frame is feedback-vocabulary-sized (tiny).
+    fb_tf = owned_persist(
         d.join(F.broadcast(fb), "doc_id")
         .select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("fb_tf"))
     )
+    fb_tf.count()  # eager materialization (persist-gate contract)
     # candidate terms = feedback vocabulary + query terms (small frame);
     # broadcast-filter the exploded corpus BEFORE the (doc, term) agg so
     # the shuffle never carries the full vocabulary

@@ -2785,3 +2785,38 @@ def test_retention_lead_window_semantics(spark):
     assert got["2024-01-31"] == (3, 2)   # u1 and u3 retained, u2 not
     assert got["2024-02-01"] == (2, 0)   # u1 gap to 02-03, u3 ends
     assert got["2024-02-03"] == (1, 0)
+
+
+def test_jl_numpy_projection_matches_expression(spark, sf_dir):
+    """r11 optimization pin: jl_projection_recall evaluates the JL signed
+    projection inside the numpy kernel (vec_transform) instead of as the
+    generated 16x64-term expression column. Both are the same left fold
+    ``((s0*v0) + s1*v1) + ...`` so every projected double must be
+    BIT-identical on the real fixture vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import as_double
+    from hadoop_3_0_0_beta1_gaia_spark.plans.dedup_sim import (
+        _jl_np_project,
+        _jl_project_exprs,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table
+
+    spark_proj, _ = _jl_project_exprs()
+    emb = table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    expr_rows = (
+        emb.select("vec_id", F.array(*spark_proj(v)).alias("p"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    raw_rows = emb.select("vec_id", v.alias("v")).orderBy("vec_id").collect()
+    V = np.array([r["v"] for r in raw_rows], dtype=np.float64)
+    got = _jl_np_project(V)
+    want = np.array([r["p"] for r in expr_rows], dtype=np.float64)
+    assert got.shape == want.shape
+    # bit-for-bit: identical IEEE fold order on both paths
+    assert np.array_equal(
+        got.view(np.int64), want.view(np.int64)
+    ), "numpy JL projection diverged from the expression chain"

@@ -1440,3 +1440,22 @@ def test_retention_has_no_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     exchanges = set(re.findall(r"Exchange \((\d+)\)", p))
     assert len(exchanges) <= 3, f"expected <=3 Exchanges, got {exchanges}"
+
+
+def test_prf_feedback_tf_is_persisted(spark, sf_dir):
+    """r11 optimization pin: prf_rm3_search's fb_tf frame (whose lineage
+    contains the entire BM25 pass 1) is owned-persisted — its two consumers
+    (the candidate-term broadcast and exp_terms) must read it from cache so
+    the pass-1 corpus explode runs once per invocation, not twice.
+    Interleaved sf10 A/B: mean 18.9 -> 14.6 s."""
+    from hadoop_3_0_0_beta1_gaia_spark import session as S
+
+    S.release_owned()
+    spark.catalog.clearCache()
+    QS["prf_rm3_search"](spark, sf_dir)
+    ledger_schemas = [set(df.columns) for df in S._OWNED_PERSISTS]
+    assert {"term", "fb_tf"} in ledger_schemas, (
+        f"fb_tf frame missing from the persist ledger: {ledger_schemas}"
+    )
+    S.release_owned()
+    spark.catalog.clearCache()
