@@ -531,20 +531,12 @@ def _hyperplane_coeff(p: int, j: int) -> float:
     return h / float(2**60) - 0.5
 
 
-def simhash_buckets(
-    df: DataFrame,
-    num_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dims: int | None = None,
-) -> DataFrame:
-    """Random-hyperplane (SimHash) bucket id per vector: bit p = sign of
-    v·h_p. Same-bucket vectors are near-dup candidates — linear in corpus
-    size. The plane matrix is a broadcast-sized literal (planes × dims
-    doubles). Output: (vec_id, bucket long)."""
-    if dims is None:
-        dims = len(df.select(vec_col).first()[0])
-    v = as_double(F.col(vec_col))
+def _simhash_bucket_expr(v: Column, num_planes: int, dims: int) -> Column:
+    """The SimHash bucket id as a single map-side expression over an
+    already-double vector column: bit p = sign of v·h_p, summed as exact
+    powers of two in float64 then cast long. Shared by
+    :func:`simhash_buckets` and :func:`cosine_near_dup_lsh` so the bucketed
+    path can attach the bucket without a self-join."""
     proj = [
         F.aggregate(
             F.zip_with(
@@ -561,7 +553,25 @@ def simhash_buckets(
     for p, pr in enumerate(proj):
         bit = F.when(pr > 0, F.lit(float(2**p))).otherwise(F.lit(0.0))
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col).alias("id"), bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def simhash_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane (SimHash) bucket id per vector: bit p = sign of
+    v·h_p. Same-bucket vectors are near-dup candidates — linear in corpus
+    size. The plane matrix is a broadcast-sized literal (planes × dims
+    doubles). Output: (vec_id, bucket long)."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    v = as_double(F.col(vec_col))
+    bucket = _simhash_bucket_expr(v, num_planes, dims)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
 def cosine_near_dup_lsh(
@@ -571,40 +581,64 @@ def cosine_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Bucketed near-dup: exact cosine verify only WITHIN hyperplane buckets.
 
-    The 100 TB scale path for :func:`cosine_near_dup` — candidate generation
-    is a same-bucket self-join (linear + per-bucket quadratic), recall < 1 by
+    The 100 TB scale path for :func:`cosine_near_dup` — recall < 1 by
     construction (cross-bucket pairs are missed; more planes → smaller
     buckets → faster and lower recall). Deterministic hyperplanes keep the
-    result oracle-reproducible."""
+    result oracle-reproducible.
+
+    Execution shape (r11, guide §8): each vector ships ONCE per
+    (bucket, block) tile instead of once per candidate pair. The earlier
+    bucket self-join emitted every in-bucket pair as a row carrying BOTH full
+    vectors (2·d doubles ≈ 1 KB/pair) through the exchange and the Arrow
+    boundary — ~95 GB for the 93M sf10 pairs, 30× the corpus. Now vectors
+    group into (bucket, id % num_blocks) cells, the K(K+1)/2 same-bucket
+    block pairs join as single tile rows, and the kernel computes each tile
+    with the bit-identical per-dimension fold (same IEEE op sequence as the
+    old per-pair kernel and :func:`cosine_near_dup_blocked`, pinned by
+    test_lsh_near_dup_subset_of_bruteforce). Norms are re-derived inside the
+    kernel with the same d-order fold that ``with_norm``'s expression used —
+    op-for-op identical per element. On a cluster pick num_blocks ≈
+    (largest expected bucket) / (vectors that fit one task's memory); tile
+    rows are two cells ≈ 2·(bucket/K)·d doubles each."""
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "__v", "__n2")
-    buckets = simhash_buckets(df, num_planes, id_col, vec_col)
-    # keyed feeds both sides of the bucket self-join; the norm+projection
-    # chain is map-side (no exchange to reuse) — persist computes it once.
-    keyed = owned_persist(base.join(buckets, "id"))
-    # Eagerly populate before the a/b self-join branches race the cache
-    # (AQE concurrent-branch recompute — the round-5 shingle lesson).
-    keyed.count()
-    a = keyed.select(
-        F.col("bucket"), F.col("id").alias("a_id"), F.col("__v").alias("av"), F.col("__n2").alias("an")
+    dims = len(df.select(vec_col).first()[0])
+    # No join: bucket is an expression of the vector — attached map-side.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        _simhash_bucket_expr(as_double(F.col(vec_col)), num_planes, dims).alias(
+            "bucket"
+        ),
     )
-    b = keyed.select(
-        F.col("bucket"), F.col("id").alias("b_id"), F.col("__v").alias("bv"), F.col("__n2").alias("bn")
+    cells = (
+        base.select(
+            "bucket",
+            (F.col("id") % num_blocks).alias("blk"),
+            F.struct(F.col("id"), F.col("v")).alias("row"),
+        )
+        .groupBy("bucket", "blk")
+        .agg(F.collect_list("row").alias("rows"))
     )
-    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
-    # Vectorized verify: the candidate stream (equi-join output — streams and
-    # spills, never a per-bucket mega-row) flows through an Arrow kernel that
-    # applies the bit-identical per-dimension fold batch-wise (same IEEE op
-    # order as the `dot` expression fold and the numpy knn kernels, equality
-    # test-pinned). Per-task memory is 2·batch·d doubles — bounded by the
-    # Arrow batch size regardless of bucket skew.
+    # Both tile-join sides consume cells; without the persist each side
+    # re-runs the scan + projection + groupBy (measured 2 scans in the plan).
+    cells = owned_persist(cells)
+    cells.count()  # eager populate before the a/b branches race the cache
+    a = cells.select(
+        "bucket", F.col("blk").alias("a_blk"), F.col("rows").alias("a_rows")
+    )
+    b = cells.select(
+        "bucket", F.col("blk").alias("b_blk"), F.col("rows").alias("b_rows")
+    )
+    tiles = a.join(b, "bucket").filter(F.col("a_blk") <= F.col("b_blk"))
+
     scale = float(10**round_digits)
     schema = StructType(
         [
@@ -614,33 +648,52 @@ def cosine_near_dup_lsh(
         ]
     )
 
+    def _fold_dots(A, B):
+        acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += np.outer(A[:, d], B[:, d])
+        return acc
+
+    def _fold_norms(V):
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d] * V[:, d]
+        return acc
+
+    def _unpack(cell):
+        ids = np.fromiter((r["id"] for r in cell), dtype=np.int64, count=len(cell))
+        M = np.array([r["v"] for r in cell], dtype=np.float64)
+        return ids, M
+
     def kernel(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array(list(pdf["av"]), dtype=np.float64)
-            B = np.array(list(pdf["bv"]), dtype=np.float64)
-            acc = np.zeros(len(pdf), dtype=np.float64)
-            for d in range(A.shape[1]):
-                acc += A[:, d] * B[:, d]
-            n2 = np.maximum(
-                pdf["an"].to_numpy(dtype=np.float64)
-                * pdf["bn"].to_numpy(dtype=np.float64),
-                1e-300,
-            )
-            cos = np.floor(acc / np.sqrt(n2) * scale + 0.5) / scale
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"].to_numpy(dtype=np.int64)[keep],
-                    "b_id": pdf["b_id"].to_numpy(dtype=np.int64)[keep],
-                    "cos": cos[keep],
-                }
-            )
+            for a_blk, a_rows, b_blk, b_rows in zip(
+                pdf["a_blk"], pdf["a_rows"], pdf["b_blk"], pdf["b_rows"]
+            ):
+                ia, A = _unpack(a_rows)
+                ib, B = _unpack(b_rows)
+                # norm floored at 1e-300 — zero-norm rows give cos=0
+                # (excluded) on both engines, matching the old kernel and
+                # the DuckDB oracle
+                cos = _fold_dots(A, B) / np.sqrt(
+                    np.maximum(np.outer(_fold_norms(A), _fold_norms(B)), 1e-300)
+                )
+                cos = np.floor(cos * scale + 0.5) / scale
+                keep = cos >= threshold
+                if a_blk == b_blk:
+                    keep &= ia[:, None] < ib[None, :]
+                else:
+                    # each unordered pair lives in exactly one tile
+                    # (a_blk < b_blk); emit with a_id < b_id
+                    keep &= ia[:, None] != ib[None, :]
+                ai, bj = np.nonzero(keep)
+                if not len(ai):
+                    continue
+                lo = np.minimum(ia[ai], ib[bj])
+                hi = np.maximum(ia[ai], ib[bj])
+                yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos[ai, bj]})
 
-    return pairs.select("a_id", "b_id", "av", "bv", "an", "bn").mapInPandas(
-        kernel, schema
-    )
+    return tiles.mapInPandas(kernel, schema=schema)
 
 
 def duckdb_cosine_near_dup_lsh(

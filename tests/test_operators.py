@@ -457,6 +457,30 @@ def test_lsh_near_dup_subset_of_bruteforce(spark, sf_dir):
         assert cos == exact[pair]  # identical cosine on shared pairs
 
 
+def test_lsh_tile_decomposition_invariant(spark, sf_dir):
+    """The (bucket, block)-tile execution shape is an implementation detail:
+    any num_blocks must produce the identical pair set and cosines (pins the
+    r11 tile rewrite — cross-block tiles may not drop, duplicate, or
+    mis-orient pairs)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        cosine_near_dup_lsh,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+
+    def run(k):
+        rows = cosine_near_dup_lsh(emb, threshold=0.3, num_blocks=k).collect()
+        out = {(r["a_id"], r["b_id"]): r["cos"] for r in rows}
+        assert len(out) == len(rows)  # no duplicate pairs
+        assert all(a < b for a, b in out)  # orientation
+        return out
+
+    single = run(1)  # one tile per bucket — no cross-block path at all
+    assert single == run(4)
+    assert single == run(7)  # block count coprime with nothing special
+
+
 def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark, sf_dir):
     """nprobe is the IVF recall dial: results at nprobe=1 ⊆ candidates of
     higher nprobe (recall monotone), and nprobe=num_centroids probes every
