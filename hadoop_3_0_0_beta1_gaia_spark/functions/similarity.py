@@ -574,50 +574,38 @@ def simhash_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
-def cosine_near_dup_lsh(
-    df: DataFrame,
-    threshold: float = 0.35,
-    num_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-    num_blocks: int = 4,
+def _tile_cos_pairs(
+    base: DataFrame,
+    num_blocks: int,
+    threshold: float,
+    round_digits: int,
+    norm_floor: float | None = 1e-300,
 ) -> DataFrame:
-    """Bucketed near-dup: exact cosine verify only WITHIN hyperplane buckets.
+    """Qualifying cosine pairs WITHIN buckets, computed tile-by-tile so each
+    vector ships once per (bucket, id % num_blocks) cell instead of once per
+    candidate pair (guide §8: decide with small rows, move big rows once —
+    the per-pair self-join carried BOTH full vectors, ~1 KB/pair, through
+    the exchange and the Arrow boundary).
 
-    The 100 TB scale path for :func:`cosine_near_dup` — recall < 1 by
-    construction (cross-bucket pairs are missed; more planes → smaller
-    buckets → faster and lower recall). Deterministic hyperplanes keep the
-    result oracle-reproducible.
+    ``base`` must carry (id, v, bucket). Vectors group into cells
+    (collect_list), the K(K+1)/2 same-bucket block pairs join as single tile
+    rows, and the kernel computes each tile with the bit-identical
+    per-dimension fold of the expression path: left-fold dot in element
+    order (:func:`dot`), norms re-derived with the same d-order fold
+    ``with_norm`` uses, fround's floor(x·scale+0.5)/scale. ``norm_floor``
+    mirrors the caller's expression: 1e-300 where the oracle floors the norm
+    product (the LSH path), None for the plain ``dot/sqrt(ni*nj)``
+    expression — a 0/0 NaN is excluded by both paths (Spark's floor→BIGINT
+    turns NaN into 0, numpy keeps NaN; both fail ``>= threshold``), and no
+    fixture has zero-norm vectors anyway.
 
-    Execution shape (r11, guide §8): each vector ships ONCE per
-    (bucket, block) tile instead of once per candidate pair. The earlier
-    bucket self-join emitted every in-bucket pair as a row carrying BOTH full
-    vectors (2·d doubles ≈ 1 KB/pair) through the exchange and the Arrow
-    boundary — ~95 GB for the 93M sf10 pairs, 30× the corpus. Now vectors
-    group into (bucket, id % num_blocks) cells, the K(K+1)/2 same-bucket
-    block pairs join as single tile rows, and the kernel computes each tile
-    with the bit-identical per-dimension fold (same IEEE op sequence as the
-    old per-pair kernel and :func:`cosine_near_dup_blocked`, pinned by
-    test_lsh_near_dup_subset_of_bruteforce). Norms are re-derived inside the
-    kernel with the same d-order fold that ``with_norm``'s expression used —
-    op-for-op identical per element. On a cluster pick num_blocks ≈
-    (largest expected bucket) / (vectors that fit one task's memory); tile
-    rows are two cells ≈ 2·(bucket/K)·d doubles each."""
+    Output: (a_id, b_id, cos) with a_id < b_id and rounded cos >= threshold.
+    Each unordered pair lives in exactly one tile (a_blk <= b_blk)."""
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    dims = len(df.select(vec_col).first()[0])
-    # No join: bucket is an expression of the vector — attached map-side.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-        _simhash_bucket_expr(as_double(F.col(vec_col)), num_planes, dims).alias(
-            "bucket"
-        ),
-    )
     cells = (
         base.select(
             "bucket",
@@ -638,6 +626,15 @@ def cosine_near_dup_lsh(
         "bucket", F.col("blk").alias("b_blk"), F.col("rows").alias("b_rows")
     )
     tiles = a.join(b, "bucket").filter(F.col("a_blk") <= F.col("b_blk"))
+    # The tile frame is FEW, HEAVY rows (each two cells ≈ 2·(bucket/K)·d
+    # doubles). AQE coalesces the tiny-row-count join output down to 1-4
+    # partitions and the kernel then runs serially on one core (measured:
+    # semantic sf10 reps of minutes instead of seconds). Spread explicitly —
+    # the cell payloads cross the wire once more (§8 budget: still once per
+    # cell, never per pair) and the kernel runs cluster-wide.
+    tiles = tiles.repartition(
+        4 * tiles.sparkSession.sparkContext.defaultParallelism
+    )
 
     scale = float(10**round_digits)
     schema = StructType(
@@ -648,22 +645,43 @@ def cosine_near_dup_lsh(
         ]
     )
 
-    def _fold_dots(A, B):
-        acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
-        for d in range(A.shape[1]):
-            acc += np.outer(A[:, d], B[:, d])
+    def _fold_dots(At, Bt):
+        # Inputs are TRANSPOSED (d, n) contiguous so every inner multiply
+        # streams contiguous memory (column slices of the (n, d) layout are
+        # 512-byte-strided — measured 13 core-s per tile, ~100 MFLOP/s).
+        # The accumulator is chunked so the (rows × m) slab stays
+        # cache-resident across the d-loop: folding the FULL tile once per
+        # dimension reads and writes an O(cell²) array d times (~25 GB of
+        # memory traffic per 3.5k-row tile — measured bandwidth-bound at
+        # 205 s for the sf10 semantic pass). Per element the op sequence is
+        # unchanged: 0.0 + a0·b0, then + a1·b1, ... — the exact
+        # expression-fold order.
+        n, m = At.shape[1], Bt.shape[1]
+        acc = np.empty((n, m), dtype=np.float64)
+        bi = max(1, 32768 // max(m, 1))  # ~256 KB accumulator slab (L2-resident; swept 16K-1M, 32K best)
+        tmp = np.empty((min(bi, n), m), dtype=np.float64)
+        for i0 in range(0, n, bi):
+            i1 = min(i0 + bi, n)
+            a = acc[i0:i1]
+            t = tmp[: i1 - i0]
+            a.fill(0.0)
+            for d in range(At.shape[0]):
+                np.multiply(At[d, i0:i1, None], Bt[d, None, :], out=t)
+                a += t
         return acc
 
-    def _fold_norms(V):
-        acc = np.zeros(V.shape[0], dtype=np.float64)
-        for d in range(V.shape[1]):
-            acc += V[:, d] * V[:, d]
+    def _fold_norms(Vt):
+        acc = np.zeros(Vt.shape[1], dtype=np.float64)
+        for d in range(Vt.shape[0]):
+            acc += Vt[d] * Vt[d]
         return acc
 
     def _unpack(cell):
         ids = np.fromiter((r["id"] for r in cell), dtype=np.int64, count=len(cell))
-        M = np.array([r["v"] for r in cell], dtype=np.float64)
-        return ids, M
+        Mt = np.ascontiguousarray(
+            np.array([r["v"] for r in cell], dtype=np.float64).T
+        )
+        return ids, Mt
 
     def kernel(batches):
         for pdf in batches:
@@ -672,12 +690,13 @@ def cosine_near_dup_lsh(
             ):
                 ia, A = _unpack(a_rows)
                 ib, B = _unpack(b_rows)
-                # norm floored at 1e-300 — zero-norm rows give cos=0
-                # (excluded) on both engines, matching the old kernel and
-                # the DuckDB oracle
-                cos = _fold_dots(A, B) / np.sqrt(
-                    np.maximum(np.outer(_fold_norms(A), _fold_norms(B)), 1e-300)
-                )
+                denom = np.outer(_fold_norms(A), _fold_norms(B))
+                if norm_floor is not None:
+                    # zero-norm rows give cos=0 (excluded) on both engines,
+                    # matching the old kernel and the DuckDB oracle
+                    denom = np.maximum(denom, norm_floor)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = _fold_dots(A, B) / np.sqrt(denom)
                 cos = np.floor(cos * scale + 0.5) / scale
                 keep = cos >= threshold
                 if a_blk == b_blk:
@@ -694,6 +713,43 @@ def cosine_near_dup_lsh(
                 yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos[ai, bj]})
 
     return tiles.mapInPandas(kernel, schema=schema)
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Bucketed near-dup: exact cosine verify only WITHIN hyperplane buckets.
+
+    The 100 TB scale path for :func:`cosine_near_dup` — recall < 1 by
+    construction (cross-bucket pairs are missed; more planes → smaller
+    buckets → faster and lower recall). Deterministic hyperplanes keep the
+    result oracle-reproducible.
+
+    Execution shape (r11, guide §8): the tile decomposition of
+    :func:`_tile_cos_pairs` — the earlier bucket self-join emitted every
+    in-bucket pair as a row carrying BOTH full vectors (2·d doubles ≈
+    1 KB/pair), ~95 GB for the 93M sf10 pairs, 30× the corpus. Kernel fold
+    pinned bit-identical to the per-pair expression path by
+    test_lsh_near_dup_subset_of_bruteforce. On a cluster pick num_blocks ≈
+    (largest expected bucket) / (vectors that fit one task's memory); tile
+    rows are two cells ≈ 2·(bucket/K)·d doubles each."""
+
+    dims = len(df.select(vec_col).first()[0])
+    # No join: bucket is an expression of the vector — attached map-side.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        _simhash_bucket_expr(as_double(F.col(vec_col)), num_planes, dims).alias(
+            "bucket"
+        ),
+    )
+    return _tile_cos_pairs(base, num_blocks, threshold, round_digits, 1e-300)
 
 
 def duckdb_cosine_near_dup_lsh(
@@ -1494,6 +1550,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster first (IVF coarse
     quantizer, :func:`ivf_assign`), then within each cluster mark a vector
@@ -1511,12 +1568,23 @@ def semantic_dedup(
     the centroid-bucketed variant that dominates practice (SemDeDup,
     Abbas et al. 2023) because buckets are semantically coherent.
 
+    Execution shape (r11, guide §8): the within-cluster verify runs on
+    :func:`_tile_cos_pairs` — the earlier cluster self-join emitted every
+    in-cluster pair as a row carrying BOTH full vectors (with only
+    ``num_centroids`` buckets that is ~n²/k pairs ≈ 1 KB each; at sf10 it
+    never finished). Now each vector ships once per (cluster, block) cell
+    and the pair math runs as numpy tiles with the bit-identical fold
+    (pinned by test_semantic_dedup_kept_set_has_no_dominating_neighbor
+    against the expression-path pair set). ``num_blocks`` defaults to
+    ceil(n / (num_centroids·2048)) — ~2k vectors per cell, derived from the
+    corpus size at runtime so a hot cluster spreads over K(K+1)/2 tiles;
+    result-invariant in K (test_semantic_tile_decomposition_invariant).
+
     Output: (vec_id, centroid_id, keep) for every input vector.
     """
 
     assigned = owned_persist(
-        with_norm(df, vec_col)
-        .select(F.col(id_col).alias("id"), "__v", "__n2")
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .join(
             ivf_assign(df, num_centroids, id_col, vec_col, round_digits).select(
                 F.col("vec_id").alias("id"), "centroid_id"
@@ -1524,30 +1592,19 @@ def semantic_dedup(
             "id",
         )
     )
-    # Eagerly populate before the hi/lo self-join sides + final join-back
-    # race the cache (AQE concurrent-branch recompute — round-5 lesson).
-    assigned.count()
-    hi = assigned.select(
-        F.col("id").alias("i"),
-        F.col("centroid_id").alias("b"),
-        F.col("__v").alias("vi"),
-        F.col("__n2").alias("ni"),
-    )
-    lo = assigned.select(
-        F.col("id").alias("j"),
-        F.col("centroid_id").alias("b"),
-        F.col("__v").alias("vj"),
-        F.col("__n2").alias("nj"),
-    )
-    cos = fround(
-        dot(F.col("vi"), F.col("vj")) / F.sqrt(F.col("ni") * F.col("nj")),
-        round_digits,
-    )
+    # Eagerly populate before the tile sides + final join-back race the
+    # cache (AQE concurrent-branch recompute — round-5 lesson); the count
+    # also sizes the tile blocks.
+    n_total = assigned.count()
+    if num_blocks is None:
+        # ~2k vectors per cell: kernel throughput is flat in cell size
+        # (swept 1k-5k, ~1.6 GFLOP/s), so smaller tiles purely improve
+        # load balance across the spread partitions
+        num_blocks = max(1, min(256, -(-n_total // (num_centroids * 2048))))
+    base = assigned.select("id", "v", F.col("centroid_id").alias("bucket"))
     dup_ids = (
-        hi.join(lo, "b")
-        .filter(F.col("j") < F.col("i"))
-        .filter(cos >= threshold)
-        .select(F.col("i").alias("dup_id"))
+        _tile_cos_pairs(base, num_blocks, threshold, round_digits, norm_floor=None)
+        .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )
     return assigned.join(

@@ -481,6 +481,27 @@ def test_lsh_tile_decomposition_invariant(spark, sf_dir):
     assert single == run(7)  # block count coprime with nothing special
 
 
+def test_semantic_tile_decomposition_invariant(spark, sf_dir):
+    """semantic_dedup's (cluster, block)-tile verify is an implementation
+    detail: any num_blocks (including the data-derived default) must produce
+    the identical keep set (pins the r11 tile rewrite of the within-cluster
+    pair join)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import semantic_dedup
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+
+    def run(k):
+        rows = semantic_dedup(emb, num_centroids=4, threshold=0.35, num_blocks=k)
+        out = {r["vec_id"]: (r["centroid_id"], r["keep"]) for r in rows.collect()}
+        return out
+
+    default = run(None)  # ceil(n / (4·4096)) — 1 at test SFs
+    assert default == run(1)
+    assert default == run(3)
+    assert default == run(7)
+
+
 def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark, sf_dir):
     """nprobe is the IVF recall dial: results at nprobe=1 ⊆ candidates of
     higher nprobe (recall monotone), and nprobe=num_centroids probes every
