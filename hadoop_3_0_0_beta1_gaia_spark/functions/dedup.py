@@ -96,21 +96,14 @@ def duckdb_exact_dedup(table: str, id_col: str = "doc_id", text_col: str = "text
 # ---------------------------------------------------------------------------
 
 
-def shingle_arrays(
+def shingle_arrays_expr(
     df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document DISTINCT shingle array (docs with < n tokens drop out).
-    Dedup happens inside the row (array_distinct) — no shuffle; fully
-    map-side.
-
-    Shingles are INTERNED as md5-derived 60-bit longs (``md5_long``) at
-    creation, on both engines identically: every downstream consumer (the
-    shingle self-join, the array-carrying LSH verify, minhash signatures)
-    joins/intersects/shuffles 8-byte keys instead of raw n-gram text —
-    measured ~5x less verify-shuffle volume at sf10, and the signature hash
-    reuses this value instead of re-hashing. Intersection/size counts are
-    value-identical across engines even under (cosmically unlikely) 60-bit
-    collisions, because both sides hash with the same function."""
+    """Expression-fold reference for :func:`shingle_arrays` — the original
+    implementation, kept as the bit-equality twin the kernel is pinned
+    against (tests/test_operators.py; the simhash64/simhash64_kernel
+    pattern). Value semantics: lower → \\s+ split → drop empties → md5_long
+    of every space-joined n-gram → array_distinct (first occurrence kept)."""
     from ..session import ensure_parallelism
 
     t = tokens(F.col(text_col))
@@ -123,6 +116,105 @@ def shingle_arrays(
         lambda i: md5_long(F.array_join(F.slice("toks", i, n), " ")),
     )
     return df.select("id", F.array_distinct(sh).alias("shingles"))
+
+
+def shingle_arrays(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document DISTINCT shingle array (docs with < n tokens drop out) —
+    Arrow-kernel path, bit-identical to :func:`shingle_arrays_expr` (all
+    integer/md5 arithmetic, equality test-pinned on the fixture corpus plus
+    adversarial whitespace/unicode rows).
+
+    Shingles are INTERNED as md5-derived 60-bit longs (``md5_long``) at
+    creation, on both engines identically: every downstream consumer (the
+    shingle self-join, the array-carrying LSH verify, minhash signatures)
+    joins/intersects/shuffles 8-byte keys instead of raw n-gram text —
+    measured ~5x less verify-shuffle volume at sf10, and the signature hash
+    reuses this value instead of re-hashing. Intersection/size counts are
+    value-identical across engines even under (cosmically unlikely) 60-bit
+    collisions, because both sides hash with the same function.
+
+    Why a kernel (guide §4.2): the expression fold pays the interpreted
+    higher-order-function evaluator per gram — slice + array_join + md5 +
+    hex→long conv each allocate per element, measured ~8 µs/shingle at the
+    sf10 fixture (stage-isolated: 7.5 s of the capped family's wall vs a
+    0.87 s tokenize floor). The kernel hashes each gram once in C
+    (hashlib.md5 on the identical UTF-8 bytes; first 15 hex digits ==
+    ``digest[:8] >> 4``) behind a bounded cross-doc gram cache (the
+    simhash64_kernel vocabulary-cache pattern — boilerplate grams repeat
+    across documents), and dedups with an order-preserving
+    ``dict.fromkeys`` — exactly ``array_distinct`` over the hashed values.
+    Tokenization matches :func:`tokens` via ``re.ASCII`` (Java default
+    ``\\s``), the simhash64_kernel precedent; entirely map-side, zero
+    exchanges, embarrassingly parallel."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..session import ensure_parallelism
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("shingles", ArrayType(LongType(), False), False),
+        ]
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+    _md5 = hashlib.md5
+
+    def kernel(batches):
+        # gram→hash cache bounded on BOTH axes (chars and entries), the
+        # simhash64_kernel rule: Zipf boilerplate re-enters immediately
+        # after a clear, a pathological vocabulary cannot OOM the worker.
+        cache: dict[str, int] = {}
+        cache_chars = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kept: list[int] = []
+            arrs: list[list[int]] = []
+            texts = pdf["text"]
+            for pos in range(len(pdf)):
+                text = texts.iloc[pos]
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                if len(toks) < n:
+                    continue
+                hs: list[int] = []
+                ap = hs.append
+                for gram in map(" ".join, zip(*(toks[k:] for k in range(n)))):
+                    v = cache.get(gram)
+                    if v is None:
+                        v = (
+                            int.from_bytes(
+                                _md5(gram.encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        if cache_chars >= 8_000_000 or len(cache) >= 500_000:
+                            cache.clear()
+                            cache_chars = 0
+                        cache[gram] = v
+                        cache_chars += len(gram)
+                    ap(v)
+                kept.append(pos)
+                arrs.append(list(dict.fromkeys(hs)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].iloc[kept].reset_index(drop=True),
+                    "shingles": pd.Series(arrs, dtype="object"),
+                }
+            )
+
+    return base.mapInPandas(kernel, schema=schema)
 
 
 def shingles(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -645,6 +737,114 @@ def duckdb_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 
+def positional_grams_expr(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Expression-fold reference for :func:`positional_grams` — the original
+    (id, pos, gh) k-gram stream, kept as the bit-equality twin the kernel is
+    pinned against (the shingle_arrays/shingle_arrays_expr pattern)."""
+    from ..session import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            md5_long(F.array_join(F.slice("toks", i, k), " ")).alias("gh"),
+        ),
+    )
+    return (
+        base.select("id", F.explode(gram_structs).alias("g"))
+        .select("id", "g.pos", "g.gh")
+    )
+
+
+def positional_grams(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional k-gram stream (id, pos, gh) — Arrow-kernel path,
+    bit-identical to :func:`positional_grams_expr` (test-pinned). ``pos`` is
+    1-based, ``gh`` the 60-bit md5 intern (``md5_long`` == ``digest[:8] >>
+    4`` on identical UTF-8 bytes). Same rationale and structure as
+    :func:`shingle_arrays`: the interpreted slice/array_join/md5/conv chain
+    per gram was the dominant cost of the exact-substring family's wall
+    (stage-isolated at sf10), the kernel hashes each gram once in C behind
+    the bounded cross-doc gram cache and EXPLODES IN PYTHON (one output row
+    per gram), removing the JVM struct-array explode as well. Map-side,
+    zero exchanges."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..session import ensure_parallelism
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("pos", LongType(), False),
+            StructField("gh", LongType(), False),
+        ]
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+    _md5 = hashlib.md5
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+        cache_chars = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            poss: list[int] = []
+            ghs: list[int] = []
+            texts = pdf["text"]
+            id_vals = pdf["id"]
+            for row in range(len(pdf)):
+                text = texts.iloc[row]
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                if len(toks) < k:
+                    continue
+                rid = id_vals.iloc[row]
+                for i, gram in enumerate(
+                    map(" ".join, zip(*(toks[j:] for j in range(k)))), 1
+                ):
+                    v = cache.get(gram)
+                    if v is None:
+                        v = (
+                            int.from_bytes(
+                                _md5(gram.encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        if cache_chars >= 8_000_000 or len(cache) >= 500_000:
+                            cache.clear()
+                            cache_chars = 0
+                        cache[gram] = v
+                        cache_chars += len(gram)
+                    ids.append(rid)
+                    poss.append(i)
+                    ghs.append(v)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=id_vals.dtype),
+                    "pos": pd.Series(poss, dtype="int64"),
+                    "gh": pd.Series(ghs, dtype="int64"),
+                }
+            )
+
+    return base.mapInPandas(kernel, schema=schema)
+
+
 def exact_substring_spans(
     df: DataFrame,
     k: int = 8,
@@ -693,24 +893,9 @@ def exact_substring_spans(
     """
     from pyspark.sql import Window
 
-    from ..session import ensure_parallelism
-
     if k < 2:
         raise ValueError("k must be >= 2")
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    ).filter(F.size("toks") >= k)
-    gram_structs = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-        lambda i: F.struct(
-            i.cast("long").alias("pos"),
-            md5_long(F.array_join(F.slice("toks", i, k), " ")).alias("gh"),
-        ),
-    )
-    g = (
-        base.select("id", F.explode(gram_structs).alias("g"))
-        .select("id", "g.pos", "g.gh")
-    )
+    g = positional_grams(df, k, id_col=id_col, text_col=text_col)
     # both self-join sides (and, when capping, the frequency agg) read the
     # gram stream; persist + eager count, the jaccard/containment-measured
     # pattern (4x at sf0.1; AQE concurrent-branch recompute otherwise)
@@ -886,11 +1071,22 @@ def exact_substring_cut(
             lambda i: F.element_at("toks", i),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # No-cut fast path (the overwhelming majority: ~95% of fixture docs have
+    # no duplicated span): with no interval row the filter keeps every index
+    # and the transform rebuilds `toks` verbatim — paying the interpreted
+    # per-token higher-order chain for an identity rewrite. Joining the
+    # original array directly is value-identical (including NULL/empty toks,
+    # where the old otherwise-branch joined an empty array to ""); CaseWhen
+    # evaluates branches lazily, so cut docs alone pay the reconstruction.
+    kept_str = F.when(
+        F.col("cut_tokens").isNull(),
+        F.coalesce(F.array_join("toks", " "), F.lit("")),
+    ).otherwise(F.array_join(kept, " "))
     return joined.select(
         F.col("id").alias("doc_id"),
         F.size("toks").cast("long").alias("n_toks"),
         F.coalesce(F.col("cut_tokens"), F.lit(0)).cast("long").alias("cut_tokens"),
-        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+        F.md5(kept_str).alias("kept_md5"),
     )
 
 

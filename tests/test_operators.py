@@ -1397,6 +1397,111 @@ def test_simhash64_kernel_equals_expression_fold(spark, sf_dir):
     assert 9_000_002 not in kern and 9_000_001 in kern
 
 
+def test_shingle_kernel_equals_expression_fold(spark, sf_dir):
+    """The Arrow shingle kernel (the r11 scale path — the expression fold
+    paid ~8 µs/gram in the interpreted HOF evaluator, 7.5 s of the capped
+    dedup family's sf10 wall) must be BIT-IDENTICAL to the expression fold,
+    including element ORDER (dict.fromkeys == array_distinct first-occurrence
+    order): fixture corpus plus adversarial whitespace/empty/unicode/
+    repeated-gram/NULL rows. All integer/md5 arithmetic — exact equality."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        shingle_arrays,
+        shingle_arrays_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "alpha  beta\tgamma\ndelta "),
+                (9_000_002, "   "),  # whitespace-only: both paths drop it
+                (9_000_003, "MiXeD CaSe TOKENS MiXeD CaSe TOKENS"),
+                (9_000_004, "x y"),  # < n tokens: both paths drop it
+                (9_000_005, "a b c a b c a b c"),  # repeated grams: distinct
+                # U+00A0 is NOT whitespace to Java's default \s — the kernel
+                # must keep "alpha beta" as ONE token too (re.ASCII)
+                (9_000_006, "alpha beta gamma delta"),
+                (9_000_007, None),  # NULL text: both paths drop it
+            ],
+            "doc_id long, text string",
+        )
+    )
+    expr = {r["id"]: r["shingles"] for r in shingle_arrays_expr(docs, 3).collect()}
+    kern = {r["id"]: r["shingles"] for r in shingle_arrays(docs, 3).collect()}
+    assert kern == expr
+    assert 9_000_005 in kern and len(kern[9_000_005]) == 3  # distinct-ed
+    assert 9_000_002 not in kern and 9_000_004 not in kern
+    assert 9_000_007 not in kern
+
+
+def test_positional_grams_kernel_equals_expression_fold(spark, sf_dir):
+    """The positional k-gram kernel feeding the exact-substring family must
+    emit the IDENTICAL (id, pos, gh) row set as the expression fold (pos is
+    1-based; gh the 60-bit md5 intern) — same adversarial posture as the
+    shingle test. Repeated grams keep every position (no distinct here)."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        positional_grams,
+        positional_grams_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "a b c d e f g h a b c d e f g h"),
+                (9_000_002, "   "),
+                (9_000_003, "one two three four five six seven eight nine"),
+                (9_000_004, None),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    expr = sorted(map(tuple, positional_grams_expr(docs, 8).collect()))
+    kern = sorted(map(tuple, positional_grams(docs, 8).collect()))
+    assert kern == expr
+    # doc 9_000_001: 16 tokens -> 9 grams, duplicates at shifted positions
+    n1 = sum(1 for t in kern if t[0] == 9_000_001)
+    assert n1 == 9
+
+
+def test_substring_cut_fast_path_matches_reconstruction(spark):
+    """The no-cut fast path (join toks directly when no interval row exists)
+    must agree with the per-token reconstruction on every document class:
+    uncut docs, fully-cut docs, head/tail/middle cuts, and empty docs. The
+    oracle replica pins the same thing corpus-wide; this is the focused
+    boundary fixture."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        exact_substring_cut,
+    )
+
+    # two identical 10-token docs (cut everything from the higher id), one
+    # shared 8-token prefix (head cut), one unique doc (no cut)
+    ten = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [
+            (1, ten),
+            (2, ten),  # doc 2 fully cut -> kept_md5 = md5("")
+            (3, "t0 t1 t2 t3 t4 t5 t6 t7 zz yy"),  # head cut, keeps "zz yy"
+            (4, "unique tokens only here nothing shared at all"),
+            (5, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_cut(docs, k=8).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[2]["cut_tokens"] == 10 and out[2]["kept_md5"] == md5("")
+    assert out[3]["cut_tokens"] == 8 and out[3]["kept_md5"] == md5("zz yy")
+    assert out[4]["cut_tokens"] == 0 and out[4]["kept_md5"] == md5(
+        "unique tokens only here nothing shared at all"
+    )
+    assert out[5]["cut_tokens"] == 0 and out[5]["kept_md5"] == md5("")
+    assert out[1]["cut_tokens"] == 0  # keep-first: lower id survives
+
+
 def test_simhash64_hamming_pairs_equals_bruteforce(spark, sf_dir):
     """Pigeonhole completeness at 63 bits: banded search == brute force
     within the radius. Crafted near-identical docs guarantee non-vacuity
