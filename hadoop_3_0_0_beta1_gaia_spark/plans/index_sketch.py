@@ -223,18 +223,16 @@ def cms_token_freq(spark, sf_dir):
     "doc-level complement to doc_winnow_near_dup's pair search",
 )
 def dedup_substring_spans(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= _SPAN_W)
-    spans = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
-                f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_W}))))"
-            )
-        ).alias("sh"),
+    from ..session import owned_persist
+
+    # Kernel span stream, persisted: the frame feeds TWO consumers (the
+    # shared-hash doc-frequency agg and the per-doc flag join) — unpersisted,
+    # each re-ran the full span-hash fold over the corpus (r11 measured: the
+    # fold was ~2x the entry's floor).
+    spans = owned_persist(
+        _span_hash_stream(T(spark, sf_dir, "documents"))
     )
+    spans.count()  # eager materialization (persist-gate contract)
     shared = (
         spans.groupBy("sh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -260,11 +258,80 @@ def dedup_substring_spans(spark, sf_dir):
 
 
 def _span_hashes_expr(toks_col: str = "toks", w: int = _SPAN_W) -> str:
-    """Spark SQL expression: md5 of every w-token window of ``toks_col``."""
+    """Spark SQL expression: md5 of every w-token window of ``toks_col`` —
+    kept as the bit-equality reference twin for :func:`_span_hash_stream`
+    (tests pin kernel == expression on adversarial rows)."""
     return (
         f"transform(sequence(1, size({toks_col}) - {w - 1}),"
         f" i -> md5(concat_ws(' ', slice({toks_col}, i, {w}))))"
     )
+
+
+def _span_hash_stream(df, w: int = _SPAN_W, id_col: str = "doc_id"):
+    """Exploded (doc_id, sh) span-hash stream — Arrow-kernel path,
+    bit-identical to exploding :func:`_span_hashes_expr` over
+    ``tokens(text)`` (md5 hex on identical UTF-8 bytes; docs with < w
+    tokens emit nothing). Same rationale as functions/dedup.py's
+    shingle/positional-gram kernels (guide §4.2): the interpreted
+    slice/concat_ws/md5 chain paid ~8 µs per window; the kernel hashes each
+    window once in C behind the bounded cross-doc cache and explodes in
+    Python. Tokenization matches :func:`tokens` via ``re.ASCII`` (the
+    simhash64_kernel precedent). Map-side, zero exchanges."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("sh", StringType(), False),
+        ]
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), "text")
+    ws = _re.compile(r"\s+", _re.ASCII)
+    _md5 = hashlib.md5
+
+    def kernel(batches):
+        cache: dict[str, str] = {}
+        cache_chars = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            shs: list[str] = []
+            texts = pdf["text"]
+            id_vals = pdf["doc_id"]
+            for row in range(len(pdf)):
+                text = texts.iloc[row]
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                if len(toks) < w:
+                    continue
+                rid = id_vals.iloc[row]
+                for gram in map(" ".join, zip(*(toks[j:] for j in range(w)))):
+                    v = cache.get(gram)
+                    if v is None:
+                        v = _md5(gram.encode()).hexdigest()
+                        if cache_chars >= 8_000_000 or len(cache) >= 500_000:
+                            cache.clear()
+                            cache_chars = 0
+                        cache[gram] = v
+                        cache_chars += len(gram)
+                    ids.append(rid)
+                    shs.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sh": pd.Series(shs, dtype="object"),
+                }
+            )
+
+    from ..session import ensure_parallelism
+
+    return ensure_parallelism(base).mapInPandas(kernel, schema=schema)
 
 
 def _duck_span_hashes(toks_sql: str, w: int = _SPAN_W) -> str:
@@ -309,14 +376,18 @@ _EVAL_MOD = 97
     "map-side: no shuffle keyed on span hash, linear in corpus tokens",
 )
 def decontaminate_eval_overlap(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= _SPAN_W)
-    spans = d.select("doc_id", F.explode(F.expr(_span_hashes_expr())).alias("sh"))
+    # Each side filters the CORPUS before the span kernel, not the span
+    # stream after it: a filter above an opaque Python map node cannot push
+    # into the scan, so the old shape would have run the span fold twice
+    # over the full corpus once the fold moved into the kernel. Filtering
+    # doc_id at the scan keeps the eval side a ~1% pass.
+    d = T(spark, sf_dir, "documents")
     eval_spans = (
-        spans.filter(F.col("doc_id") % _EVAL_MOD == 0).select("sh").distinct()
+        _span_hash_stream(d.filter(F.col("doc_id") % _EVAL_MOD == 0))
+        .select("sh")
+        .distinct()
     )
-    train = spans.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    train = _span_hash_stream(d.filter(F.col("doc_id") % _EVAL_MOD != 0))
     hit = train.join(
         F.broadcast(eval_spans.withColumn("hit", F.lit(1))), "sh", "left"
     )

@@ -363,6 +363,48 @@ def test_substring_spans_partial_overlap(spark, tmp_path):
     assert out[2].n_dup_spans == 1
 
 
+def test_span_hash_kernel_equals_expression_fold(spark, sf_dir):
+    """The Arrow span-hash stream feeding dedup_substring_spans /
+    decontaminate_eval_overlap must emit the IDENTICAL (doc_id, sh) row
+    multiset as exploding the expression fold over tokens(text) — fixture
+    corpus plus adversarial whitespace/short/NULL rows (the shingle-kernel
+    test posture; md5 hex on identical UTF-8 bytes, so equality is exact)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.text_metrics import tokens
+    from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import (
+        _SPAN_W,
+        _span_hash_stream,
+        _span_hashes_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "a b\tc  d\ne f g h i a b c d e f g h i"),
+                (9_000_002, "   "),
+                (9_000_003, "one two three four five six seven"),  # < w toks
+                (9_000_004, None),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    expr_rows = sorted(
+        map(
+            tuple,
+            docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+            .filter(F.size("toks") >= _SPAN_W)
+            .select("doc_id", F.explode(F.expr(_span_hashes_expr())).alias("sh"))
+            .collect(),
+        )
+    )
+    kern_rows = sorted(map(tuple, _span_hash_stream(docs).collect()))
+    assert kern_rows == expr_rows
+    assert any(r[0] == 9_000_001 for r in kern_rows)
+    assert not any(r[0] in (9_000_002, 9_000_003, 9_000_004) for r in kern_rows)
+
+
 def test_inverted_index_rare_vs_common_postings(spark, tmp_path):
     from hadoop_3_0_0_beta1_gaia_spark.plans.index_sketch import _POSTING_DF_CAP
 
