@@ -859,11 +859,17 @@ def decontaminate_near_dup(spark, sf_dir):
     jac = fround(
         F.col("inter") / (F.col("sz_t") + F.col("sz_e") - F.col("inter")), 4
     )
-    pairs = (
+    # pairs feeds TWO consumers (the best-match window and the match-count
+    # agg); unpersisted, each re-derived the full verify chain — banding,
+    # broadcast probe, array-intersect verify — doubling the entry's wall
+    # (r11 stage isolation: ~6 s per derivation at sf10 on a warm shingle
+    # cache). The surviving pair set is audit-sized; persist + eager count.
+    pairs = owned_persist(
         ver.withColumn("jaccard", jac)
         .filter((F.col("inter") > 0) & (F.col("jaccard") >= _MINHASH["threshold"]))
         .select("doc_id", "eval_id", "jaccard")
     )
+    pairs.count()  # eager materialization (persist-gate contract)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard").desc(), F.col("eval_id")
     )
