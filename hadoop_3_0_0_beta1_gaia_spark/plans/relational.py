@@ -1915,10 +1915,11 @@ def copurchase_pagerank(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..functions.dedup import expand_bucket_pairs
+    from ..session import owned_persist, scan_bytes
 
+    li = T(spark, sf_dir, "lineitem")
     baskets = (
-        T(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
+        li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -1927,15 +1928,26 @@ def copurchase_pagerank(spark, sf_dir):
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
-    # Deliberately the union-of-two-selects shape, UNPERSISTED: this whole
-    # query is ONE action (the final collect), so Catalyst's ReusedExchange
-    # dedups the expansion shuffle across every edge consumer for free. The
-    # r7 explode+eager-persist variant was A/B-measured a 3.6x LOSS here
-    # (sf1: 12.7 -> 46.2 s) — the persist pays a full extra materialization
-    # of the symmetric edge list that exchange reuse never needed. Contrast
-    # copurchase_bfs_depth, where the per-round localCheckpoint actions
-    # break exchange reuse and the persisted explode IS the win
+    # Deliberately the union-of-two-selects shape, UNPERSISTED at small
+    # inputs: this whole query is ONE action (the final collect), so
+    # Catalyst's ReusedExchange dedups the expansion shuffle across every
+    # edge consumer for free. The r7 explode+eager-persist variant was
+    # A/B-measured a 3.6x LOSS here (sf1: 12.7 -> 46.2 s); the lighter
+    # und-persist variant still loses 1.5x at sf1 (r11: 7.6 -> 11.6 s).
+    # BUT the single mega-DAG pipelines both iterations' joins and
+    # aggregates concurrently, and once the pair expansion reaches ~10^8
+    # rows (r11: 120M at the 1.4 GB-lineitem fixture) the overlapping
+    # stages exhaust execution memory outright (SparkOutOfMemoryError —
+    # piecewise the same stages run fine). The persist barrier is therefore
+    # SCALE-GATED on input bytes: exchange reuse below, materialize above
+    # (or when the input size is unknowable — the safe cluster default).
+    # Contrast copurchase_bfs_depth, where the per-round localCheckpoint
+    # actions break exchange reuse and the persisted explode IS the win
     # (12.8 -> 8.7 s); connected_components likewise (multi-action loop).
+    nbytes = scan_bytes(li)
+    if nbytes is None or nbytes > 512 * 1024 * 1024:
+        und = owned_persist(und)
+        und.count()
     edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

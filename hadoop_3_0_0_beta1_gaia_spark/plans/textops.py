@@ -291,18 +291,56 @@ def _winnow_frame(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from ..functions.md5np import md5_60bit_fixed_len
+
     schema = StructType(
         [StructField("doc_id", LongType(), False), StructField("fp", LongType(), False)]
     )
     K, W = _WINNOW_K, _WINNOW_W
+    swv = np.lib.stride_tricks.sliding_window_view
 
     def kernel(batches):
         for pdf in batches:
-            out_id, out_fp = [], []
-            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+            # numpy output assembly (np.repeat / np.concatenate): the first
+            # kernel built ~80 python-list appends per doc — measured as a
+            # visible slice of the wall once the md5 itself was vectorized
+            fp_chunks: list[np.ndarray] = []
+            id_vals: list[int] = []
+            id_counts: list[int] = []
+            # ASCII batch fast path (r11): every K-char gram is K bytes, so
+            # the per-position md5 loop (the measured wall: ~1 md5 per CHAR
+            # of the corpus) collapses to ONE vectorized md5 over all
+            # windows of the batch's concatenated bytes; windows crossing
+            # doc boundaries (~K/|doc| waste) are simply never sliced out.
+            ascii_pos: list[int] = []
+            ascii_bytes: list[bytes] = []
+            fallback: list[int] = []
+            texts = pdf["nt"]
+            dids = pdf["doc_id"]
+            for pos in range(len(pdf)):
+                nt = texts.iloc[pos]
                 b = nt.encode("utf-8")
+                if len(b) == len(nt):
+                    ascii_pos.append(pos)
+                    ascii_bytes.append(b)
+                else:
+                    fallback.append(pos)
+            if ascii_pos:
+                arr = np.frombuffer(b"".join(ascii_bytes), dtype=np.uint8)
+                hs_all = md5_60bit_fixed_len(swv(arr, K))
+                off = 0
+                for j, pos in enumerate(ascii_pos):
+                    n = len(ascii_bytes[j])
+                    hs = hs_all[off : off + n - K + 1]
+                    fps = np.unique(swv(hs, W).min(axis=1))
+                    fp_chunks.append(fps)
+                    id_vals.append(dids.iloc[pos])
+                    id_counts.append(len(fps))
+                    off += n
+            for pos in fallback:
                 # md5 operates on bytes; gram boundaries are CHARACTER
                 # offsets (Spark substr semantics) — slice the str, not bytes
+                nt = texts.iloc[pos]
                 n = len(nt)
                 hs = np.fromiter(
                     (
@@ -312,11 +350,23 @@ def _winnow_frame(spark, sf_dir):
                     dtype=np.int64,
                     count=n - K + 1,
                 )
-                mins = np.lib.stride_tricks.sliding_window_view(hs, W).min(axis=1)
-                fps = np.unique(mins)
-                out_id.extend([doc_id] * len(fps))
-                out_fp.extend(fps)
-            yield pd.DataFrame({"doc_id": out_id, "fp": out_fp})
+                fps = np.unique(swv(hs, W).min(axis=1))
+                fp_chunks.append(fps)
+                id_vals.append(dids.iloc[pos])
+                id_counts.append(len(fps))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        np.asarray(id_vals, dtype=np.int64),
+                        np.asarray(id_counts, dtype=np.int64),
+                    ),
+                    "fp": (
+                        np.concatenate(fp_chunks)
+                        if fp_chunks
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                }
+            )
 
     return _winnow_base(spark, sf_dir).mapInPandas(kernel, schema=schema)
 
@@ -750,32 +800,38 @@ def bpe_train_merges(spark, sf_dir):
     "cannot drift",
 )
 def bpe_apply_encode(spark, sf_dir):
+    # The training loop already applies every merge to the vocabulary round
+    # by round — the round-N vocabulary state IS the encoded vocabulary, so
+    # asking bpe_merge_table for it removes the old shape's full word_counts
+    # recompute plus _BPE_ROUNDS replayed fold passes (r11: 14.6 s -> the
+    # train entry's cost at sf10). Values are identical by construction:
+    # same pairs, same greedy fold, same order. final_v is None exactly when
+    # training exhausted the vocabulary before round N — where the old
+    # replay (and the oracle's cross join with an empty pN) produced an
+    # EMPTY result, preserved here.
     wc = word_counts(T(spark, sf_dir, "documents"))
     v = wc.select(
         "word",
         "cnt",
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
     )
-    merges = bpe_merge_table(v, _BPE_ROUNDS)
-    enc = v
-    for n in range(1, _BPE_ROUNDS + 1):
-        pair_n = merges.filter(F.col("round") == n).select(
-            F.col("left_sym").alias("l"), F.col("right_sym").alias("r")
-        )
-        enc = enc.crossJoin(F.broadcast(pair_n)).select(
-            "word",
-            "cnt",
-            _spark_fold(F.col("rep"), F.col("l"), F.col("r")).alias("rep"),
-        )
-    return enc.select(
+    _, final_v = bpe_merge_table(v, _BPE_ROUNDS, with_final_vocab=True)
+    if final_v is None:
+        return spark.createDataFrame([], "word string, cnt long, n_tokens long")
+    return final_v.select(
         "word",
         "cnt",
         F.size(F.split("rep", " ")).cast("long").alias("n_tokens"),
     )
 
 
-def bpe_merge_table(v, rounds, checkpoint_every=8):
+def bpe_merge_table(v, rounds, checkpoint_every=8, with_final_vocab=False):
     """Train ``rounds`` BPE merges over a (word, cnt, rep) vocabulary frame.
+
+    With ``with_final_vocab`` the return value is ``(merge_table, final_v)``
+    where final_v is the round-``rounds`` vocabulary state (ledger-owned
+    persisted frame — the ENCODE result, see bpe_apply_encode), or None when
+    the vocabulary exhausted its pairs before round ``rounds``.
 
     ``rep`` is the space-delimited symbol string. Per round: count adjacent
     symbol pairs over the |V|-row vocabulary (never the token stream), take the
@@ -848,7 +904,20 @@ def bpe_merge_table(v, rounds, checkpoint_every=8):
             )
         )
         if n == rounds:
-            break  # the next vocabulary would never be read
+            if with_final_vocab:
+                from ..session import owned_persist
+
+                final_v = owned_persist(
+                    v.crossJoin(F.broadcast(top1)).select(
+                        "word",
+                        "cnt",
+                        _spark_fold(
+                            F.col("rep"), F.col("l"), F.col("r")
+                        ).alias("rep"),
+                    )
+                )
+                final_v.count()  # eager: populated before v unpersists below
+            break  # the round-N vocabulary is only built when asked for
         nxt = v.crossJoin(F.broadcast(top1)).select(
             "word",
             "cnt",
@@ -863,12 +932,15 @@ def bpe_merge_table(v, rounds, checkpoint_every=8):
         v = nxt
     v.unpersist()
     if not out:  # degenerate input: nothing mergeable in round 1
-        return v.sparkSession.createDataFrame(
+        empty = v.sparkSession.createDataFrame(
             [], "round long, left_sym string, right_sym string, freq long"
         )
+        return (empty, None) if with_final_vocab else empty
     res = out[0]
     for o in out[1:]:
         res = res.unionAll(o)
+    if with_final_vocab:
+        return res, (final_v if len(out) == rounds else None)
     return res
 
 

@@ -144,6 +144,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s input files, or None when unknowable
+    (non-local filesystem, no file-based scan). Driver-side stat of a handful
+    of paths — used to make persist-vs-pipeline decisions SCALE-ADAPTIVE
+    instead of tuned to one SF (r11: copurchase_pagerank's single-action
+    exchange-reuse shape is the measured winner at small inputs but exhausts
+    execution memory once the pair expansion reaches ~10^8 rows; the barrier
+    is gated on input size, not hard-coded either way)."""
+    import urllib.parse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for u in files:
+        p = urllib.parse.urlparse(u)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(urllib.parse.unquote(p.path))
+        except OSError:
+            return None
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Helper-persist ownership ledger
 # ---------------------------------------------------------------------------

@@ -722,6 +722,72 @@ def test_winnow_kernel_bit_identical(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_md5np_matches_hashlib_every_length():
+    """The vectorized single-block md5 (functions/md5np.py) must equal
+    ``int(hashlib.md5(m).hexdigest()[:15], 16)`` bit-for-bit over random
+    bytes at every supported length (1..55) — it feeds the winnow
+    fingerprint kernel, whose values are oracle-pinned."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.md5np import (
+        md5_60bit_fixed_len,
+    )
+
+    rng = random.Random(41)
+    for length in (1, 2, 8, 9, 15, 16, 31, 32, 54, 55):
+        msgs = [
+            bytes(rng.randrange(256) for _ in range(length)) for _ in range(257)
+        ]
+        arr = np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(-1, length)
+        got = md5_60bit_fixed_len(arr)
+        want = np.array(
+            [int(hashlib.md5(m).hexdigest()[:15], 16) for m in msgs],
+            dtype=np.int64,
+        )
+        assert (got == want).all(), length
+    try:
+        md5_60bit_fixed_len(np.zeros((1, 56), dtype=np.uint8))
+        raise AssertionError("length 56 must be rejected (needs two blocks)")
+    except ValueError:
+        pass
+
+
+def test_winnow_kernel_nonascii_fallback(spark, tmp_path):
+    """Non-ASCII documents (multi-byte UTF-8, where char offsets != byte
+    offsets) must take the per-doc hashlib fallback and still equal the
+    expression formulation exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.textops import (
+        _winnow_frame,
+        _winnow_frame_expr,
+    )
+
+    rows = [
+        (1, "café au lait tastes nice in the morning sun"),
+        (2, "plain ascii document with enough characters here"),
+        (3, "ümläut heavy tökens ümläut heavy tökens again"),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    a = sorted(map(tuple, _winnow_frame_expr(spark, sf).collect()))
+    b = sorted(map(tuple, _winnow_frame(spark, sf).collect()))
+    assert a == b and len(a) > 0
+    assert any(r[0] in (1, 3) for r in a)  # non-ascii docs produced fps
+
+
 def test_global_running_total_matches_single_partition_window(spark):
     """Two-phase prefix sum == the naive single-partition window result."""
     from pyspark.sql import functions as F
