@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     connected_components,
+    duck_md5_long,
     duck_normalized_fp,
     duckdb_connected_components,
     duckdb_exact_dedup,
@@ -1099,15 +1100,152 @@ def ivf_filtered_topk(spark, sf_dir):
     )
 
 
+def _fuzzy_wildcard_keys_expr(names):
+    """Expression-fold reference for :func:`_fuzzy_wildcard_keys` — the
+    original wildcard-key construction with the bucket key interned as a
+    60-bit md5 long (bit-equality twin for the kernel test). Empty names are
+    excluded: Spark's ``sequence(1, 0)`` is the DESCENDING [1, 0] while the
+    oracle's ``generate_series(1, 0)`` is empty — the kernel and oracle
+    agree (no keys), and the filter pins the twin to the same semantics."""
+    from ..functions.dedup import md5_long
+
+    return names.filter(F.length("nm") >= 1).select(
+        "id",
+        "nm",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(nm)),"
+                " i -> struct(i AS i, concat(substring(nm, 1, i - 1), chr(1),"
+                " substring(nm, i + 1)) AS bk))"
+            )
+        ).alias("k"),
+    ).select(
+        "id", "nm", F.col("k.i").alias("i"), md5_long(F.col("k.bk")).alias("bkh")
+    )
+
+
+def _fuzzy_wildcard_keys(names):
+    """(id, nm, i, bkh) deletion-neighborhood key stream — Arrow-kernel path,
+    bit-identical to :func:`_fuzzy_wildcard_keys_expr` (test-pinned).
+
+    Why (r11, guide §4.2): at the 1.5M-customer fixture the interpreted
+    concat/substring fold built ~28M wildcard strings PER JOIN SIDE and the
+    bucket join shuffled them as ~20-char string keys — 126 s warm. The
+    kernel builds each equal-length ASCII batch group as one (N, L) byte
+    matrix, derives position i's keys by overwriting column i with the 0x01
+    wildcard byte, and hashes all N messages per position through the
+    vectorized single-block md5 (functions/md5np.py); the bucket key crosses
+    the shuffle as an 8-byte md5 intern on BOTH engines (the shingle-intern
+    pattern: identical hash function on identical bytes, so even a 2^-60
+    collision is engine-consistent). Non-ASCII or >55-byte names take a
+    per-name hashlib fallback (wildcard positions are CHARACTER offsets)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.md5np import md5_60bit_fixed_len
+    from ..session import ensure_parallelism
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("nm", StringType(), False),
+            StructField("i", LongType(), False),
+            StructField("bkh", LongType(), False),
+        ]
+    )
+    _md5 = hashlib.md5
+
+    def kernel(batches):
+        for pdf in batches:
+            ids_out: list[np.ndarray] = []
+            nms_out: list[np.ndarray] = []
+            pos_out: list[np.ndarray] = []
+            bkh_out: list[np.ndarray] = []
+            groups: dict[int, tuple[list[int], list[str], list[bytes]]] = {}
+            ids = pdf["id"]
+            nms = pdf["nm"]
+            for row in range(len(pdf)):
+                nm = nms.iloc[row]
+                if nm is None or not nm:
+                    continue
+                b = nm.encode("utf-8")
+                if len(b) == len(nm) and len(b) <= 55:
+                    g = groups.setdefault(len(b), ([], [], []))
+                    g[0].append(ids.iloc[row])
+                    g[1].append(nm)
+                    g[2].append(b)
+                else:
+                    # fallback: character-offset wildcards, hashlib per key
+                    rid = ids.iloc[row]
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(
+                                _md5(
+                                    (nm[: i - 1] + "\x01" + nm[i:]).encode()
+                                ).digest()[:8],
+                                "big",
+                            )
+                            >> 4
+                            for i in range(1, len(nm) + 1)
+                        ),
+                        dtype=np.int64,
+                        count=len(nm),
+                    )
+                    ids_out.append(np.full(len(nm), rid, dtype=np.int64))
+                    nms_out.append(np.repeat(np.array([nm], dtype=object), len(nm)))
+                    pos_out.append(np.arange(1, len(nm) + 1, dtype=np.int64))
+                    bkh_out.append(hs)
+            for length, (gids, gnms, gbytes) in groups.items():
+                n = len(gids)
+                mat = np.frombuffer(b"".join(gbytes), dtype=np.uint8).reshape(
+                    n, length
+                )
+                h_cols = np.empty((n, length), dtype=np.int64)
+                msgs = np.empty_like(mat)
+                for i in range(length):
+                    np.copyto(msgs, mat)
+                    msgs[:, i] = 1  # the chr(1) wildcard byte
+                    h_cols[:, i] = md5_60bit_fixed_len(msgs)
+                ids_out.append(np.repeat(np.asarray(gids, dtype=np.int64), length))
+                nms_out.append(np.repeat(np.array(gnms, dtype=object), length))
+                pos_out.append(
+                    np.tile(np.arange(1, length + 1, dtype=np.int64), n)
+                )
+                bkh_out.append(h_cols.reshape(-1))
+            empty_i = np.empty(0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids_out) if ids_out else empty_i,
+                    "nm": (
+                        np.concatenate(nms_out)
+                        if nms_out
+                        else np.empty(0, dtype=object)
+                    ),
+                    "i": np.concatenate(pos_out) if pos_out else empty_i,
+                    "bkh": np.concatenate(bkh_out) if bkh_out else empty_i,
+                }
+            )
+
+    return ensure_parallelism(names).mapInPandas(kernel, schema=schema)
+
+
 @register(
     "fuzzy_match_customers",
-    oracle="""
+    oracle=f"""
         WITH names AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
         keys AS (
             SELECT id, nm,
                    unnest(list_transform(
                        generate_series(1, length(nm)),
-                       i -> substring(nm, 1, i - 1) || chr(1) || substring(nm, i + 1)
+                       i -> {duck_md5_long("substring(nm, 1, i - 1) || chr(1) || substring(nm, i + 1)")}
                    )) AS bk
             FROM names
         ),
@@ -1132,19 +1270,14 @@ def fuzzy_match_customers(spark, sf_dir):
     names = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("nm")
     )
-    keys = names.select(
-        "id",
-        "nm",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(nm)),"
-                " i -> struct(i AS i, concat(substring(nm, 1, i - 1), chr(1),"
-                " substring(nm, i + 1)) AS bk))"
-            )
-        ).alias("k"),
-    ).select("id", "nm", F.col("k.i").alias("i"), F.col("k.bk").alias("bk"))
-    a = keys.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "i", "bk")
-    b = keys.select(F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "bk")
+    # Kernel-built keys, PERSISTED: the a/b join sides are map-side frames
+    # (no exchange Spark could reuse), so unpersisted each side re-ran the
+    # full wildcard expansion + hash over the corpus (r11: 126 s warm at the
+    # 1.5M-customer fixture; kernel + intern + persist -> see after plan).
+    keys = owned_persist(_fuzzy_wildcard_keys(names))
+    keys.count()  # eager materialization (persist-gate contract)
+    a = keys.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "i", "bkh")
+    b = keys.select(F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "bkh")
     # No distinct() needed: two DIFFERENT names co-bucket at exactly ONE key
     # (the wildcard must sit on the sole differing position), and identical
     # names co-bucket at every key — keeping only rows where the wildcard
@@ -1157,7 +1290,7 @@ def fuzzy_match_customers(spark, sf_dir):
     # candidate frame (at sf10 the old distinct re-shuffled ~40M rows
     # carrying both name strings).
     cands = (
-        a.join(b, "bk")
+        a.join(b, "bkh")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.expr("substr(nm_a, i, 1) <> substr(nm_b, i, 1)") | (F.col("i") == 1)

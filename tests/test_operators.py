@@ -722,6 +722,40 @@ def test_winnow_kernel_bit_identical(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_fuzzy_wildcard_keys_kernel_equals_expression(spark, sf_dir):
+    """The vectorized deletion-neighborhood key kernel must emit the exact
+    (id, nm, i, bkh) rows of the expression fold — fixture customers plus
+    adversarial rows covering the unicode and >55-byte fallback paths and
+    equal/1-char names."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.plans.dedup_sim import (
+        _fuzzy_wildcard_keys,
+        _fuzzy_wildcard_keys_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    names = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("nm")
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "exact"),
+                (9_000_002, "exact"),
+                (9_000_003, "exacz"),
+                (9_000_004, "x"),
+                (9_000_005, "ümläut name"),  # multi-byte: hashlib fallback
+                (9_000_006, "a" * 56),  # > one md5 block: hashlib fallback
+            ],
+            "id long, nm string",
+        )
+    )
+    e = sorted(map(tuple, _fuzzy_wildcard_keys_expr(names).collect()))
+    k = sorted(map(tuple, _fuzzy_wildcard_keys(names).collect()))
+    assert e == k and len(e) > 0
+    assert sum(1 for r in k if r[0] == 9_000_006) == 56
+
+
 def test_md5np_matches_hashlib_every_length():
     """The vectorized single-block md5 (functions/md5np.py) must equal
     ``int(hashlib.md5(m).hexdigest()[:15], 16)`` bit-for-bit over random
