@@ -991,7 +991,7 @@ def duckdb_ivf_assign(
     """
 
 
-def pq_encode(
+def pq_encode_expr(
     df: DataFrame,
     m: int = 8,
     k: int = 16,
@@ -999,21 +999,9 @@ def pq_encode(
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Product quantization encode: split each d-dim vector into ``m``
-    subvectors and replace each with the index of its nearest codeword —
-    the compression layer ANN deployments pair with IVF (vectors shrink from
-    d floats to m bytes; distances are then table lookups).
-
-    Deterministic seeding (no k-means in either engine): codebook j = the
-    j-th subvectors of the first ``k`` vectors by id, the same
-    sample-as-centroid rule :func:`ivf_probes` uses. Codeword choice ranks
-    by floor-rounded squared L2 (ordered per-dim fold) with codeword-id
-    tie-break, so both engines pick identical codes. Codebooks broadcast;
-    the scan side streams — one groupBy(id) shuffle to reassemble codes.
-
-    Output: (vec_id, codes 'c0-c1-...', recon_err = rounded sum of the m
-    subspace distances in subspace order).
-    """
+    """Expression-fold reference for :func:`pq_encode` — the original
+    explode-per-subspace formulation, kept as the bit-equality twin the
+    kernel is pinned against (the shingle_arrays_expr pattern)."""
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
@@ -1115,6 +1103,103 @@ def duckdb_pq_encode(
     """
 
 
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product quantization encode: split each d-dim vector into ``m``
+    subvectors and replace each with the index of its nearest codeword —
+    the compression layer ANN deployments pair with IVF (vectors shrink from
+    d floats to m bytes; distances are then table lookups).
+
+    Deterministic seeding (no k-means in either engine): codebook j = the
+    j-th subvectors of the first ``k`` vectors by id, the same
+    sample-as-centroid rule :func:`ivf_probes` uses. Codeword choice ranks
+    by floor-rounded squared L2 (ordered per-dim fold) with codeword-id
+    tie-break, so both engines pick identical codes. Codebooks broadcast.
+
+    Arrow-kernel path (r11, guide §4.2), bit-identical to
+    :func:`pq_encode_expr` by construction and test-pinned: the expression
+    formulation exploded one row per (vector, subspace), evaluated 16
+    interpreted distance folds per row and re-assembled codes through a
+    groupBy(id) shuffle — 8.8 s at the 200k-vector fixture. The kernel
+    computes every subspace of a batch with sequential per-dim numpy adds
+    (the exact IEEE op order of the expression fold: float32→float64
+    widening, (x−y)² accumulated in dim order, floor-round, first-minimum
+    codeword = smallest id on ties), entirely map-side — the explode AND
+    the reassembly shuffle disappear.
+
+    Output: (vec_id, codes 'c0-c1-...', recon_err = rounded sum of the m
+    subspace distances in subspace order).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import ensure_parallelism
+
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = np.array(
+        [list(r["v"]) for r in base.orderBy("id").limit(k).select("v").collect()],
+        dtype=np.float64,
+    )  # (k, dim)
+    scale = float(10**round_digits)
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type, False),
+            StructField("codes", StringType(), False),
+            StructField("recon_err", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            v = np.array(list(pdf["v"]), dtype=np.float64)  # (n, dim)
+            code_cols = np.empty((n, m), dtype=np.int64)
+            err = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                sv = v[:, j * sub : (j + 1) * sub]  # (n, sub)
+                cw = cents[:, j * sub : (j + 1) * sub]  # (k, sub)
+                acc = np.zeros((n, k), dtype=np.float64)
+                for t in range(sub):  # per-dim fold order == the expression
+                    d = sv[:, t : t + 1] - cw[None, :, t]
+                    acc += d * d
+                dist = np.floor(acc * scale + 0.5) / scale  # fround
+                best = dist.argmin(axis=1)  # first min == smallest codeword id
+                code_cols[:, j] = best
+                err += dist[np.arange(n), best]  # j-ordered fold
+            recon = np.floor(err * scale + 0.5) / scale
+            codes_str = [
+                "-".join(map(str, row)) for row in code_cols
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["id"].reset_index(drop=True),
+                    "codes": pd.Series(codes_str, dtype="object"),
+                    "recon_err": recon,
+                }
+            )
+
+    return ensure_parallelism(base).mapInPandas(kernel, schema=schema)
+
+
 def pq_topk(
     df: DataFrame,
     k: int = 5,
@@ -1192,6 +1277,132 @@ def pq_topk(
     ])
     queries = q.select(F.col("id").alias("q_id"), dt.alias("dt"))
 
+    # ADC scoring kernel (r11, guide §4.2): the expression shape evaluated a
+    # j-ordered interpreted fold per (query, code) pair — Q×N rows of 2 m
+    # element_at calls each — and fed ALL of them into the top-k window
+    # (20M rows at the 200k-vector fixture). The kernel gathers the same
+    # table entries with numpy (identical left-fold IEEE order: 0.0 + dt[0]
+    # + dt[1] + …, then the same floor-round) and pre-selects the k best
+    # per (query, batch) under the final (adc_dist, n_id) order — an exact
+    # selection (the global top-k is a subset of the per-batch top-k), so
+    # the window ranks thousands of survivors instead of Q×N rows. The
+    # collected query table is the bounded re-rank batch cosine_topk
+    # already collects (Q × m × num_codewords doubles).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_rows = queries.collect()
+    out_schema = StructType(
+        [
+            StructField("q_id", df.schema[id_col].dataType, False),
+            StructField("n_id", df.schema[id_col].dataType, False),
+            StructField("adc_dist", DoubleType(), False),
+        ]
+    )
+    if not q_rows:
+        scored = df.sparkSession.createDataFrame([], out_schema)
+    else:
+        q_ids = [r["q_id"] for r in q_rows]
+        dt_np = np.array([r["dt"] for r in q_rows], dtype=np.float64)
+        n_q = len(q_ids)
+        scale = float(10**round_digits)
+
+        def kernel(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                code_mat = np.array(list(pdf["codes_arr"]), dtype=np.int64)
+                n_ids = pdf["n_id"].to_numpy()
+                keep = min(k, n)
+                out_q, out_n, out_d = [], [], []
+                for qi in range(n_q):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(m):  # left-fold order == the expression
+                        acc += dt_np[qi, j, code_mat[:, j]]
+                    adc = np.floor(acc * scale + 0.5) / scale  # fround
+                    best = np.lexsort((n_ids, adc))[:keep]
+                    out_q.append(np.full(keep, q_ids[qi], dtype=np.int64))
+                    out_n.append(n_ids[best])
+                    out_d.append(adc[best])
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "n_id": np.concatenate(out_n),
+                        "adc_dist": np.concatenate(out_d),
+                    }
+                )
+
+        scored = codes.mapInPandas(kernel, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    return (
+        scored.select(
+            "q_id", "n_id", "adc_dist",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def pq_topk_expr(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    num_codewords: int = 16,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Expression-only reference for :func:`pq_topk` (pure fold chain over
+    :func:`pq_encode_expr` codes — the bit-equality twin the ADC kernel is
+    pinned against in tests)."""
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = [
+        list(r["v"])
+        for r in base.orderBy("id").limit(num_codewords).select("v").collect()
+    ]
+    codes = pq_encode_expr(
+        df, m=m, k=num_codewords, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select(
+        F.col(id_col).alias("n_id"),
+        F.transform(F.split("codes", "-"), lambda s: s.cast("int")).alias("codes_arr"),
+    )
+    q = base
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    dt = F.array(*[
+        F.array(*[
+            fround(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("v", j * sub + 1, sub),
+                        F.array(*[
+                            F.lit(float(cents[c][j * sub + t])) for t in range(sub)
+                        ]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                round_digits,
+            )
+            for c in range(num_codewords)
+        ])
+        for j in range(m)
+    ])
+    queries = q.select(F.col("id").alias("q_id"), dt.alias("dt"))
     pairs = codes.crossJoin(F.broadcast(queries))
     adc = fround(
         F.aggregate(

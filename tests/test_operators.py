@@ -756,6 +756,48 @@ def test_fuzzy_wildcard_keys_kernel_equals_expression(spark, sf_dir):
     assert sum(1 for r in k if r[0] == 9_000_006) == 56
 
 
+def test_pq_kernels_equal_expression_folds(spark, sf_dir):
+    """The PQ encode kernel and the ADC scoring kernel must reproduce the
+    expression formulations bit-for-bit (float32→float64 widening, per-dim
+    fold order, floor-round, first-min codeword, (adc, n_id) ranking)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        pq_encode,
+        pq_encode_expr,
+        pq_topk,
+        pq_topk_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    e = sorted(map(tuple, pq_encode_expr(emb, m=8, k=16).collect()))
+    kk = sorted(map(tuple, pq_encode(emb, m=8, k=16).collect()))
+    assert e == kk and len(e) > 0
+    a = sorted(
+        map(
+            tuple,
+            pq_topk_expr(
+                emb, k=5, m=8, num_codewords=16, query_filter=F.col("id") < 20
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_topk(
+                emb, k=5, m=8, num_codewords=16, query_filter=F.col("id") < 20
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+    # empty query batch: both paths produce an empty, well-typed frame
+    z = pq_topk(
+        emb, k=5, m=8, num_codewords=16, query_filter=F.col("id") < -1
+    )
+    assert z.count() == 0 and set(z.columns) == {"q_id", "n_id", "adc_dist", "rk"}
+
+
 def test_md5np_matches_hashlib_every_length():
     """The vectorized single-block md5 (functions/md5np.py) must equal
     ``int(hashlib.md5(m).hexdigest()[:15], 16)`` bit-for-bit over random
