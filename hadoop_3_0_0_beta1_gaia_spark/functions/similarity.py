@@ -1551,7 +1551,7 @@ def _kmeans_assign(base, cents):
     )
 
 
-def kmeans_lloyd(
+def kmeans_lloyd_expr(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
@@ -1559,9 +1559,13 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """k-means with ``iters`` Lloyd refinement steps — the iterative-ML
-    pattern on DataFrames (the principled upgrade of ``ivf_probes``' static
-    first-k seeding; refined centroids feed back into IVF bucket balance).
+    """Expression-fold reference for :func:`kmeans_lloyd` — the original
+    in-row argmin + posexplode centroid update, kept as the equality twin
+    the kernel is pinned against. Exactness note: every quantity lives on
+    the exact integer grid (quantized components ≤ 10^round_digits, dots ≤
+    d·10^{2r} ≪ 2^53), so equality between the two paths is EXACT and
+    order-free — unlike the float kernels there is no IEEE-op-order
+    subtlety to mirror.
 
     Per iteration: (1) assignment is the zero-shuffle in-row argmin of
     ``_kmeans_assign``; (2) the centroid update explodes assigned vectors to
@@ -1608,6 +1612,142 @@ def kmeans_lloyd(
     return final.select(
         F.col("id").alias("vec_id"),
         F.col("c_id").alias("cluster"),
+        fround(F.col("d2i") / unscale, round_digits).alias("d2"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-means with ``iters`` Lloyd refinement steps — the iterative-ML
+    pattern (the principled upgrade of ``ivf_probes``' static first-k
+    seeding; refined centroids feed back into IVF bucket balance).
+
+    Arrow-kernel path (r11, guide §4.2), EXACTLY equal to
+    :func:`kmeans_lloyd_expr` (test-pinned): every quantity lives on the
+    exact integer grid (quantized components, dots ≤ d·10^{2r} ≪ 2^53), so
+    numpy matmuls produce bit-identical values in ANY summation order — no
+    IEEE-op-order mirroring needed, the property the module comment pins.
+    The expression path ran the interpreted k-way argmin fold over the
+    corpus 3× plus two posexplode (n·d rows) centroid-update shuffles; the
+    kernel does each pass as one batched matmul + argmin, and the update
+    reduces per-batch partial (cluster, count, component-sum) rows — tiny,
+    exact integers, order-free — finished on the driver (the same k·d
+    centroid volume every round already shipped through the broadcast).
+
+    Determinism: seeds are the first k vectors by id; DuckDB twin
+    :func:`duckdb_kmeans_lloyd`. Output: (vec_id, cluster, d2) with d2 in
+    original units rounded to ``round_digits``; emptied clusters drop out.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import ensure_parallelism
+
+    scale = float(10**round_digits)
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    )
+    seed_rows = base.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        return df.sparkSession.createDataFrame(
+            [], "vec_id long, cluster long, d2 double"
+        )
+    # same quantization op sequence as _kmeans_quant: floor(x * s + 0.5)
+    cents_np = np.floor(np.array([r["v"] for r in seed_rows], dtype=np.float64) * scale + 0.5)
+    c_ids = np.arange(len(cents_np), dtype=np.int64)
+
+    def _stats_kernel(cents, ids):
+        cn = (cents * cents).sum(axis=1)
+
+        def kernel(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                v = np.floor(
+                    np.array(list(pdf["v"]), dtype=np.float64) * scale + 0.5
+                )
+                n2 = (v * v).sum(axis=1)
+                d2 = n2[:, None] + cn[None, :] - 2.0 * (v @ cents.T)
+                best = d2.argmin(axis=1)  # first min == lowest c_id
+                rows_c, rows_n, rows_s = [], [], []
+                for pos in range(len(ids)):
+                    mask = best == pos
+                    cnt = int(mask.sum())
+                    if cnt:
+                        rows_c.append(ids[pos])
+                        rows_n.append(cnt)
+                        rows_s.append(v[mask].sum(axis=0))
+                yield pd.DataFrame(
+                    {
+                        "c_id": pd.Series(rows_c, dtype="int64"),
+                        "cnt": pd.Series(rows_n, dtype="int64"),
+                        "sums": pd.Series(rows_s, dtype="object"),
+                    }
+                )
+
+        return kernel
+
+    stats_schema = "c_id long, cnt long, sums array<double>"
+    for _ in range(iters):
+        partials = base.mapInPandas(
+            _stats_kernel(cents_np, c_ids), schema=stats_schema
+        ).collect()
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in partials:
+            cnt, s = agg.get(r["c_id"], (0, None))
+            vec = np.asarray(r["sums"], dtype=np.float64)
+            agg[r["c_id"]] = (cnt + r["cnt"], vec if s is None else s + vec)
+        # floor(sum/cnt + 0.5): sums are exact grid integers, order-free
+        new_ids = sorted(agg)
+        cents_np = np.stack(
+            [np.floor(agg[i][1] / agg[i][0] + 0.5) for i in new_ids]
+        )
+        c_ids = np.asarray(new_ids, dtype=np.int64)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", df.schema[id_col].dataType, False),
+            StructField("cluster", LongType(), False),
+            StructField("d2i", DoubleType(), False),
+        ]
+    )
+    cents_f, ids_f = cents_np, c_ids
+    cn_f = (cents_f * cents_f).sum(axis=1)
+
+    def final_kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            v = np.floor(np.array(list(pdf["v"]), dtype=np.float64) * scale + 0.5)
+            n2 = (v * v).sum(axis=1)
+            d2 = n2[:, None] + cn_f[None, :] - 2.0 * (v @ cents_f.T)
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].reset_index(drop=True),
+                    "cluster": ids_f[best],
+                    "d2i": d2[np.arange(n), best],
+                }
+            )
+
+    unscale = float(10 ** (2 * round_digits))
+    return base.mapInPandas(final_kernel, schema=out_schema).select(
+        "vec_id",
+        "cluster",
         fround(F.col("d2i") / unscale, round_digits).alias("d2"),
     )
 

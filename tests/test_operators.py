@@ -798,6 +798,25 @@ def test_pq_kernels_equal_expression_folds(spark, sf_dir):
     assert z.count() == 0 and set(z.columns) == {"q_id", "n_id", "adc_dist", "rk"}
 
 
+def test_kmeans_kernel_equals_expression(spark, sf_dir):
+    """The Lloyd kernel must reproduce the expression path EXACTLY — the
+    integer grid makes equality order-free (every dot/sum ≪ 2^53), so this
+    pins assignment argmin ties, the floor(sum/n + 0.5) update, the
+    empty-cluster drop rule, and the final d2 rounding, across two
+    (k, iters) shapes."""
+    from hadoop_3_0_0_beta1_gaia_spark.functions.similarity import (
+        kmeans_lloyd,
+        kmeans_lloyd_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    for k, iters in ((8, 2), (3, 4)):
+        a = sorted(map(tuple, kmeans_lloyd_expr(emb, k=k, iters=iters).collect()))
+        b = sorted(map(tuple, kmeans_lloyd(emb, k=k, iters=iters).collect()))
+        assert a == b and len(a) > 0
+
+
 def test_md5np_matches_hashlib_every_length():
     """The vectorized single-block md5 (functions/md5np.py) must equal
     ``int(hashlib.md5(m).hexdigest()[:15], 16)`` bit-for-bit over random
