@@ -132,10 +132,11 @@ _REPETITION_ORACLE = f"""
     "doc_repetition",
     oracle=_REPETITION_ORACLE,
     ref="repetition quality rules (distinct-token ratio + most-frequent-bigram mass, the "
-    "Gopher-style repetition filters). Spark side is FULLY map-side: the per-doc top "
-    "bigram count is a run-length scan over the sorted bigram array (sort_array + "
-    "aggregate fold) — no explode, no shuffle, one codegen stage; the oracle uses the "
-    "equivalent unnest+groupBy formulation, so the fold itself is what's verified",
+    "Gopher-style repetition filters). Spark side is map-side: the per-doc top bigram "
+    "count runs in the Arrow kernel (Counter max multiplicity == the sorted-array "
+    "run-length fold, expression twin test-pinned) — no explode, no key-based shuffle, "
+    "only the deliberate round-robin scan spread; the oracle uses the equivalent "
+    "unnest+groupBy formulation, so the per-doc counting itself is what's verified",
 )
 def doc_repetition(spark, sf_dir):
     return repetition_metrics(
@@ -143,11 +144,10 @@ def doc_repetition(spark, sf_dir):
     )
 
 
-def repetition_metrics(docs):
-    """The doc_repetition metrics over any (doc_id, text) frame — factored so
-    callers that feed a single-row-group fixture scan (the funnel) can spread
-    it with ensure_parallelism first; the standalone entry passes the bare
-    scan, keeping its zero-Exchange plan pin byte-identical."""
+def repetition_metrics_expr(docs):
+    """Expression-fold reference for :func:`repetition_metrics` — the
+    original sort_array + run-length fold, kept as the bit-equality twin
+    the kernel is pinned against (the gopher_repetition_kernel pattern)."""
     d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     bigrams = F.transform(
@@ -185,6 +185,95 @@ def repetition_metrics(docs):
         ).alias("distinct_ratio"),
         top.alias("top_bigram_count"),
         fround(top * 2.0 / F.greatest(n, F.lit(1)), 4).alias("top_bigram_frac"),
+    )
+
+
+def repetition_metrics(docs):
+    """doc_repetition metrics over any (doc_id, text) frame — Arrow-kernel
+    path, bit-identical to :func:`repetition_metrics_expr` (test-pinned on
+    fixture + adversarial NULL/empty/unicode/repeated-bigram rows).
+
+    Why (r11, guide §4.2): the per-doc sort_array + interpreted run-length
+    fold over bigram strings cost 5.4 s warm at the 500k-doc fixture
+    (doc_repetition standalone; the funnel's metrics persist pays it too).
+    The kernel computes the same values with a Counter — max multiplicity
+    of a bigram equals the max run over the sorted bigram array by
+    definition — and mirrors the two fround divisions op-for-op (Python
+    doubles are the same IEEE ops Catalyst runs: divide, ×10⁴, +0.5,
+    floor). Tokenization matches :func:`tokens` via ``re.ASCII``; the
+    NULL-text row keeps the expression path's exact degenerate outputs
+    (n_tokens −1, distinct_ratio −1.0). The kernel spreads its input
+    (ensure_parallelism — the ONE deliberate round-robin exchange the
+    plan-pin test allows, a no-op on real multi-file input)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import ensure_parallelism
+
+    id_type = docs.schema["doc_id"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, False),
+            StructField("n_tokens", LongType(), True),
+            StructField("distinct_ratio", DoubleType(), True),
+            StructField("top_bigram_count", LongType(), False),
+            StructField("top_bigram_frac", DoubleType(), False),
+        ]
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+    floor = math.floor
+
+    def fr4(x: float) -> float:
+        return floor(x * 10000 + 0.5) / 10000
+
+    def kernel(batches):
+        for pdf in batches:
+            out_n, out_dr, out_tc, out_tf = [], [], [], []
+            texts = pdf["text"]
+            for pos in range(len(pdf)):
+                text = texts.iloc[pos]
+                if text is None:
+                    # expression path: size(NULL)/ratio are NULL; the top
+                    # count falls to the otherwise-branch (0, 0.0)
+                    out_n.append(None)
+                    out_dr.append(None)
+                    out_tc.append(0)
+                    out_tf.append(0.0)
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                n = len(toks)
+                nn = max(n, 1)
+                if n >= 2:
+                    top = max(
+                        Counter(zip(toks, toks[1:])).values()
+                    )
+                else:
+                    top = 0
+                out_n.append(n)
+                out_dr.append(fr4(len(set(toks)) / nn))
+                out_tc.append(top)
+                out_tf.append(fr4(top * 2.0 / nn))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].reset_index(drop=True),
+                    "n_tokens": pd.array(out_n, dtype="Int64"),
+                    "distinct_ratio": pd.array(out_dr, dtype="Float64"),
+                    "top_bigram_count": pd.Series(out_tc, dtype="int64"),
+                    "top_bigram_frac": pd.Series(out_tf, dtype="float64"),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id", "text")).mapInPandas(
+        kernel, schema=schema
     )
 
 

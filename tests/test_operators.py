@@ -798,6 +798,37 @@ def test_pq_kernels_equal_expression_folds(spark, sf_dir):
     assert z.count() == 0 and set(z.columns) == {"q_id", "n_id", "adc_dist", "rk"}
 
 
+def test_repetition_metrics_kernel_equals_expression(spark, sf_dir):
+    """The Counter-based repetition kernel must equal the sort_array +
+    run-length expression fold exactly (two fround divisions mirrored
+    op-for-op; NULL-text degenerate outputs preserved) — fixture corpus
+    plus adversarial rows."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.llm_quality import (
+        repetition_metrics,
+        repetition_metrics_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, "a b a b a b a b"),  # dominant bigram
+                (9_000_002, "   "),  # no tokens
+                (9_000_003, "single"),
+                (9_000_004, None),  # NULL text: -1/-1.0 degenerate row
+                (9_000_005, "x y"),
+                (9_000_006, "alpha beta gamma alpha beta gamma"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    e = {r["doc_id"]: tuple(r) for r in repetition_metrics_expr(docs).collect()}
+    k = {r["doc_id"]: tuple(r) for r in repetition_metrics(docs).collect()}
+    assert e == k and len(e) > 0
+    assert k[9_000_004][1] is None and k[9_000_004][2] is None
+    assert k[9_000_001][3] == 4  # "a b" occurs 4 times
+
+
 def test_kmeans_kernel_equals_expression(spark, sf_dir):
     """The Lloyd kernel must reproduce the expression path EXACTLY — the
     integer grid makes equality order-free (every dot/sum ≪ 2^53), so this

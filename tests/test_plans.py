@@ -152,7 +152,6 @@ def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
     "name",
     [
         "doc_pii_scrub",
-        "doc_repetition",
         "embed_quantize_int8",
         "doc_chunk_tokens",
         "gopher_rules_filter",
@@ -160,15 +159,13 @@ def test_q3_no_forced_broadcast_at_scale(spark, sf_dir):
 )
 def test_llm_quality_ops_shuffle_free(spark, sf_dir, name):
     """The cleaning/quantization stages are pure per-row map work — their
-    plans must contain NO Exchange at any scale (the whole point of the
-    map-side fold in doc_repetition: per-doc bigram counting without an
-    explode+groupBy shuffle)."""
+    plans must contain NO Exchange at any scale."""
     p = _plan(spark, sf_dir, name)
     assert "Exchange" not in p
 
 
 @pytest.mark.parametrize(
-    "name", ["gopher_repetition_signals", "c4_line_filter"]
+    "name", ["gopher_repetition_signals", "c4_line_filter", "doc_repetition"]
 )
 def test_filter_kernels_single_roundrobin_exchange(spark, sf_dir, name):
     """The repetition and C4 line-rules kernels' only shuffle is the
