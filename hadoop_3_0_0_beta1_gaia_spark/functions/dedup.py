@@ -147,7 +147,17 @@ def shingle_arrays(
     ``dict.fromkeys`` — exactly ``array_distinct`` over the hashed values.
     Tokenization matches :func:`tokens` via ``re.ASCII`` (Java default
     ``\\s``), the simhash64_kernel precedent; entirely map-side, zero
-    exchanges, embarrassingly parallel."""
+    exchanges, embarrassingly parallel.
+
+    Locale note (ADVICE r11): every text kernel in this module lower-cases
+    with Python ``str.lower()`` while the expression twins use Spark
+    ``lower()``, whose non-ASCII path is JVM ``String.toLowerCase()`` under
+    the JVM DEFAULT locale. On a tr_TR/az JVM the two diverge on ASCII 'I'
+    (→ 'ı'). :func:`session.get_session` therefore pins the JVM locale to
+    the root-equivalent en_US (``-Duser.language/-Duser.country`` on driver
+    and executors); embedding these helpers in a session built elsewhere
+    requires the same pin (or an ASCII-only corpus, which every fixture
+    satisfies)."""
     import hashlib
     import re as _re
 
@@ -576,9 +586,74 @@ def lsh_drop_counter() -> dict:
 def expand_bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
     """One row per unordered pair (id_a < id_b) from each bucket's sorted id
     array — the in-row pair expansion shared by every bucket-first candidate
-    generator (LSH bands, winnow fingerprints). Pairs sharing multiple
-    buckets appear once per bucket; callers either ``distinct()`` (candidate
-    semantics) or ``groupBy().count()`` (shared-bucket counting)."""
+    generator (LSH bands, winnow fingerprints, co-purchase baskets). Pairs
+    sharing multiple buckets appear once per bucket; callers either
+    ``distinct()`` (candidate semantics) or ``groupBy().count()``
+    (shared-bucket counting). Row ORDER is not part of the contract — every
+    consumer aggregates.
+
+    Arrow-kernel path (r12, guide §4.2): the expression formulation
+    (:func:`expand_bucket_pairs_expr`, kept as the equality anchor) is a
+    transform/slice/flatten higher-order chain that Catalyst evaluates
+    interpreted per ELEMENT with a struct allocation per pair (the r11
+    shingle-kernel lesson: ~µs/element); at the co-purchase fixture that is
+    ~10^8 pair expansions per pass. The kernel flattens each Arrow list
+    batch zero-copy, groups buckets by length, and emits every
+    (i < j) combination as two numpy gathers per length group — the same
+    pair multiset, no per-pair interpreter work. Non-integer id arrays
+    (no caller today) fall back to the expression path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.types import ArrayType, LongType
+
+    elem = buckets.schema[ids_col].dataType
+    if not (
+        isinstance(elem, ArrayType) and isinstance(elem.elementType, LongType)
+    ):  # pragma: no cover - guard for future non-long callers
+        return expand_bucket_pairs_expr(buckets, ids_col)
+
+    # project to the single needed column BEFORE the opaque map node
+    # (guide §4.1: Spark cannot prune through mapInArrow)
+    src = buckets.select(F.col(ids_col).alias("ids"))
+
+    def kernel(batches):
+        comb: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for rb in batches:
+            col = rb.column(0)
+            if col.null_count:
+                col = pc.fill_null(col, [])
+            lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(col).to_numpy()
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            for k in np.unique(lens):
+                if k < 2:
+                    continue
+                idx = np.nonzero(lens == k)[0]
+                # (n_k, k) gather of every length-k bucket, then one fancy
+                # index per pair position; yielded per length group so a
+                # single batch never concatenates its whole pair volume
+                M = flat[starts[idx][:, None] + np.arange(k)[None, :]]
+                ci = comb.get(k)
+                if ci is None:
+                    ci = np.triu_indices(k, 1)
+                    comb[k] = ci
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(M[:, ci[0]].ravel(), type=pa.int64()),
+                        pa.array(M[:, ci[1]].ravel(), type=pa.int64()),
+                    ],
+                    names=["id_a", "id_b"],
+                )
+
+    return src.mapInArrow(kernel, schema="id_a long, id_b long")
+
+
+def expand_bucket_pairs_expr(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Expression-only pair expansion — the correctness anchor for
+    :func:`expand_bucket_pairs`'s Arrow kernel (bit-equality pinned in
+    tests/test_operators.py)."""
     pair_arr = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(ids_col) - 1),

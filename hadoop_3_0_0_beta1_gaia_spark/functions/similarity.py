@@ -722,7 +722,7 @@ def cosine_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    num_blocks: int = 4,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Bucketed near-dup: exact cosine verify only WITHIN hyperplane buckets.
 
@@ -736,9 +736,14 @@ def cosine_near_dup_lsh(
     in-bucket pair as a row carrying BOTH full vectors (2·d doubles ≈
     1 KB/pair), ~95 GB for the 93M sf10 pairs, 30× the corpus. Kernel fold
     pinned bit-identical to the per-pair expression path by
-    test_lsh_near_dup_subset_of_bruteforce. On a cluster pick num_blocks ≈
-    (largest expected bucket) / (vectors that fit one task's memory); tile
-    rows are two cells ≈ 2·(bucket/K)·d doubles each."""
+    test_lsh_near_dup_subset_of_bruteforce.
+
+    ``num_blocks`` (r12, VERDICT item 3) defaults to ceil(max bucket size /
+    2048) derived from actual bucket stats — the r11 hard-coded 4 left one
+    hot bucket at scale as a single unbounded collect_list row (the sizing
+    rule lived in this docstring instead of code). The stats pass costs one
+    extra bucket-expression scan (vector column only, ~256-group partial
+    agg); result-invariant in K (test_lsh_tile_decomposition_invariant)."""
 
     dims = len(df.select(vec_col).first()[0])
     # No join: bucket is an expression of the vector — attached map-side.
@@ -749,6 +754,19 @@ def cosine_near_dup_lsh(
             "bucket"
         ),
     )
+    if num_blocks is None:
+        # ~2k vectors per cell sized on the HOTTEST bucket (the semantic_dedup
+        # rule keyed on bucket stats instead of the corpus total: hyperplane
+        # buckets are skewed, so n/2^planes under-sizes the hot bucket).
+        # base is persisted so the scan + num_planes·d bucket projection run
+        # ONCE for the stats agg and the cells agg (unpersisted, the stats
+        # pass re-paid the whole projection — measured +30% at sf10); the
+        # ledger releases it after the query's terminal action.
+        base = owned_persist(base)
+        mx = base.groupBy("bucket").agg(F.count("*").alias("n")).agg(
+            F.max("n")
+        ).collect()[0][0]
+        num_blocks = max(1, min(256, -(-(mx or 0) // 2048)))
     return _tile_cos_pairs(base, num_blocks, threshold, round_digits, 1e-300)
 
 
@@ -1328,7 +1346,10 @@ def pq_topk(
                         acc += dt_np[qi, j, code_mat[:, j]]
                     adc = np.floor(acc * scale + 0.5) / scale  # fround
                     best = np.lexsort((n_ids, adc))[:keep]
-                    out_q.append(np.full(keep, q_ids[qi], dtype=np.int64))
+                    # dtype inferred from the id VALUE (ADVICE r11: a hard
+                    # np.int64 crashed/mistyped non-long id columns that the
+                    # declared out_schema and the expression twin support)
+                    out_q.append(np.full(keep, q_ids[qi]))
                     out_n.append(n_ids[best])
                     out_d.append(adc[best])
                 yield pd.DataFrame(
@@ -1637,8 +1658,9 @@ def kmeans_lloyd(
     corpus 3× plus two posexplode (n·d rows) centroid-update shuffles; the
     kernel does each pass as one batched matmul + argmin, and the update
     reduces per-batch partial (cluster, count, component-sum) rows — tiny,
-    exact integers, order-free — finished on the driver (the same k·d
-    centroid volume every round already shipped through the broadcast).
+    exact integers, order-free — to ≤ k·d rows with a Spark-side hash agg
+    before the driver collects (r12: the per-batch partials previously
+    collected raw, O(batches·k) rows of d doubles at scale).
 
     Determinism: seeds are the first k vectors by id; DuckDB twin
     :func:`duckdb_kmeans_lloyd`. Output: (vec_id, cluster, d2) with d2 in
@@ -1656,14 +1678,28 @@ def kmeans_lloyd(
     from ..session import ensure_parallelism
 
     scale = float(10**round_digits)
+    out_schema = StructType(
+        [
+            StructField("vec_id", df.schema[id_col].dataType, False),
+            StructField("cluster", LongType(), False),
+            StructField("d2i", DoubleType(), False),
+        ]
+    )
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     )
     seed_rows = base.orderBy("id").limit(k).collect()
     if not seed_rows:
-        return df.sparkSession.createDataFrame(
-            [], "vec_id long, cluster long, d2 double"
+        # empty-input frame typed from the DECLARED id column (ADVICE r11:
+        # the 'vec_id long' DDL literal mistyped non-long id columns)
+        empty = StructType(
+            [
+                StructField("vec_id", df.schema[id_col].dataType, True),
+                StructField("cluster", LongType(), True),
+                StructField("d2", DoubleType(), True),
+            ]
         )
+        return df.sparkSession.createDataFrame([], empty)
     # same quantization op sequence as _kmeans_quant: floor(x * s + 0.5)
     cents_np = np.floor(np.array([r["v"] for r in seed_rows], dtype=np.float64) * scale + 0.5)
     c_ids = np.arange(len(cents_np), dtype=np.int64)
@@ -1701,29 +1737,45 @@ def kmeans_lloyd(
         return kernel
 
     stats_schema = "c_id long, cnt long, sums array<double>"
+    d_dim = cents_np.shape[1]
     for _ in range(iters):
-        partials = base.mapInPandas(
-            _stats_kernel(cents_np, c_ids), schema=stats_schema
-        ).collect()
-        agg: dict[int, tuple[int, np.ndarray]] = {}
-        for r in partials:
-            cnt, s = agg.get(r["c_id"], (0, None))
-            vec = np.asarray(r["sums"], dtype=np.float64)
-            agg[r["c_id"]] = (cnt + r["cnt"], vec if s is None else s + vec)
+        # r12 (VERDICT item 2, guide §5): reduce the per-batch partials to
+        # <= k·d rows IN SPARK before collecting — the r11 shape collected
+        # (Arrow batches × non-empty clusters) rows of d doubles and folded
+        # them in a driver dict; at 100 TB that is O(10^7)·k rows of d
+        # doubles to the driver. Every summed quantity is an exact grid
+        # integer << 2^53, so a hash-agg sum is bit-identical in ANY
+        # order/grouping — the same argument that already justified the
+        # order-free driver fold.
+        rows = (
+            base.mapInPandas(_stats_kernel(cents_np, c_ids), schema=stats_schema)
+            .select("c_id", "cnt", F.posexplode("sums").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                # cnt repeats once per pos; charge it to pos 0 only
+                F.sum(F.when(F.col("pos") == 0, F.col("cnt")).otherwise(0)).alias(
+                    "n"
+                ),
+            )
+            .collect()
+        )
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in rows:
+            c = r["c_id"]
+            if c not in sums:
+                sums[c] = np.zeros(d_dim, dtype=np.float64)
+                cnts[c] = 0
+            sums[c][r["pos"]] = r["s"]
+            cnts[c] += r["n"]
         # floor(sum/cnt + 0.5): sums are exact grid integers, order-free
-        new_ids = sorted(agg)
+        new_ids = sorted(sums)
         cents_np = np.stack(
-            [np.floor(agg[i][1] / agg[i][0] + 0.5) for i in new_ids]
+            [np.floor(sums[i] / cnts[i] + 0.5) for i in new_ids]
         )
         c_ids = np.asarray(new_ids, dtype=np.int64)
 
-    out_schema = StructType(
-        [
-            StructField("vec_id", df.schema[id_col].dataType, False),
-            StructField("cluster", LongType(), False),
-            StructField("d2i", DoubleType(), False),
-        ]
-    )
     cents_f, ids_f = cents_np, c_ids
     cn_f = (cents_f * cents_f).sum(axis=1)
 

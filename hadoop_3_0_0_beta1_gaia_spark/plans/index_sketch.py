@@ -1716,6 +1716,55 @@ def _prf_oracle() -> str:
     """
 
 
+def _cand_tf_kernel(d, cand_list):
+    """(doc_id, term, tf) for candidate terms only, counted map-side.
+
+    Exactly the rows of ``explode(toks) ⋈ candidates → groupBy(doc, term)
+    count`` — each document is ONE row of ``d`` (the per-doc token-array
+    frame), so a per-document count inside the kernel is already final; the
+    explode, the broadcast probe of every token, and the corpus-wide hash
+    aggregation disappear (r12, guide §4.2). ``cand_list`` must be a small
+    in-memory list (feedback vocabulary + query terms)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cand_arr = pa.array(list(cand_list), type=pa.string())
+    n_terms = len(cand_list)
+    cand_np = np.asarray(cand_list, dtype=object)
+
+    def kernel(batches):
+        for rb in batches:
+            doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            toks = rb.column(1)
+            if toks.null_count:
+                toks = pc.fill_null(toks, [])
+            lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(toks)
+            ti = pc.fill_null(
+                pc.index_in(flat, value_set=cand_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_pos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            sel = ti >= 0
+            if not sel.any():
+                continue
+            keys, counts = np.unique(
+                doc_pos[sel] * n_terms + ti[sel], return_counts=True
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[keys // n_terms], type=pa.int64()),
+                    pa.array(cand_np[keys % n_terms], type=pa.string()),
+                    pa.array(counts.astype(np.int64), type=pa.int64()),
+                ],
+                names=["doc_id", "term", "tf"],
+            )
+
+    return d.select("doc_id", "toks").mapInArrow(
+        kernel, schema="doc_id long, term string, tf long"
+    )
+
+
 @register(
     "prf_rm3_search",
     oracle=_prf_oracle(),
@@ -1731,17 +1780,14 @@ def _prf_oracle() -> str:
     "integer sum — no float fold order anywhere in pass 2. 100 TB "
     "posture: one regex tokenize feeds the whole two-pass plan (the shared "
     "persisted token-array frame, bm25_doc_toks); the feedback-term "
-    "election explodes only the 10 feedback documents' arrays; the ONE "
-    "corpus-wide (doc, term) aggregation is pre-filtered by a BROADCAST "
-    "join against the candidate-term list (feedback vocabulary + query "
-    "terms) applied to the exploded stream BEFORE the aggregation — the "
-    "shuffle carries candidate-matching tokens only, never the full "
-    "vocabulary — and df, the stopword guard, and pass-2 scoring all read "
-    "that one candidate-restricted frame; dl/corpus stats are the same "
-    "1-row broadcast frames as bm25_search_topk; final top-k is a "
-    "TakeOrdered. (The broadcast-semi filter lives one node above the "
-    "scan: the candidate list is computed, not literal, so it cannot be a "
-    "parquet-pushed IN — the aggregation-input reduction is the same.)",
+    "election explodes only the 10 feedback documents' arrays; pass 2's "
+    "(doc, term) counts come from ONE map-side Arrow kernel pass over the "
+    "persisted token arrays against the collected candidate-term list "
+    "(feedback vocabulary + query terms — tiny by construction), so the "
+    "corpus is never exploded and nothing vocabulary-sized ever shuffles; "
+    "df, the stopword guard, and pass-2 scoring all read that one "
+    "candidate-restricted frame; dl/corpus stats are the same 1-row "
+    "broadcast frames as bm25_search_topk; final top-k is a TakeOrdered.",
 )
 def prf_rm3_search(spark, sf_dir):
     from ..session import owned_persist
@@ -1768,16 +1814,22 @@ def prf_rm3_search(spark, sf_dir):
     # candidate terms = feedback vocabulary + query terms (small frame);
     # broadcast-filter the exploded corpus BEFORE the (doc, term) agg so
     # the shuffle never carries the full vocabulary
-    orig_only = spark.createDataFrame(
-        [(t,) for t in _BM25_QUERY], "term string"
+    # candidate list = feedback vocabulary + query terms. r12 (VERDICT item
+    # 4, guide §4.2): pass 2's (doc, term) aggregation no longer explodes
+    # the corpus — the r11 shape exploded all ~27M sf10 tokens, probed each
+    # against the broadcast candidate list and hash-aggregated the matches
+    # (the measured dominant stage, ~12 s of 14.6). The candidate list is
+    # collected (it is feedback-vocabulary-sized by construction: ≤ the
+    # distinct terms of 10 documents + the query) and an Arrow kernel
+    # counts candidate hits per document in one pass over the PERSISTED
+    # token-array frame: flatten (zero-copy) → index_in against the
+    # candidate set → one np.unique over (doc position, term index). Each
+    # document is one row of d, so per-batch counts are FINAL — no shuffle,
+    # no explode, exact integer tf identical to the join+groupBy.
+    cand_list = sorted(
+        {r["term"] for r in fb_tf.select("term").collect()} | set(_BM25_QUERY)
     )
-    cand_terms = fb_tf.select("term").unionAll(orig_only).distinct()
-    cand_tf = owned_persist(
-        d.select("doc_id", F.explode("toks").alias("term"))
-        .join(F.broadcast(cand_terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    cand_tf = owned_persist(_cand_tf_kernel(d, cand_list))
     cand_tf.count()  # eager materialization (persist-gate contract)
     dfreq = cand_tf.groupBy("term").agg(F.count("*").alias("df"))
     exp_terms = (

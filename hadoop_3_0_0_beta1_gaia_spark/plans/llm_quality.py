@@ -200,9 +200,12 @@ def repetition_metrics(docs):
     of a bigram equals the max run over the sorted bigram array by
     definition — and mirrors the two fround divisions op-for-op (Python
     doubles are the same IEEE ops Catalyst runs: divide, ×10⁴, +0.5,
-    floor). Tokenization matches :func:`tokens` via ``re.ASCII``; the
-    NULL-text row keeps the expression path's exact degenerate outputs
-    (n_tokens −1, distinct_ratio −1.0). The kernel spreads its input
+    floor). Tokenization matches :func:`tokens` via ``re.ASCII``; a
+    NULL-text row emits NULL n_tokens / NULL distinct_ratio — the expression
+    path's degenerate outputs under Spark 4 defaults, where ``size(NULL)``
+    is NULL (the −1 value only exists under spark.sql.legacy.sizeOfNull;
+    the twin-equality pin test runs under the session default and would
+    catch a flip). The kernel spreads its input
     (ensure_parallelism — the ONE deliberate round-robin exchange the
     plan-pin test allows, a no-op on real multi-file input)."""
     import math

@@ -1915,7 +1915,7 @@ def copurchase_pagerank(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..functions.dedup import expand_bucket_pairs
-    from ..session import owned_persist, scan_bytes
+    from ..session import owned_persist
 
     li = T(spark, sf_dir, "lineitem")
     baskets = (
@@ -1928,39 +1928,51 @@ def copurchase_pagerank(spark, sf_dir):
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .distinct()
     )
-    # Deliberately the union-of-two-selects shape, UNPERSISTED at small
-    # inputs: this whole query is ONE action (the final collect), so
-    # Catalyst's ReusedExchange dedups the expansion shuffle across every
-    # edge consumer for free. The r7 explode+eager-persist variant was
-    # A/B-measured a 3.6x LOSS here (sf1: 12.7 -> 46.2 s); the lighter
-    # und-persist variant still loses 1.5x at sf1 (r11: 7.6 -> 11.6 s).
-    # BUT the single mega-DAG pipelines both iterations' joins and
-    # aggregates concurrently, and once the pair expansion reaches ~10^8
-    # rows (r11: 120M at the 1.4 GB-lineitem fixture) the overlapping
-    # stages exhaust execution memory outright (SparkOutOfMemoryError —
-    # piecewise the same stages run fine). The persist barrier is therefore
-    # SCALE-GATED on input bytes: exchange reuse below, materialize above
-    # (or when the input size is unknowable — the safe cluster default).
-    # Contrast copurchase_bfs_depth, where the per-round localCheckpoint
-    # actions break exchange reuse and the persisted explode IS the win
-    # (12.8 -> 8.7 s); connected_components likewise (multi-action loop).
-    nbytes = scan_bytes(li)
-    if nbytes is None or nbytes > 512 * 1024 * 1024:
-        und = owned_persist(und)
-        und.count()
+    # r12 (guide §3.1/§2.4): every per-iteration join probes the 2·|pairs|
+    # edge stream against a VERTEX-sized frame. The r11 shape joined edges
+    # twice per iteration as SortMergeJoins (plan: 12 SMJ / 78 Exchange —
+    # the 240M-row sf10 edge list crossed a shuffle four times for the two
+    # iterations). Now deg⋈r pre-joins vertex-to-vertex into one per-vertex
+    # contribution frame (r DIV d), and the edge stream joins ONCE per
+    # iteration — broadcast when the vertex count allows it (≤ 16M vertices
+    # ≈ 256 MB built), so the edge list is never shuffled by src at all;
+    # above the cap the planner falls back to SMJ (a 100 TB part table
+    # outgrows any broadcast) and still pays half the r11 join work.
+    #
+    # und and deg are persisted UNCONDITIONALLY. History: r7/r11 measured
+    # persists as sf1 LOSSES (7.6 -> 11.6 s) because the old single-action
+    # SMJ mega-DAG deduped the expansion through ReusedExchange — but that
+    # same pipelining OOMed at 10^8 pairs (the r11 byte-gate). With the
+    # broadcast shape the economics invert: every per-iteration broadcast
+    # BUILD is its own job, so without a cache the expansion would re-run
+    # per build (r12 interleaved A/B at sf1: unpersisted 10.5-11.3 s vs
+    # persisted 5.0-5.4 s min-of-3; sf10: 60.8-122.6 -> 17.7 s). The
+    # persist barrier also removes the concurrent-stage OOM geometry the
+    # r11 gate existed for, so the fixture-calibrated byte proxy (ADVICE
+    # r11) is gone rather than re-tuned. deg's populate count doubles as
+    # the broadcast gate.
+    und = owned_persist(und)
+    und.count()
     edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
-        "src", "v"
+    deg = owned_persist(
+        edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+            "src", "v"
+        )
     )
+    n_v = deg.count()
+    bcast = (lambda f: F.broadcast(f)) if n_v <= 16_000_000 else (lambda f: f)
     r = deg.select("v", F.lit(_PR_SCALE).cast("long").alias("r"))
     base = F.floor(F.lit(0.15 * _PR_SCALE)).cast("long")
     for _ in range(_PR_ITERS):
+        per_v = (
+            deg.join(r.withColumnRenamed("v", "rv"), F.col("v") == F.col("rv"))
+            .select("v", F.expr("r DIV d").alias("c"))
+        )
         contrib = (
-            edges.join(deg, edges.src == deg.v)
-            .join(r.withColumnRenamed("v", "rv"), F.col("src") == F.col("rv"))
-            .select("dst", F.expr("r DIV d").alias("c"))
+            edges.join(bcast(per_v), edges.src == per_v.v)
+            .select("dst", "c")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .withColumnRenamed("dst", "v")
@@ -2062,16 +2074,27 @@ def copurchase_bfs_depth(spark, sf_dir):
     )
     visited = src0.localCheckpoint(eager=True)
     frontier = visited
+    # r12 (guide §3.1): frontier and visited are VERTEX-bounded while edges
+    # is the 2·|pairs| stream — before, each round's frontier⋈edges ran as a
+    # SortMergeJoin shuffling the full 240M-row sf10 edge cache by src (and
+    # the anti-join shuffled the candidate set again). Broadcasting the
+    # checkpointed small sides keeps the edge cache map-side for all
+    # _BFS_DEPTH rounds. Gated per round on the actual frontier/visited row
+    # count (free: the frames are checkpointed) — a graph whose reachable
+    # set outgrows ~16M vertices (≈256 MB built) falls back to SMJ.
+    n_visited = 1
+    bc = lambda f, n: F.broadcast(f) if n <= 16_000_000 else f
     for d in range(1, _BFS_DEPTH + 1):
         nxt = (
-            frontier.join(edges, frontier.v == edges.src)
+            bc(frontier, n_visited).join(edges, frontier.v == edges.src)
             .select(F.col("dst").alias("v"))
             .distinct()
-            .join(visited, "v", "left_anti")
+            .join(bc(visited, n_visited), "v", "left_anti")
             .select("v", F.lit(d).cast("long").alias("depth"))
             .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        n_visited = visited.count()
         frontier = nxt
     out = visited.groupBy("depth").agg(
         F.count("*").alias("n_nodes"),

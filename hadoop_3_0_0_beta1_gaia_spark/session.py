@@ -54,6 +54,14 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the JVM locale (ADVICE r11): the text kernels lower-case with
+        # Python str.lower() while their expression twins use JVM
+        # String.toLowerCase() under the DEFAULT locale — a tr_TR/az JVM
+        # would diverge on ASCII 'I'. en_US is root-equivalent for ASCII.
+        # (No effect on an already-running JVM: getOrCreate reuses it, and
+        # the fixtures are ASCII-only anyway; this pins fresh deployments.)
+        .config("spark.driver.extraJavaOptions", "-Duser.language=en -Duser.country=US")
+        .config("spark.executor.extraJavaOptions", "-Duser.language=en -Duser.country=US")
     )
     return builder.getOrCreate()
 
@@ -142,32 +150,6 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
-
-
-def scan_bytes(df: DataFrame) -> int | None:
-    """Total on-disk bytes of ``df``'s input files, or None when unknowable
-    (non-local filesystem, no file-based scan). Driver-side stat of a handful
-    of paths — used to make persist-vs-pipeline decisions SCALE-ADAPTIVE
-    instead of tuned to one SF (r11: copurchase_pagerank's single-action
-    exchange-reuse shape is the measured winner at small inputs but exhausts
-    execution memory once the pair expansion reaches ~10^8 rows; the barrier
-    is gated on input size, not hard-coded either way)."""
-    import urllib.parse
-
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    total = 0
-    for u in files:
-        p = urllib.parse.urlparse(u)
-        if p.scheme not in ("file", ""):
-            return None
-        try:
-            total += os.path.getsize(urllib.parse.unquote(p.path))
-        except OSError:
-            return None
-    return total
 
 
 # ---------------------------------------------------------------------------

@@ -275,6 +275,22 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    # r12 (guide §5): unload the terminated query's state-store providers.
+    # Stateful availableNow drains (dropDuplicates, stream-stream joins,
+    # flatMapGroupsWithState) leave their HDFSBackedStateStoreProvider maps
+    # loaded until a lazy maintenance unload — measured r11: back-to-back
+    # re-drains of stream_dedup_counts in ONE session grew 7.9 → 14.0 →
+    # 68.5 s and eventually OOMed the probe session. StateStore.stop()
+    # unloads every provider and halts the maintenance task; the next
+    # streaming query re-initializes both on demand. Safe here because the
+    # drained query has terminated and this harness runs one query at a
+    # time; a service running CONCURRENT stateful streams must not call it
+    # mid-flight (it would drop live providers to a cold reload).
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # py4j surface moved — the drain result is already materialized
     return spark.table(table_name)
 
 

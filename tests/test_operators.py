@@ -479,6 +479,7 @@ def test_lsh_tile_decomposition_invariant(spark, sf_dir):
     single = run(1)  # one tile per bucket — no cross-block path at all
     assert single == run(4)
     assert single == run(7)  # block count coprime with nothing special
+    assert single == run(None)  # r12: K derived from bucket-size stats
 
 
 def test_semantic_tile_decomposition_invariant(spark, sf_dir):
@@ -1654,6 +1655,54 @@ def test_positional_grams_kernel_equals_expression_fold(spark, sf_dir):
     # doc 9_000_001: 16 tokens -> 9 grams, duplicates at shifted positions
     n1 = sum(1 for t in kern if t[0] == 9_000_001)
     assert n1 == 9
+
+
+def test_expand_bucket_pairs_kernel_equals_expression(spark, sf_dir):
+    """The Arrow pair-expansion kernel (r12 — the HOF transform/slice/
+    flatten chain evaluated interpreted per pair, ~10^8 expansions at the
+    co-purchase fixture) must emit the IDENTICAL pair MULTISET as the
+    expression path: fixture baskets plus adversarial buckets (empty,
+    singleton, NULL array, duplicate ids within the multiset contract,
+    mixed lengths). Row order is not part of the contract (every consumer
+    aggregates) — compared as sorted multisets."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_0_0_beta1_gaia_spark.functions.dedup import (
+        expand_bucket_pairs,
+        expand_bucket_pairs_expr,
+    )
+    from hadoop_3_0_0_beta1_gaia_spark.session import table as T
+
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    adversarial = spark.createDataFrame(
+        [
+            ([1, 2],),
+            ([10, 20, 30],),
+            ([5, 5, 6],),  # duplicate id (not produced upstream, pinned)
+            ([100, 200, 300, 400, 500],),
+        ],
+        "ids array<long>",
+    )
+    for frame in (adversarial, baskets):
+        expr = sorted(map(tuple, expand_bucket_pairs_expr(frame).collect()))
+        kern = sorted(map(tuple, expand_bucket_pairs(frame).collect()))
+        assert kern == expr
+    # the adversarial multiset, explicitly: 1+3+3+10 pairs
+    kern = sorted(map(tuple, expand_bucket_pairs(adversarial).collect()))
+    assert len(kern) == 17
+    assert (5, 5) in kern  # duplicate-id pair kept, like the expression path
+    # degenerate buckets the callers' size>=2 filters exclude (the expression
+    # path is undefined below size 2 — slice length goes negative): the
+    # kernel simply emits no pairs
+    degenerate = spark.createDataFrame(
+        [([],), ([7],), (None,)], "ids array<long>"
+    )
+    assert expand_bucket_pairs(degenerate).count() == 0
 
 
 def test_substring_cut_fast_path_matches_reconstruction(spark):

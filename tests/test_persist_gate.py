@@ -31,6 +31,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "populated by the immediate driver-side groupBy().collect() offset "
         "pass before the second consumer runs"
     ),
+    ("functions/similarity.py", "base"): (
+        "populated by the immediate driver-side bucket-stats .collect() "
+        "(the num_blocks derivation) before the cells consumer runs — no "
+        "concurrent branches to race"
+    ),
 }
 
 _ASSIGN = re.compile(r"^(\s*)(\w+)\s*=\s*owned_persist\(")

@@ -182,24 +182,29 @@ def test_filter_kernels_single_roundrobin_exchange(spark, sf_dir, name):
     assert "hashpartitioning" not in p
 
 
-def test_pagerank_has_no_persist(spark, sf_dir):
-    """copurchase_pagerank is ONE action, so the symmetric edge expansion is
-    deduplicated by runtime exchange reuse (AQE) — an explicit eager persist
-    was A/B-measured a 3.6x LOSS at sf1 (12.7 -> 46.2 s, r7: the persist
-    pays a full extra materialization exchange reuse never needed) and
-    reverted. This pin keeps the no-persist shape; multi-action loops (BFS,
-    connected components) are the opposite case and DO persist.
+def test_pagerank_persists_pairs_and_broadcasts_per_vertex(spark, sf_dir):
+    """r12 pin — the INVERSE of the r7-r11 no-persist pin, because the join
+    shape changed: each iteration now probes the edge stream against the
+    broadcast per-vertex (r DIV d) frame instead of two SortMergeJoins, and
+    every broadcast BUILD is its own job — without a cache the pair
+    expansion re-runs per build (r12 interleaved A/B at sf1: unpersisted
+    10.5-11.3 s vs persisted 5.0-5.4 s; sf10 60.8-122.6 -> 17.7 s; the r11
+    OOM geometry — concurrent SMJ stages over 10^8 pipelined pairs — is
+    gone with the barrier). The pin keeps: the pair-list persist, the
+    degree persist, and the broadcast iteration join (vertex count at the
+    fixture is far under the 16M-vertex gate).
 
-    Starts from a cache-clean session: r7's judge bisected an order-dependent
-    failure (test_oracle_match[copurchase_triangles] -> this pin) where the
-    triangles entry's owned_persist of the shared co-purchase edge frame made
-    Spark's cache manager rewrite pagerank's byte-identical edge subtree to
-    InMemoryTableScan — residue, not an engine persist."""
-    from hadoop_3_0_0_beta1_gaia_spark.session import force_release_all
+    Starts from a cache-clean session (the r7 order-dependence lesson)."""
+    from hadoop_3_0_0_beta1_gaia_spark.session import (
+        force_release_all,
+        release_owned,
+    )
 
     force_release_all(spark)
     p = _plan(spark, sf_dir, "copurchase_pagerank")
-    assert "InMemoryTableScan" not in p
+    release_owned()
+    assert "InMemoryTableScan" in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_temperature_sample_broadcasts_rates(spark, sf_dir):

@@ -61,6 +61,26 @@ def test_run_to_memory_drains_non_aggregate_stream(spark, sf_dir):
     assert n_stream == n_batch > 0
 
 
+def test_repeated_stateful_drains_unload_state_stores(spark, sf_dir):
+    """r12 (guide §5): back-to-back availableNow drains of a STATEFUL query
+    in one session must not accrue state-store providers — r11 measured
+    repeat drains of stream_dedup_counts growing 7.9 → 14.0 → 68.5 s until
+    a probe session OOMed, because dropDuplicates state maps from prior
+    drains unload only lazily. run_to_memory now stops the state store
+    after each drain: the maintenance task must be gone and a re-drain must
+    return identical rows (a fresh provider, not a poisoned reload)."""
+    from hadoop_3_0_0_beta1_gaia_spark.plans.media_stream import (
+        stream_dedup_counts,
+    )
+
+    first = sorted(map(tuple, stream_dedup_counts(spark, sf_dir).collect()))
+    ss = spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore
+    assert not ss.isMaintenanceRunning()
+    second = sorted(map(tuple, stream_dedup_counts(spark, sf_dir).collect()))
+    assert first == second and len(first) > 0
+    assert not ss.isMaintenanceRunning()
+
+
 def test_stream_sessionize_equals_batch(spark, sf_dir):
     """Session windows computed incrementally (availableNow drain) must match
     the batch session_window aggregation — closed-session parity."""
