@@ -1816,6 +1816,29 @@ def url_normalize_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _dsir_bucket_of(dict_vals, cache):
+    """md5-derived 512-bucket per UNIQUE token string — exactly
+    ``md5_long(tok) % 512`` (first 15 hex digits == digest[:8] >> 4, the
+    test-pinned shingle-kernel identity). Bounded cross-batch cache, the
+    simhash64_kernel rule (Zipf vocabularies re-enter immediately)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty(len(dict_vals), dtype=np.int64)
+    for i, t in enumerate(dict_vals):
+        v = cache.get(t)
+        if v is None:
+            v = (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 4
+            ) % 512
+            if len(cache) >= 500_000:
+                cache.clear()
+            cache[t] = v
+        out[i] = v
+    return out
+
+
 @register(
     "dsir_importance_select",
     oracle=f"""
@@ -1869,19 +1892,17 @@ def url_normalize_dedup(spark, sf_dir):
     "bucket multinomials for a curated TARGET slice (en docs from "
     "src0-src2) vs the RAW corpus, per-token importance log-ratio "
     "ln p_T(b) - ln p_S(b), per-doc average weight, top-100 selection. "
-    "Plan shape for 100 TB: bucket counts are two CASE sums in ONE bounded "
-    "512-row groupBy; totals are a 1-row agg; the 512-row log-ratio table "
-    "broadcasts back onto the exploded tokens (no big-side shuffle beyond "
-    "the per-doc fold); top-k is TakeOrdered, then row_number on the "
-    "100-row result only. DELIBERATE two-pass fit/apply: the "
-    "tokenize+explode+md5 chain runs once to FIT the 512-bucket model and "
-    "once to APPLY it — the exploded token stream is ~5x the corpus, so "
-    "persisting/checkpointing it to save the second columnar scan (which "
-    "reads only doc_id/lang/source/text, pruned at the parquet reader) "
-    "would trade cheap re-computation of a map-side explode for a "
-    "materialization LARGER than the input; canonical DSIR is fit-then-"
-    "apply two-pass for the same reason. Portability per NOTES.md: ln on "
-    "ratios of exact "
+    "Plan shape for 100 TB: the FIT pass is one Arrow kernel emitting "
+    "<=512 partial-count rows per batch into a bounded 512-row groupBy; "
+    "totals are a 1-row agg; the 512-row log-ratio table rides into the "
+    "APPLY kernel as a collected gather table (nothing token-sized ever "
+    "shuffles — the per-doc weights come out of the kernel final); top-k "
+    "is TakeOrdered, then row_number on the 100-row result only. "
+    "DELIBERATE two-pass fit/apply over the same pruned columnar scan: "
+    "the token stream is ~5x the corpus, so persisting it to save the "
+    "second scan would trade cheap re-computation for a materialization "
+    "LARGER than the input; canonical DSIR is fit-then-apply two-pass for "
+    "the same reason. Portability per NOTES.md: ln on ratios of exact "
     "integers, per-doc sum as the VALUE-SORTED left fold (identical IEEE "
     "order on both engines), fround'd average, (weight, doc_id) total "
     "order. DSIR's Gumbel-noise resampling step is replaced by the "
@@ -1889,26 +1910,70 @@ def url_normalize_dedup(spark, sf_dir):
     "corpus_temperature_sample pattern)",
 )
 def dsir_importance_select(spark, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql.window import Window
-
-    from ..functions.dedup import md5_long
 
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
     )
     is_tgt = (F.col("lang") == "en") & F.col("source").isin("src0", "src1", "src2")
-    # `ex` is deliberately consumed twice (fit the 512-bucket model, then
-    # apply it): the exploded token stream is ~5x the corpus, so a second
-    # pruned parquet scan beats materializing it — see ref text
-    ex = d.select(
-        "doc_id", is_tgt.alias("is_tgt"), F.explode("toks").alias("tok")
-    ).select("doc_id", "is_tgt", (md5_long(F.col("tok")) % 512).alias("b"))
-    cnt = ex.groupBy("b").agg(
-        F.count("*").alias("cs"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+
+    # r12 (guide §4.2, the prf_rm3 precedent): both DSIR passes previously
+    # exploded the ~27M-token stream and ran one interpreted md5+conv per
+    # token (fit) plus a collect_list/sort_array/interpreted-HOF fold per
+    # document (apply). Each pass is now ONE Arrow kernel over the per-doc
+    # token arrays: tokens dictionary-encode per batch (Zipf — md5 runs once
+    # per unique string behind a bounded cache), buckets come from a numpy
+    # gather, and per-batch bincounts reduce the fit pass to ≤512 partial
+    # rows. The apply pass gathers each token's log-ratio, lexsorts within
+    # the batch by (doc, lr), and folds per document with one vectorized add
+    # per token position — acc starts at 0.0 and adds ascending-sorted
+    # values sequentially, the bit-exact image of the expression path's
+    # ``aggregate(sort_array(collect_list(lr)), 0.0, a+x)`` (no -0.0 exists:
+    # equal logs subtract to +0.0). Tokenization stays the Spark ``tokens``
+    # expression on both passes — the kernels never re-implement it.
+
+    def _flat(rb, col_idx):
+        toks = rb.column(col_idx)
+        if toks.null_count:
+            toks = pc.fill_null(toks, [])
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        enc = pc.list_flatten(toks).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return lens, enc.dictionary.to_pylist(), idx
+
+    def fit_kernel(batches):
+        cache: dict[str, int] = {}
+        for rb in batches:
+            tgt = pc.fill_null(rb.column(0), False).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            lens, dict_vals, idx = _flat(rb, 1)
+            if not len(idx):
+                continue
+            b = _dsir_bucket_of(dict_vals, cache)[idx]
+            cs = np.bincount(b, minlength=512)
+            ct = np.bincount(b[np.repeat(tgt, lens)], minlength=512)
+            nz = np.nonzero(cs)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz, type=pa.int64()),
+                    pa.array(cs[nz], type=pa.int64()),
+                    pa.array(ct[nz], type=pa.int64()),
+                ],
+                names=["b", "cs", "ct"],
+            )
+
+    cnt = (
+        d.select(is_tgt.alias("is_tgt"), "toks")
+        .mapInArrow(fit_kernel, "b long, cs long, ct long")
+        .groupBy("b")
+        .agg(F.sum("cs").alias("cs"), F.sum("ct").alias("ct"))
     )
-    # totals derive from the bounded 512-row bucket frame — aggregating `ex`
-    # directly would re-run the whole tokenize+explode+md5 corpus scan
+    # totals derive from the bounded 512-row bucket frame — aggregating the
+    # token stream directly would re-run the whole tokenize corpus scan
     tot = cnt.agg(
         F.sum("cs").alias("ns"),
         F.sum("ct").alias("nt"),
@@ -1920,15 +1985,49 @@ def dsir_importance_select(spark, sf_dir):
             - F.log((F.col("cs") + 1) * 1.0 / (F.col("ns") + 512))
         ).alias("lr"),
     )
-    per_doc = (
-        ex.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_toks"),
-            F.aggregate(
-                F.sort_array(F.collect_list("lr")), F.lit(0.0), lambda a, x: a + x
-            ).alias("w"),
-        )
+    # the 512-row log-ratio table rides into the apply kernel as a plain
+    # numpy gather table (same doubles Spark computed — collected, not
+    # re-derived); buckets no token hashed to stay NaN and are never read
+    lr_arr = np.full(512, np.nan, dtype=np.float64)
+    for row in lr.collect():
+        lr_arr[row["b"]] = row["lr"]
+
+    def apply_kernel(batches):
+        cache: dict[str, int] = {}
+        for rb in batches:
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lens, dict_vals, idx = _flat(rb, 1)
+            n = len(ids)
+            if not n:
+                continue
+            keep = lens > 0
+            if not keep.any():
+                continue
+            vals = (
+                lr_arr[_dsir_bucket_of(dict_vals, cache)[idx]]
+                if len(idx)
+                else np.empty(0, dtype=np.float64)
+            )
+            doc_pos = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((vals, doc_pos))
+            sv = vals[order]
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(int(lens.max())):
+                sel = lens > i
+                acc[sel] += sv[starts[sel] + i]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], type=pa.int64()),
+                    pa.array(lens[keep], type=pa.int64()),
+                    pa.array(acc[keep], type=pa.float64()),
+                ],
+                names=["doc_id", "n_toks", "w"],
+            )
+
+    per_doc = d.select("doc_id", "toks").mapInArrow(
+        apply_kernel, "doc_id long, n_toks long, w double"
     )
     ranked = per_doc.select(
         "doc_id", "n_toks", fround(F.col("w") / F.col("n_toks"), 4).alias("avg_weight")

@@ -1811,14 +1811,23 @@ def copurchase_triangles_sampled(spark, sf_dir):
         )
     )
     se.count()  # populate cache before concurrent AQE consumer branches
-    deg = (
+    # r12 (guide §3.1, the pagerank precedent): deg is VERTEX-sized while se
+    # is the sampled edge list — joining the degrees back as SortMergeJoins
+    # shuffled se twice; broadcast both degree sides so the orientation pass
+    # stays map-side over the cache. deg is persisted (it feeds BOTH join
+    # sides) and its populate count gates the broadcast exactly as in
+    # copurchase_pagerank (≤16M vertices ≈ 256 MB built; above → SMJ, the
+    # honest 100 TB fallback).
+    deg = owned_persist(
         se.select(F.col("a").alias("v"))
         .unionByName(se.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    n_v = deg.count()
+    bc = (lambda f: F.broadcast(f)) if n_v <= 16_000_000 else (lambda f: f)
+    da = bc(deg.select(F.col("v").alias("a"), F.col("d").alias("d_a")))
+    db = bc(deg.select(F.col("v").alias("b"), F.col("d").alias("d_b")))
     a_first = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
     )
